@@ -1,38 +1,53 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin wrapper over ``iceberg_ingestion_spark.queries`` — one entry per
+implemented operator from SURVEY.md §2 (plus the LLM-data-pipeline extension
+operators), each with a DuckDB oracle where SQL-expressible.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
+from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full end-to-end snapshot-merge through the versioned-parquet
+    sink — first-load day1, merge day2 (I/U/D via anti/semi-theta joins), read
+    the committed table back (SURVEY §2.12 mode 3)."""
+    from iceberg_ingestion_spark.fixtures import orders_day1, orders_day2
+    from iceberg_ingestion_spark.jobs import IngestionJob
+    from iceberg_ingestion_spark.model import IngestionType, TablePolicy
+    from iceberg_ingestion_spark.queries import ORDERS_SPEC, read_table
+    from iceberg_ingestion_spark.sinks import ParquetVersionedSink
+
+    orders = read_table(spark, SF0001, "orders")
+    warehouse = tempfile.mkdtemp(prefix="flagship_wh_")
+    sink = ParquetVersionedSink(spark, warehouse)
+    job = IngestionJob(sink, ORDERS_SPEC, TablePolicy())
+    name = "dev_clean_tpch.orders"
+    ts = datetime.fromisoformat("2026-08-13T02:00:00")
+    job.run(orders_day1(orders), name, IngestionType.FULL, ts)   # first load
+    job.run(orders_day2(orders), name, IngestionType.FULL, ts)   # snapshot merge
+    return sink.read(name)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from iceberg_ingestion_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from iceberg_ingestion_spark.queries import ORACLES
+
+    return dict(ORACLES)

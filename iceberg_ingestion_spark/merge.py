@@ -1,0 +1,102 @@
+"""Apply a change-set to a target table.
+
+The reference applies changes with Iceberg ``MERGE INTO`` (reference
+``src/data_ingestion/common/iceberg.py:233-244``):
+
+    MERGE INTO target USING changes ON <keys>
+    WHEN MATCHED AND source.op = 'D' THEN DELETE            -- or UPDATE SET * when keep_deletes
+    WHEN MATCHED AND source.op = 'U' THEN UPDATE SET *
+    WHEN NOT MATCHED THEN INSERT *
+
+Two implementations of the same logical semantics:
+
+- :func:`merge_dataframes` — pure DataFrame program for any sink (no Iceberg
+  runtime needed): the unmatched target rows survive via a left-anti join on the
+  keys, matched rows are replaced by the change payload. Because the change-set
+  produced by the calculus carries the full payload for every op, ``UPDATE SET *``
+  and ``INSERT *`` collapse to "take the change row".
+- :func:`merge_into_sql` — the SQL string for the Iceberg path, used by
+  ``IcebergSink`` when the runtime jar is present.
+
+Scale notes: the anti join shuffles both sides on the natural keys, exactly like
+the MERGE's join; when the change-set is small relative to the target (the daily
+case), AQE converts the anti join to a broadcast and the target is rewritten in
+one pass with no wide shuffle of the target.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from iceberg_ingestion_spark.changes import with_soft_delete_flag
+from iceberg_ingestion_spark.model import (
+    HARD_DELETED_COL,
+    OP_DELETE,
+    ChangeSpec,
+)
+
+
+def merge_dataframes(
+    target: DataFrame,
+    changes: DataFrame,
+    spec: ChangeSpec,
+    keep_deletes: bool = False,
+) -> DataFrame:
+    """Resolve a change-set against the target; returns the post-merge table.
+
+    Matches Iceberg MERGE semantics for change-sets with at most one row per key
+    (guaranteed upstream by the calculus / CDC window dedup, reference
+    ``iceberg.py:203-216``; Iceberg itself raises on ambiguous matches).
+
+    - ``keep_deletes=False``: op='D' rows vanish (``WHEN MATCHED AND op='D' THEN
+      DELETE``, reference ``iceberg.py:241``).
+    - ``keep_deletes=True``: op='D' rows are kept with ``hard_deleted=true``
+      (``UPDATE SET *`` after the soft-delete rewrite, reference
+      ``iceberg.py:224-227,241``).
+    """
+    if keep_deletes:
+        changes = with_soft_delete_flag(changes, spec.op_col)
+        if HARD_DELETED_COL not in target.columns:
+            target = target.withColumn(HARD_DELETED_COL, F.lit(False).cast("boolean"))
+        applied = changes
+    else:
+        applied = changes.filter(F.col(spec.op_col) != F.lit(OP_DELETE))
+
+    applied = applied.drop(spec.op_col)
+    # Align schemas both ways: the change-set may add audit columns the target
+    # lacks yet (first soft-delete run), and a target may carry columns a
+    # partial change-set lacks.
+    for c in applied.columns:
+        if c not in target.columns:
+            target = target.withColumn(c, F.lit(None).cast(applied.schema[c].dataType))
+    for c in target.columns:
+        if c not in applied.columns:
+            applied = applied.withColumn(c, F.lit(None).cast(target.schema[c].dataType))
+    applied = applied.select(*target.columns)
+
+    untouched = target.alias("target").join(
+        changes.select(*spec.natural_keys).alias("source"),
+        on=[F.col(f"target.{k}") == F.col(f"source.{k}") for k in spec.natural_keys],
+        how="left_anti",
+    )
+    return untouched.unionByName(applied)
+
+
+def merge_into_sql(
+    target_table: str,
+    changes_view: str,
+    spec: ChangeSpec,
+    keep_deletes: bool = False,
+) -> str:
+    """Build the Iceberg ``MERGE INTO`` statement (reference ``iceberg.py:235-244``)."""
+    on = " AND ".join(f"target.{k} = source.{k}" for k in spec.natural_keys)
+    delete_action = "UPDATE SET *" if keep_deletes else "DELETE"
+    return f"""
+        MERGE INTO {target_table} AS target
+        USING {changes_view} AS source
+        ON {on}
+        WHEN MATCHED AND source.{spec.op_col} = 'D' THEN {delete_action}
+        WHEN MATCHED AND source.{spec.op_col} = 'U' THEN UPDATE SET *
+        WHEN NOT MATCHED AND source.{spec.op_col} != 'D' THEN INSERT *
+    """

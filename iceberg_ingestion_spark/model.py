@@ -1,0 +1,125 @@
+"""Core configuration model for the merge calculus.
+
+The reference engine configures each source via abstract methods on the job class
+(reference ``src/data_ingestion/common/iceberg.py:303-338``: ``natural_keys()``,
+``updated_at_fields()``, ``partitioned_by()``, ``partition_ordering()``) and global
+constants for ingestion modes and storage policy (``iceberg.py:9-14,53-80``).
+Here the same knobs are plain frozen dataclasses, so the calculus is a library of
+pure functions instead of an inheritance tree.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+
+
+class IngestionType(str, enum.Enum):
+    """Ingestion modes (reference ``iceberg.py:9-10`` ``ingestion_type_choices``)."""
+
+    FULL = "full"
+    INCREMENTAL = "incremental"  # like FULL but without the delete leg (iceberg.py:177-178)
+    CDC = "cdc"
+    REPLACE = "replace"
+
+
+class OptimizeMode(str, enum.Enum):
+    """Storage-vs-speed policy (reference ``iceberg.py:12-14,63-79``)."""
+
+    SPEED = "speed"      # snappy + copy-on-write
+    STORAGE = "storage"  # gzip + merge-on-read
+
+
+#: op-column values, identical to the DMS/CDC contract the reference consumes
+#: (reference ``iceberg.py:170,180,194,241-243``).
+OP_INSERT = "I"
+OP_UPDATE = "U"
+OP_DELETE = "D"
+
+#: audit / soft-delete column names (reference ``iceberg.py:38-39``).
+INGESTION_DATETIME_COL = "ingestion_datetime"
+HARD_DELETED_COL = "hard_deleted"
+OP_COL = "op"
+ROW_NUMBER_COL = "row_number"
+
+
+@dataclass(frozen=True)
+class ChangeSpec:
+    """How to key and version a change-set.
+
+    - ``natural_keys``: join keys for insert/update/delete classification
+      (reference ``iceberg.py:161,319-322``).
+    - ``updated_at_fields``: columns whose strictly-greater comparison marks a row
+      as updated (reference ``iceberg.py:162,324-326`` — strict ``>``: rows with an
+      equal timestamp are NOT updates) and the descending order for CDC
+      latest-row-per-key dedup (reference ``iceberg.py:205-216``).
+    - ``op_col``: name of the I/U/D column on CDC sources.
+    """
+
+    natural_keys: tuple[str, ...]
+    updated_at_fields: tuple[str, ...]
+    op_col: str = OP_COL
+
+    def __post_init__(self) -> None:
+        if not self.natural_keys:
+            raise ValueError("ChangeSpec.natural_keys must be non-empty")
+        if not self.updated_at_fields:
+            raise ValueError("ChangeSpec.updated_at_fields must be non-empty")
+        overlap = set(self.natural_keys) & set(self.updated_at_fields)
+        if overlap:
+            raise ValueError(f"keys and updated_at_fields overlap: {overlap}")
+
+
+@dataclass(frozen=True)
+class MergeOptions:
+    """Per-run toggles (reference ``app.py:39-58`` CLI flags).
+
+    ``insert``/``update``/``delete`` correspond to ``--no-insert/--no-update/
+    --no-delete`` (disabled legs become schema-preserving empty relations,
+    reference ``iceberg.py:159,167,177,189``). ``keep_deletes`` switches hard
+    deletes to soft deletes via the ``hard_deleted`` flag (reference
+    ``iceberg.py:127,224-227,241``).
+    """
+
+    insert: bool = True
+    update: bool = True
+    delete: bool = True
+    keep_deletes: bool = False
+
+
+@dataclass(frozen=True)
+class TablePolicy:
+    """Table lifecycle policy (reference ``iceberg.py:53-80``).
+
+    ``target_file_size_bytes`` default fixes the reference's ``64*1025*1024`` typo
+    (reference ``iceberg.py:59``) to an exact 64 MiB.
+    """
+
+    optimize: OptimizeMode = OptimizeMode.SPEED
+    retention_days: int = 90
+    min_snapshots_to_keep: int = 90
+    target_file_size_bytes: int = 64 * 1024 * 1024
+    partition_by: tuple[str, ...] = field(default_factory=tuple)
+
+    @property
+    def compression_codec(self) -> str:
+        # reference iceberg.py:65 (speed -> snappy), iceberg.py:74 (storage -> gzip)
+        return "snappy" if self.optimize is OptimizeMode.SPEED else "gzip"
+
+    @property
+    def write_mode(self) -> str:
+        # reference iceberg.py:67-69 (copy-on-write) vs iceberg.py:76-78 (merge-on-read)
+        return "copy-on-write" if self.optimize is OptimizeMode.SPEED else "merge-on-read"
+
+    def iceberg_table_properties(self) -> dict[str, str]:
+        """TBLPROPERTIES for the Iceberg sink (reference ``iceberg.py:53-80``)."""
+        return {
+            "format-version": "2",
+            "history.expire.max-snapshot-age-ms": str(self.retention_days * 24 * 3600 * 1000),
+            "history.expire.min-snapshots-to-keep": str(self.min_snapshots_to_keep),
+            "write.target-file-size-bytes": str(self.target_file_size_bytes),
+            "write.parquet.compression-codec": self.compression_codec,
+            "write.merge.mode": self.write_mode,
+            "write.update.mode": self.write_mode,
+            "write.delete.mode": self.write_mode,
+        }

@@ -1,0 +1,456 @@
+"""Headline queries: SURVEY §2 composite operators + analytics, each with a
+DuckDB oracle.
+
+Every entry in ``QUERIES`` has a Spark implementation ``(spark, sf_dir) ->
+DataFrame`` and (where SQL-expressible) a DuckDB oracle in ``ORACLES`` computing
+identical rows on the same parquet. Conventions that make cross-engine
+value-hash comparison exact:
+
+- timestamps are emitted as ``yyyy-MM-dd HH:mm:ss.SSS`` strings
+  (DuckDB ``%Y-%m-%d %H:%M:%S.%g``);
+- money aggregates are summed in exact DECIMAL and cast to double at the end
+  (order-independent, bit-identical across engines); averages are computed as
+  double/double division of those exact results;
+- fixture arithmetic is addition-only on doubles (no rounding-mode hazards);
+- every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_ingestion_spark import fixtures
+from iceberg_ingestion_spark.changes import (
+    build_changeset,
+    dedup_latest,
+    detect_deletes,
+    detect_inserts,
+    detect_updates,
+)
+from iceberg_ingestion_spark.merge import merge_dataframes
+from iceberg_ingestion_spark.model import ChangeSpec, MergeOptions
+from iceberg_ingestion_spark.validate import bag_diff
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%g"
+
+#: the ingestion-scenario ChangeSpec (FIXTURES.md group B)
+ORDERS_SPEC = ChangeSpec(natural_keys=("o_orderkey",), updated_at_fields=("o_orderdate",))
+
+#: fixed audit timestamp (FIXTURES.md B4)
+INGESTION_TS = "2026-08-13 02:00:00"
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _fmt_ts(df: DataFrame, *cols: str) -> DataFrame:
+    for c in cols:
+        if c in df.columns:
+            df = df.withColumn(c, F.date_format(F.col(c), TS_FMT_SPARK))
+    return df
+
+
+def _orders_out(df: DataFrame) -> DataFrame:
+    return _fmt_ts(df, "o_orderdate", "ingestion_datetime")
+
+
+_ORDERS_OUT_SQL = (
+    "o_orderkey, o_custkey, o_orderstatus, o_totalprice, "
+    f"strftime(o_orderdate, '{TS_FMT_DUCK}') AS o_orderdate, o_orderpriority"
+)
+
+
+# ---------------------------------------------------------------------------
+# Change-calculus queries (SURVEY §2.4 J1/J2/J3, §2.6 W1)
+# ---------------------------------------------------------------------------
+
+def q_detect_inserts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — left anti join (reference iceberg.py:167-170)."""
+    orders = read_table(spark, sf_dir, "orders")
+    day1, day2 = fixtures.orders_day1(orders), fixtures.orders_day2(orders)
+    return _orders_out(detect_inserts(day2, day1, ORDERS_SPEC))
+
+
+def q_detect_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — reversed left anti join (reference iceberg.py:178-183)."""
+    orders = read_table(spark, sf_dir, "orders")
+    day1, day2 = fixtures.orders_day1(orders), fixtures.orders_day2(orders)
+    return _orders_out(detect_deletes(day2, day1, ORDERS_SPEC))
+
+
+def q_detect_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — left semi join with strictly-newer theta conjunct (reference
+    iceberg.py:162,189-194); touched-but-same-timestamp rows excluded."""
+    orders = read_table(spark, sf_dir, "orders")
+    day1, day2 = fixtures.orders_day1(orders), fixtures.orders_day2(orders)
+    return _orders_out(detect_updates(day2, day1, ORDERS_SPEC))
+
+
+def q_cdc_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — latest-row-per-key window dedup (reference iceberg.py:203-216)."""
+    orders = read_table(spark, sf_dir, "orders")
+    return _orders_out(dedup_latest(fixtures.orders_cdc(orders), ORDERS_SPEC))
+
+
+# ---------------------------------------------------------------------------
+# Composite merge modes (SURVEY §2.12)
+# ---------------------------------------------------------------------------
+
+def _merged_full(orders: DataFrame) -> DataFrame:
+    day1, day2 = fixtures.orders_day1(orders), fixtures.orders_day2(orders)
+    changes = build_changeset(day2, day1, ORDERS_SPEC)
+    return merge_dataframes(day1, changes, ORDERS_SPEC)
+
+
+def q_snapshot_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode 3 (full): I∪U∪D change-set merged into the target
+    (reference iceberg.py:151-244)."""
+    return _orders_out(_merged_full(read_table(spark, sf_dir, "orders")))
+
+
+def q_snapshot_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode 3 (incremental): same minus the delete leg (reference iceberg.py:177-178)."""
+    orders = read_table(spark, sf_dir, "orders")
+    day1, day2 = fixtures.orders_day1(orders), fixtures.orders_day2(orders)
+    changes = build_changeset(day2, day1, ORDERS_SPEC, include_deletes=False)
+    return _orders_out(merge_dataframes(day1, changes, ORDERS_SPEC))
+
+
+def q_snapshot_merge_soft_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode 3 with keep_deletes: deletes flip ``hard_deleted`` instead of removing
+    rows (reference iceberg.py:127,224-227,241)."""
+    orders = read_table(spark, sf_dir, "orders")
+    day1, day2 = fixtures.orders_day1(orders), fixtures.orders_day2(orders)
+    changes = build_changeset(
+        day2, day1, ORDERS_SPEC, options=MergeOptions(keep_deletes=True)
+    )
+    return _orders_out(merge_dataframes(day1, changes, ORDERS_SPEC, keep_deletes=True))
+
+
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode 4: CDC batch -> window dedup -> merge on source op
+    (reference iceberg.py:203-244)."""
+    orders = read_table(spark, sf_dir, "orders")
+    day1 = fixtures.orders_day1(orders)
+    changes = dedup_latest(fixtures.orders_cdc(orders), ORDERS_SPEC)
+    return _orders_out(merge_dataframes(day1, changes, ORDERS_SPEC))
+
+
+def q_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode 1: CREATE OR REPLACE with audit stamp (reference iceberg.py:104-119)."""
+    orders = read_table(spark, sf_dir, "orders")
+    day2 = fixtures.orders_day2(orders).withColumn(
+        "ingestion_datetime", F.lit(INGESTION_TS).cast("timestamp")
+    )
+    return _orders_out(day2)
+
+
+def q_first_load_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode 2 on a CDC source: the op column is dropped on first load
+    (reference iceberg.py:131-132)."""
+    orders = read_table(spark, sf_dir, "orders")
+    cdc = fixtures.orders_cdc(orders).drop("op").withColumn(
+        "ingestion_datetime", F.lit(INGESTION_TS).cast("timestamp")
+    )
+    return _orders_out(cdc)
+
+
+# ---------------------------------------------------------------------------
+# Validation (SURVEY §2.8 U2 / §2.12.5)
+# ---------------------------------------------------------------------------
+
+def q_bag_diff_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 — symmetric exceptAll between the merged table and... itself shifted:
+    merged-full vs day2 differs exactly on the touched-not-updated rows
+    (k%10==4, both directions), pinning strict-``>`` semantics
+    (reference iceberg.py:291-301)."""
+    orders = read_table(spark, sf_dir, "orders")
+    merged = _merged_full(orders)
+    day2 = fixtures.orders_day2(orders)
+    return bag_diff(merged, day2).agg(F.count(F.lit(1)).alias("diff_count"))
+
+
+def q_bag_diff_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 — a table is bag-equal to itself (diff_count == 0), the reference's
+    post-ingest assertion (salesforce.py:80-83)."""
+    orders = read_table(spark, sf_dir, "orders")
+    day2 = fixtures.orders_day2(orders)
+    return bag_diff(day2, fixtures.orders_day2(orders)).agg(
+        F.count(F.lit(1)).alias("diff_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytics (engine breadth + bench anchors; decimal-exact aggregation)
+# ---------------------------------------------------------------------------
+
+def _dec(c: str, p: int = 18) -> F.Column:
+    return F.col(c).cast(f"decimal({p},2)")
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem. Filter pushes to the parquet
+    scan; sums are exact DECIMAL then cast to double."""
+    l = read_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice", 12) * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount", 12))
+    charge = disc_price * (F.lit(1).cast("decimal(12,2)") + _dec("l_tax", 12))
+    out = (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+        .withColumn("avg_price", F.col("sum_base_price") / F.col("count_order"))
+    )
+    return out
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: top-10 orders by revenue for one market segment.
+    customer is broadcast-joined (small dim); deterministic tie-break by key."""
+    c = read_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp")
+    )
+    revenue = F.sum(
+        _dec("l_extendedprice", 12) * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount", 12))
+    ).cast("double")
+    out = (
+        # orders is fact-sized — shuffle join (AQE broadcast-converts when the
+        # filtered side is small); customer is a dim — always broadcast.
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+    return _fmt_ts(out, "o_orderdate")
+
+
+def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: revenue by nation where customer and supplier share the
+    nation. All dims broadcast; single shuffle on the fact-side group keys."""
+    r = read_table(spark, sf_dir, "region")
+    n = read_table(spark, sf_dir, "nation")
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem")
+    revenue = F.sum(
+        _dec("l_extendedprice", 12) * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount", 12))
+    ).cast("double")
+    out = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(revenue.alias("revenue"), F.count(F.lit(1)).alias("lineitem_count"))
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Registry + oracles
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ingest_detect_inserts": q_detect_inserts,
+    "ingest_detect_deletes": q_detect_deletes,
+    "ingest_detect_updates": q_detect_updates,
+    "ingest_cdc_dedup_latest": q_cdc_dedup_latest,
+    "ingest_snapshot_merge_full": q_snapshot_merge_full,
+    "ingest_snapshot_merge_incremental": q_snapshot_merge_incremental,
+    "ingest_snapshot_merge_soft_delete": q_snapshot_merge_soft_delete,
+    "ingest_cdc_merge": q_cdc_merge,
+    "ingest_replace": q_replace,
+    "ingest_first_load_cdc": q_first_load_cdc,
+    "validate_bag_diff_strictness": q_bag_diff_clean,
+    "validate_bag_diff_identity": q_bag_diff_identity,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_supplier_volume": q5_supplier_volume,
+}
+
+
+_AUDIT_SQL = f"'{INGESTION_TS}.000' AS ingestion_datetime"
+
+ORACLES: dict[str, str] = {
+    "ingest_detect_inserts": fixtures.with_ctes(
+        f"SELECT {_ORDERS_OUT_SQL}, 'I' AS op FROM day2 "
+        "WHERE NOT EXISTS (SELECT 1 FROM day1 WHERE day1.o_orderkey = day2.o_orderkey)"
+    ),
+    "ingest_detect_deletes": fixtures.with_ctes(
+        f"SELECT {_ORDERS_OUT_SQL}, 'D' AS op FROM day1 "
+        "WHERE NOT EXISTS (SELECT 1 FROM day2 WHERE day2.o_orderkey = day1.o_orderkey)"
+    ),
+    "ingest_detect_updates": fixtures.with_ctes(
+        f"SELECT {_ORDERS_OUT_SQL}, 'U' AS op FROM day2 "
+        "WHERE EXISTS (SELECT 1 FROM day1 WHERE day1.o_orderkey = day2.o_orderkey "
+        "AND day2.o_orderdate > day1.o_orderdate)"
+    ),
+    "ingest_cdc_dedup_latest": fixtures.with_ctes(
+        f"SELECT {_ORDERS_OUT_SQL}, op FROM cdc "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY o_orderdate DESC) = 1"
+    ),
+    "ingest_snapshot_merge_full": fixtures.with_ctes(
+        f"""
+        SELECT {_ORDERS_OUT_SQL} FROM day1 t
+        WHERE EXISTS (SELECT 1 FROM day2 s WHERE s.o_orderkey = t.o_orderkey)
+          AND NOT EXISTS (SELECT 1 FROM day2 s WHERE s.o_orderkey = t.o_orderkey
+                          AND s.o_orderdate > t.o_orderdate)
+        UNION ALL
+        SELECT {_ORDERS_OUT_SQL} FROM day2 s
+        WHERE EXISTS (SELECT 1 FROM day1 t WHERE t.o_orderkey = s.o_orderkey
+                      AND s.o_orderdate > t.o_orderdate)
+        UNION ALL
+        SELECT {_ORDERS_OUT_SQL} FROM day2 s
+        WHERE NOT EXISTS (SELECT 1 FROM day1 t WHERE t.o_orderkey = s.o_orderkey)
+        """
+    ),
+    "ingest_snapshot_merge_incremental": fixtures.with_ctes(
+        f"""
+        SELECT {_ORDERS_OUT_SQL} FROM day1 t
+        WHERE NOT EXISTS (SELECT 1 FROM day2 s WHERE s.o_orderkey = t.o_orderkey
+                          AND s.o_orderdate > t.o_orderdate)
+        UNION ALL
+        SELECT {_ORDERS_OUT_SQL} FROM day2 s
+        WHERE EXISTS (SELECT 1 FROM day1 t WHERE t.o_orderkey = s.o_orderkey
+                      AND s.o_orderdate > t.o_orderdate)
+        UNION ALL
+        SELECT {_ORDERS_OUT_SQL} FROM day2 s
+        WHERE NOT EXISTS (SELECT 1 FROM day1 t WHERE t.o_orderkey = s.o_orderkey)
+        """
+    ),
+    "ingest_snapshot_merge_soft_delete": fixtures.with_ctes(
+        f"""
+        SELECT {_ORDERS_OUT_SQL}, FALSE AS hard_deleted FROM day1 t
+        WHERE EXISTS (SELECT 1 FROM day2 s WHERE s.o_orderkey = t.o_orderkey)
+          AND NOT EXISTS (SELECT 1 FROM day2 s WHERE s.o_orderkey = t.o_orderkey
+                          AND s.o_orderdate > t.o_orderdate)
+        UNION ALL
+        SELECT {_ORDERS_OUT_SQL}, FALSE AS hard_deleted FROM day2 s
+        WHERE EXISTS (SELECT 1 FROM day1 t WHERE t.o_orderkey = s.o_orderkey
+                      AND s.o_orderdate > t.o_orderdate)
+        UNION ALL
+        SELECT {_ORDERS_OUT_SQL}, FALSE AS hard_deleted FROM day2 s
+        WHERE NOT EXISTS (SELECT 1 FROM day1 t WHERE t.o_orderkey = s.o_orderkey)
+        UNION ALL
+        SELECT {_ORDERS_OUT_SQL}, TRUE AS hard_deleted FROM day1 t
+        WHERE NOT EXISTS (SELECT 1 FROM day2 s WHERE s.o_orderkey = t.o_orderkey)
+        """
+    ),
+    "ingest_cdc_merge": fixtures.with_ctes(
+        f"""
+        , latest AS (
+            SELECT * FROM cdc
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY o_orderdate DESC) = 1
+        )
+        SELECT {_ORDERS_OUT_SQL} FROM day1 t
+        WHERE NOT EXISTS (SELECT 1 FROM latest s WHERE s.o_orderkey = t.o_orderkey)
+        UNION ALL
+        SELECT {_ORDERS_OUT_SQL} FROM latest WHERE op <> 'D'
+        """
+    ),
+    "ingest_replace": fixtures.with_ctes(
+        f"SELECT {_ORDERS_OUT_SQL}, {_AUDIT_SQL} FROM day2"
+    ),
+    "ingest_first_load_cdc": fixtures.with_ctes(
+        f"SELECT {_ORDERS_OUT_SQL}, {_AUDIT_SQL} FROM cdc"
+    ),
+    "validate_bag_diff_strictness": fixtures.with_ctes(
+        f"""
+        , merged AS (
+            SELECT * FROM day1 t
+            WHERE EXISTS (SELECT 1 FROM day2 s WHERE s.o_orderkey = t.o_orderkey)
+              AND NOT EXISTS (SELECT 1 FROM day2 s WHERE s.o_orderkey = t.o_orderkey
+                              AND s.o_orderdate > t.o_orderdate)
+            UNION ALL
+            SELECT * FROM day2 s
+            WHERE EXISTS (SELECT 1 FROM day1 t WHERE t.o_orderkey = s.o_orderkey
+                          AND s.o_orderdate > t.o_orderdate)
+            UNION ALL
+            SELECT * FROM day2 s
+            WHERE NOT EXISTS (SELECT 1 FROM day1 t WHERE t.o_orderkey = s.o_orderkey)
+        )
+        SELECT count(*) AS diff_count FROM (
+            (SELECT * FROM merged EXCEPT ALL SELECT * FROM day2)
+            UNION ALL
+            (SELECT * FROM day2 EXCEPT ALL SELECT * FROM merged)
+        )
+        """
+    ),
+    "validate_bag_diff_identity": fixtures.with_ctes(
+        """
+        SELECT count(*) AS diff_count FROM (
+            (SELECT * FROM day2 EXCEPT ALL SELECT * FROM day2)
+            UNION ALL
+            (SELECT * FROM day2 EXCEPT ALL SELECT * FROM day2)
+        )
+        """
+    ),
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+                 AS sum_disc_price,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                 * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE)
+                 AS sum_charge,
+            count(*) AS count_order,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": f"""
+        SELECT o_orderkey, strftime(o_orderdate, '{TS_FMT_DUCK}') AS o_orderdate,
+               o_orderpriority,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+                    AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1996-01-01'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
+    "q5_supplier_volume": """
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+                    AS revenue,
+               count(*) AS lineitem_count
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY n_name
+    """,
+}

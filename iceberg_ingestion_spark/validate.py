@@ -1,0 +1,36 @@
+"""Source↔target equivalence validation.
+
+Reference ``src/data_ingestion/common/iceberg.py:291-301`` (``diff_count``):
+after a full/replace ingest, the target must be bag-equal to the source modulo
+the audit column and soft-deleted rows; asserted by the ``--test`` Airflow task
+(reference ``salesforce.py:80-83``, ``dmsdatabase1.py:115-118``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from iceberg_ingestion_spark.model import HARD_DELETED_COL, INGESTION_DATETIME_COL
+
+
+def bag_diff(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Symmetric bag difference (reference ``iceberg.py:301``:
+    ``a.exceptAll(b).union(b.exceptAll(a))``)."""
+    return a.exceptAll(b).unionByName(b.exceptAll(a))
+
+
+def diff_count(
+    source: DataFrame,
+    target: DataFrame,
+    audit_cols: tuple[str, ...] = (INGESTION_DATETIME_COL,),
+    soft_delete_col: str = HARD_DELETED_COL,
+) -> int:
+    """Rows in the symmetric difference after stripping audit columns and
+    excluding soft-deleted target rows (reference ``iceberg.py:291-301``)."""
+    src = source.drop(*audit_cols)
+    tgt = target
+    if soft_delete_col in tgt.columns:
+        tgt = tgt.filter(F.col(soft_delete_col) == F.lit(False)).drop(soft_delete_col)
+    tgt = tgt.drop(*audit_cols)
+    return bag_diff(src.select(*sorted(src.columns)), tgt.select(*sorted(src.columns))).count()

@@ -1,0 +1,138 @@
+"""Unit tests for the change calculus (SURVEY §2.4 J1/J2/J3, §2.6 W1, §2.8 U1).
+
+Pins the reference semantics that are easy to 'fix' accidentally (SURVEY §7.4):
+strict-> update detection, no-delete-leg incremental, tie handling in CDC dedup,
+already-soft-deleted exclusion.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_ingestion_spark.changes import (
+    build_changeset,
+    dedup_latest,
+    detect_deletes,
+    detect_inserts,
+    detect_updates,
+    empty_like,
+)
+from iceberg_ingestion_spark.model import ChangeSpec, MergeOptions
+
+SPEC = ChangeSpec(natural_keys=("id",), updated_at_fields=("mod_ts",))
+SCHEMA = "id long, mod_ts timestamp, payload string"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(i, datetime.fromisoformat(ts), p) for i, ts, p in rows], SCHEMA
+    )
+
+
+@pytest.fixture()
+def target(spark):
+    return _df(
+        spark,
+        [
+            (1, "2026-01-01T00:00:00", "t1"),
+            (2, "2026-01-02T00:00:00", "t2"),
+            (3, "2026-01-03T00:00:00", "t3"),
+        ],
+    )
+
+
+@pytest.fixture()
+def source(spark):
+    return _df(
+        spark,
+        [
+            (2, "2026-01-02T00:00:00", "touched-same-ts"),  # NOT an update (strict >)
+            (3, "2026-01-04T00:00:00", "newer"),            # update
+            (4, "2026-01-05T00:00:00", "brand-new"),        # insert
+        ],
+    )
+
+
+def test_detect_inserts(spark, source, target):
+    got = detect_inserts(source, target, SPEC)
+    assert [r.id for r in got.collect()] == [4]
+    assert got.columns == ["id", "mod_ts", "payload", "op"]
+    assert got.first().op == "I"
+
+
+def test_detect_deletes(spark, source, target):
+    got = detect_deletes(source, target, SPEC)
+    assert [r.id for r in got.collect()] == [1]
+    assert got.first().payload == "t1"  # delete leg carries the TARGET payload
+    assert got.first().op == "D"
+
+
+def test_detect_deletes_skips_already_soft_deleted(spark, source, target):
+    tgt = target.withColumn("hard_deleted", F.col("id") == 1)
+    got = detect_deletes(source, tgt, SPEC, soft_delete_col="hard_deleted")
+    assert got.count() == 0  # id=1 is already tombstoned -> not re-deleted
+
+
+def test_detect_updates_strictly_newer_only(spark, source, target):
+    got = detect_updates(source, target, SPEC)
+    assert [r.id for r in got.collect()] == [3]  # id=2 equal-ts excluded
+    assert got.first().op == "U"
+
+
+def test_dedup_latest_keeps_newest_per_key(spark):
+    cdc = _df(
+        spark,
+        [
+            (1, "2026-01-01T00:00:00", "old"),
+            (1, "2026-01-03T00:00:00", "newest"),
+            (1, "2026-01-02T00:00:00", "mid"),
+            (2, "2026-01-01T00:00:00", "only"),
+        ],
+    )
+    got = {r.id: r.payload for r in dedup_latest(cdc, SPEC).collect()}
+    assert got == {1: "newest", 2: "only"}
+
+
+def test_dedup_latest_tie_yields_single_survivor(spark):
+    # row_number tie semantics: exactly one survivor, which one is unspecified
+    # (reference iceberg.py:211-216; SURVEY §7.4).
+    cdc = _df(
+        spark,
+        [
+            (1, "2026-01-01T00:00:00", "a"),
+            (1, "2026-01-01T00:00:00", "b"),
+        ],
+    )
+    got = dedup_latest(cdc, SPEC).collect()
+    assert len(got) == 1
+    assert got[0].payload in {"a", "b"}
+
+
+def test_build_changeset_full(spark, source, target):
+    got = build_changeset(source, target, SPEC, ingestion_ts="2026-08-13 02:00:00")
+    ops = {(r.id, r.op) for r in got.collect()}
+    assert ops == {(4, "I"), (3, "U"), (1, "D")}
+    assert "ingestion_datetime" in got.columns
+
+
+def test_build_changeset_incremental_has_no_deletes(spark, source, target):
+    got = build_changeset(source, target, SPEC, include_deletes=False)
+    ops = {(r.id, r.op) for r in got.collect()}
+    assert ops == {(4, "I"), (3, "U")}
+
+
+def test_build_changeset_toggles(spark, source, target):
+    got = build_changeset(
+        source, target, SPEC, options=MergeOptions(insert=False, update=True, delete=True)
+    )
+    ops = {(r.id, r.op) for r in got.collect()}
+    assert ops == {(3, "U"), (1, "D")}
+
+
+def test_empty_like_preserves_schema(spark, source):
+    e = empty_like(source)
+    assert e.schema == source.schema
+    assert e.count() == 0

@@ -1,0 +1,97 @@
+"""Versioned-parquet sink lifecycle: atomic commits, time travel, expiry,
+orphan removal, compaction, metadata relations (SURVEY §2.1 S2-S8, §2.11)."""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timedelta, timezone
+
+import pytest
+
+from iceberg_ingestion_spark.model import TablePolicy
+from iceberg_ingestion_spark.sinks import ParquetVersionedSink
+
+POLICY = TablePolicy()
+NAME = "dev_clean_t.tbl"
+
+
+@pytest.fixture()
+def sink(spark, warehouse):
+    return ParquetVersionedSink(spark, warehouse)
+
+
+@pytest.fixture()
+def df(spark):
+    return spark.range(100).withColumnRenamed("id", "k")
+
+
+def test_create_is_idempotent(sink, df):
+    sink.create(NAME, df, POLICY)
+    sink.create(NAME, df.limit(1), POLICY)  # no-op: IF NOT EXISTS
+    assert sink.read(NAME).count() == 100
+    assert sink.current_version(NAME) == 1
+
+
+def test_replace_creates_new_version(sink, df):
+    sink.create(NAME, df, POLICY)
+    sink.replace(NAME, df.limit(7), POLICY)
+    assert sink.read(NAME).count() == 7
+    assert sink.current_version(NAME) == 2
+    # time travel to v1
+    assert sink.read_version(NAME, 1).count() == 100
+
+
+def test_exists(sink, df):
+    assert not sink.exists(NAME)
+    sink.create(NAME, df, POLICY)
+    assert sink.exists(NAME)
+
+
+def test_list_files_and_metadata_location(sink, df):
+    sink.create(NAME, df, POLICY)
+    files = sink.list_files(NAME)
+    assert files.columns == ["file_path"]
+    paths = [r.file_path for r in files.collect()]
+    assert paths and all(p.endswith(".parquet") for p in paths)
+    manifest = sink.metadata_location(NAME)
+    assert manifest.columns == ["manifest"]
+    assert manifest.count() == 1
+
+
+def test_expire_snapshots_respects_retention_and_min_keep(sink, df):
+    policy = TablePolicy(retention_days=0, min_snapshots_to_keep=2)
+    sink.create(NAME, df, policy)
+    sink.replace(NAME, df.limit(50), policy)
+    sink.replace(NAME, df.limit(10), policy)
+    future = datetime.now(timezone.utc) + timedelta(days=1)
+    expired = sink.expire_snapshots(NAME, policy, now=future)
+    assert expired == 1  # v1 dropped, v2+v3 kept (min 2)
+    assert sink.read(NAME).count() == 10
+    assert not os.path.exists(sink._version_dir(NAME, 1))
+
+
+def test_remove_orphan_files(sink, df):
+    sink.create(NAME, df, POLICY)
+    orphan = os.path.join(sink._table_dir(NAME), "v_99999")
+    os.makedirs(orphan)
+    assert sink.remove_orphan_files(NAME) == 1
+    assert not os.path.exists(orphan)
+    assert sink.read(NAME).count() == 100
+
+
+def test_rewrite_data_files_compacts(sink, df, spark):
+    sink.create(NAME, df.repartition(8), POLICY)
+    assert sink.list_files(NAME).count() >= 8
+    sink.rewrite_data_files(NAME, POLICY)
+    assert sink.list_files(NAME).count() == 1  # 100 rows << 64 MiB target
+    assert sink.read(NAME).count() == 100
+
+
+def test_snapshot_log_is_json_with_properties(sink, df):
+    sink.create(NAME, df, POLICY)
+    with open(sink._log_path(NAME)) as f:
+        log = json.load(f)
+    assert log["current"] == 1
+    assert log["properties"]["write.target-file-size-bytes"] == str(64 * 1024 * 1024)
+    assert log["snapshots"][0]["operation"] == "create"

@@ -1,0 +1,100 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB at
+the given scale factor, compares row-count, column names and order-insensitive
+values, and prints a PASS/FAIL table. Use before committing new queries.
+
+    python tools/check_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> str:
+    if len(spark_df) != len(duck_df):
+        return f"ROWS {len(spark_df)} vs {len(duck_df)}"
+    if sorted(spark_df.columns) != sorted(duck_df.columns):
+        return f"COLS {sorted(spark_df.columns)} vs {sorted(duck_df.columns)}"
+    a, b = normalize(spark_df), normalize(duck_df)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            import numpy as np
+
+            if not np.allclose(
+                av.astype(float), bv.astype(float), rtol=0, atol=0, equal_nan=True
+            ):
+                bad = (av.astype(float) != bv.astype(float)).idxmax()
+                return f"VAL col={c} row={bad}: {av[bad]!r} vs {bv[bad]!r}"
+        else:
+            if not av.astype(str).equals(bv.astype(str)):
+                bad = (av.astype(str) != bv.astype(str)).idxmax()
+                return f"VAL col={c} row={bad}: {av[bad]!r} vs {bv[bad]!r}"
+    return "OK"
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from iceberg_ingestion_spark.session import build_session
+
+    spark = build_session(app_name="check-oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"{name:45s} SPARK-ERROR {exc}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"{name:45s} rows={len(sdf):7d} (no oracle) {time.time()-t0:6.1f}s")
+            continue
+        try:
+            ddf = con.sql(oracles[name]).df()
+        except Exception as exc:  # noqa: BLE001
+            print(f"{name:45s} DUCK-ERROR {exc}")
+            failures += 1
+            continue
+        verdict = compare(sdf, ddf)
+        status = "PASS" if verdict == "OK" else f"FAIL {verdict}"
+        if verdict != "OK":
+            failures += 1
+        print(f"{name:45s} rows={len(sdf):7d} {time.time()-t0:6.1f}s  {status}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
