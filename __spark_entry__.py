@@ -43,11 +43,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from iceberg_ingestion_spark.queries import QUERIES
+    from iceberg_ingestion_spark.queries_ext import QUERIES_EXT
 
-    return dict(QUERIES)
+    return {**QUERIES, **QUERIES_EXT}
 
 
 def oracle_sql() -> dict[str, str]:
     from iceberg_ingestion_spark.queries import ORACLES
+    from iceberg_ingestion_spark.queries_ext import ORACLES_EXT
 
-    return dict(ORACLES)
+    return {**ORACLES, **ORACLES_EXT}

@@ -17,9 +17,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    from iceberg_ingestion_spark.queries import QUERIES
+    import __spark_entry__ as entry_mod
     from iceberg_ingestion_spark.session import build_session
 
+    QUERIES = entry_mod.queries()
     spark = build_session(app_name="bench")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))

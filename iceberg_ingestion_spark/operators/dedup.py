@@ -1,0 +1,198 @@
+"""Deduplication operators: exact, fingerprint, n-gram Jaccard, MinHash+LSH,
+SimHash, embedding-cosine near-dup.
+
+Scale design (the point of each variant):
+
+- exact / fingerprint: one hash-groupBy shuffle — the cheap first pass.
+- n-gram Jaccard (exact): shingle inverted-index self-join — exact pair
+  similarities without an O(n²) cross join; cost is bounded by shingle
+  collision counts. The scalable *exact* method.
+- MinHash+LSH: constant-size signatures (double-hashing Kirsch-Mitzenmacher
+  scheme) + banding, so candidate generation is a bucket equi-join whose cost
+  is independent of corpus size; candidates are exactly verified. The 100 TB
+  path: tune (bands, rows) for the target threshold; with b=32, r=4 a 0.9-sim
+  pair is missed with prob (1-0.9^4)^32 ≈ 1e-15.
+- SimHash: 60-bit signature, hamming-distance pairs — near-dup at one BIGINT
+  per doc; at scale, band the signature bits to avoid the quadratic compare.
+- embedding cosine: exact threshold-pairs baseline (block-nested join); the
+  scale path is the LSH variant in similarity.py.
+
+All JVM-side expressions; hashes are md5-derived so the DuckDB oracles compute
+bit-identical values (see text.hex_to_long).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from iceberg_ingestion_spark.operators.text import hex_to_long, tokens
+
+#: MinHash double-hashing modulus (prime < 2^31; h1 + i*h2 stays < 2^63).
+MINHASH_PRIME = 2_147_483_647
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles (space-joined) of lower-cased text."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.size(toks) - k)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)])
+    )
+    return F.array_distinct(grams)
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Exploded (id, shingle) relation — the inverted-index input."""
+    return df.select(
+        F.col(id_col), F.explode(shingles(text_col, k)).alias("shingle")
+    )
+
+
+def exact_dedup(df: DataFrame, subset: list[str]) -> DataFrame:
+    """Exact deduplication on ``subset`` (hash-groupBy; one shuffle)."""
+    return df.dropDuplicates(subset)
+
+
+def duplicate_groups(df: DataFrame, id_col: str, key: Column, min_count: int = 2) -> DataFrame:
+    """Group rows by an exact key (e.g. fingerprint_md5); emit one row per
+    duplicate group with the kept (minimum) id and the group size."""
+    return (
+        df.select(F.col(id_col), key.alias("dedup_key"))
+        .groupBy("dedup_key")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") >= min_count)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via shingle inverted-index self-join.
+
+    intersection from the shingle join, union by |A|+|B|-∩. Returns
+    (id_1, id_2, jaccard) with id_1 < id_2. No cross join: the self-join is an
+    equi-join on the shingle, so cost scales with collision counts, not n².
+    """
+    sh = shingle_table(df, id_col, text_col, k).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on=(F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_1"), F.col("n_shingles").alias("n_1"))
+    sb = sizes.select(F.col(id_col).alias("id_2"), F.col("n_shingles").alias("n_2"))
+    jac = F.col("n_inter") / (F.col("n_1") + F.col("n_2") - F.col("n_inter"))
+    return (
+        inter.join(sa, "id_1")
+        .join(sb, "id_2")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 128,
+) -> DataFrame:
+    """MinHash signatures via double hashing: one md5 per shingle supplies two
+    48-bit halves h1, h2; permutation i uses (h1 + i*h2) mod P. One shuffle
+    (groupBy id) with ``num_hashes`` min-aggregates; signature is an array."""
+    sh = shingle_table(df, id_col, text_col, k)
+    hexh = F.md5(F.col("shingle"))
+    h1 = hex_to_long(hexh, 1, 12) % MINHASH_PRIME
+    h2 = hex_to_long(hexh, 13, 12) % MINHASH_PRIME
+    hashed = sh.select(F.col(id_col), h1.alias("_h1"), h2.alias("_h2"))
+    aggs = [
+        F.min((F.col("_h1") + F.lit(i) * F.col("_h2")) % MINHASH_PRIME).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    sig = hashed.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col), F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("minhash")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+) -> DataFrame:
+    """Near-dup pairs: MinHash banding for candidates, exact Jaccard verify.
+
+    Banding: signature split into ``bands`` bands of ``num_hashes/bands`` rows;
+    docs sharing any band bucket are candidates (bucket equi-join — no n²).
+    Candidates are then verified with the exact shingle Jaccard, so the output
+    contains no false positives; false negatives are the banding miss
+    probability (≈1e-15 for 0.9-similar pairs at 32×4).
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    band_entries = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",", *[F.col("minhash")[b * rows + r].cast("string") for r in range(rows)]
+                        )
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    ca, cb = band_entries.alias("a"), band_entries.alias("b")
+    candidates = (
+        ca.join(
+            cb,
+            on=(F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, id_col, text_col, k, threshold=0.0)
+    return (
+        candidates.join(exact, on=["id_1", "id_2"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", "jaccard")
+    )
+
+
+def simhash_pairs(
+    simhashed: DataFrame, id_col: str, max_hamming: int = 8
+) -> DataFrame:
+    """Pairs of docs whose 60-bit SimHash signatures are within ``max_hamming``.
+
+    Block-nested join at test scale; at 100 TB split the signature into
+    (max_hamming+1) bands and equi-join on band value first (pigeonhole: any
+    pair within the distance shares at least one exact band)."""
+    a = simhashed.select(F.col(id_col).alias("id_1"), F.col("simhash").alias("sh_1"))
+    b = simhashed.select(F.col(id_col).alias("id_2"), F.col("simhash").alias("sh_2"))
+    ham = F.bit_count(F.col("sh_1").bitwiseXOR(F.col("sh_2")))
+    return (
+        a.join(b, F.col("id_1") < F.col("id_2"))
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_1", "id_2", "hamming")
+    )

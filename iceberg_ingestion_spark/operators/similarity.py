@@ -1,0 +1,177 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- :func:`cosine` — explicit left-folded dot product over a fixed dim, so the
+  double arithmetic is bit-identical to the SQL form the oracle runs.
+- :func:`topk_bruteforce` — exact top-k for a query subset: theta-join against
+  the corpus, window rank. The correctness baseline.
+- :func:`topk_lsh` — random-hyperplane LSH: deterministic hash-derived
+  hyperplanes, sign-bit bucket, candidates from a bucket equi-join, exact
+  rerank. The 100 TB path: candidate cost is per-bucket, not per-corpus; add
+  multi-probe (neighboring buckets) to trade recall for cost.
+- :func:`knn_label_vote` — majority-vote classification on top of top-k.
+
+At real scale the corpus side is bucketed/partitioned once and reused across
+query batches; queries broadcast when small.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column, dim: int) -> Column:
+    """Left-associated explicit dot product — identical fold order to the SQL
+    expression ``a[1]*b[1] + a[2]*b[2] + ...`` (bit-identical doubles)."""
+    terms = [F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(dim)]
+    return reduce(lambda acc, t: acc + t, terms)
+
+
+def cosine(a: Column, b: Column, dim: int) -> Column:
+    return dot(a, b, dim) / F.sqrt(dot(a, a, dim) * dot(b, b, dim))
+
+
+def cosine_pairs(
+    df: DataFrame, id_col: str, vec_col: str, dim: int, threshold: float
+) -> DataFrame:
+    """Exact cosine threshold-pairs (near-dup detection on embeddings).
+    Theta self-join baseline; the LSH bucketing below is the scale path."""
+    a = df.select(F.col(id_col).alias("id_1"), as_double(F.col(vec_col)).alias("v1"))
+    b = df.select(F.col(id_col).alias("id_2"), as_double(F.col(vec_col)).alias("v2"))
+    sim = cosine(F.col("v1"), F.col("v2"), dim)
+    return (
+        a.join(b, F.col("id_1") < F.col("id_2"))
+        .withColumn("cosine", sim)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_1", "id_2", "cosine")
+    )
+
+
+def topk_bruteforce(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int,
+    query_filter: Column,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for rows matching ``query_filter``.
+    Deterministic rank: cosine DESC, neighbor id ASC."""
+    q = df.filter(query_filter).select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = df.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nv"))
+    sim = cosine(F.col("qv"), F.col("nv"), dim)
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", sim)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def hyperplanes(num_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic pseudo-random hyperplanes: component (p, d) is an md5-derived
+    integer in [-1000, 1000]. Reproducible everywhere, no RNG state."""
+    planes = []
+    for p in range(num_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"plane{p}_{d}".encode()).hexdigest()[:12], 16)
+            row.append(h % 2001 - 1000)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[int]], dim: int) -> Column:
+    """Sign-bit bucket string: one bit per hyperplane (dot >= 0)."""
+    bits = []
+    for row in planes:
+        terms = [F.element_at(vec, i + 1) * F.lit(float(row[i])) for i in range(dim)]
+        d = reduce(lambda acc, t: acc + t, terms)
+        bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def _flip(bucket: Column, pos: int, num_planes: int) -> Column:
+    """Bucket string with bit ``pos`` flipped (multi-probe neighbor bucket)."""
+    flipped = F.when(F.substring(bucket, pos + 1, 1) == "1", F.lit("0")).otherwise(F.lit("1"))
+    return F.concat(
+        F.substring(bucket, 1, pos),
+        flipped,
+        F.substring(bucket, pos + 2, num_planes - pos - 1),
+    )
+
+
+def topk_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int,
+    query_filter: Column,
+    num_planes: int = 4,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: bucket corpus and queries by hyperplane sign bits,
+    probe the query's own bucket plus every 1-bit-flip neighbor bucket
+    (multi-probe), exact-rerank within candidates.
+
+    Recall < 1 by construction (pytest pins recall vs the exact baseline);
+    tune with ``num_planes`` (fewer -> bigger buckets -> higher recall/cost)
+    and ``multiprobe``. At 100 TB the corpus is bucketed once and reused; the
+    join cost is per-bucket, independent of corpus size."""
+    planes = hyperplanes(num_planes, dim)
+    withb = df.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("v"),
+        lsh_bucket(as_double(F.col(vec_col)), planes, dim).alias("bucket"),
+    )
+    qb = withb.filter(query_filter).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"), *[_flip(F.col("bucket"), p, num_planes) for p in range(num_planes)]
+        )
+        qb = qb.select("query_id", "qv", F.explode(probes).alias("bucket"))
+    c = withb.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("nv"), "bucket")
+    candidates = (
+        F.broadcast(qb)
+        .join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "nv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = candidates.withColumn("cosine", cosine(F.col("qv"), F.col("nv"), dim))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def knn_label_vote(topk: DataFrame, labels: DataFrame, id_col: str, label_col: str) -> DataFrame:
+    """Majority label among a query's top-k neighbors (ties -> smaller label)."""
+    joined = topk.join(
+        labels.select(F.col(id_col).alias("neighbor_id"), F.col(label_col)), "neighbor_id"
+    )
+    counts = joined.groupBy("query_id", label_col).agg(F.count(F.lit(1)).alias("votes"))
+    w = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), F.col(label_col))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col(label_col).alias("predicted_label"))
+    )

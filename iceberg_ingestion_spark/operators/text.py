@@ -1,0 +1,145 @@
+"""Text analysis operators: tokenization, token counting, quality scoring,
+language ID, fingerprinting.
+
+All pure ``pyspark.sql.functions`` expressions — JVM-side, whole-stage-codegen,
+no Python in the hot path. Each has an exactly-equivalent SQL form (used by the
+DuckDB oracles in queries.py); arithmetic is integer counts and double division
+only, so results are bit-identical across engines.
+
+At 100 TB these are embarrassingly parallel map operators: no shuffle, scale
+linearly with input partitions.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword lists for the n-gram/stopword language heuristic.
+#: Order matters: argmax ties resolve in this priority order.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "den", "im", "ein"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"),
+    "zh": ("de", "shi", "zai", "le", "bu", "wo", "you", "ta", "zhe", "zhong"),
+}
+
+#: "BPE-ish" token pattern: runs of word chars, or single non-space symbols —
+#: a cheap proxy for subword tokenizer counts.
+BPE_ISH_PATTERN = r"[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens of lower-cased, trimmed text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_count_ws(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def token_count_bpe_ish(text: Column | str) -> Column:
+    """Count of BPE-ish tokens (word runs + isolated symbols)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def stopword_hits(toks: Column, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    words = LANG_STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hits, 'und' when
+    no stopwords at all. Tie-break follows LANG_STOPWORDS order."""
+    toks = tokens(text)
+    scores = {lang: stopword_hits(toks, lang) for lang in LANG_STOPWORDS}
+    best = F.greatest(*scores.values()) if len(scores) > 1 else next(iter(scores.values()))
+    out = F.lit("und")
+    # build the when-chain in reverse so earlier languages win ties
+    for lang in reversed(list(LANG_STOPWORDS)):
+        out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best == 0, F.lit("und")).otherwise(out)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: char/token counts, mean token length,
+    stopword ratio, alpha ratio, and a composite [0,1] quality score.
+
+    The score formula is arbitrary but deterministic (double arithmetic on
+    integer counts): docs in the sweet spot of length with natural stopword
+    density score high — the usual cheap pre-filter before expensive dedup.
+    """
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_char = F.length(F.col(text_col))
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+    )
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), r"[^a-zA-Z]", ""))
+    stop_hits = stopword_hits(toks, "en")
+    out = (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("n_chars_measured", n_char)
+        .withColumn("mean_token_len", tok_chars / n_tok)
+        .withColumn("stopword_ratio", stop_hits / n_tok)
+        .withColumn("alpha_ratio", alpha_chars / n_char)
+    )
+    length_score = F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0))
+    stop_score = F.least(F.col("stopword_ratio") * F.lit(4.0), F.lit(1.0))
+    return out.withColumn(
+        "quality_score",
+        F.lit(0.4) * length_score + F.lit(0.3) * stop_score + F.lit(0.3) * F.col("alpha_ratio"),
+    )
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lower-cased text —
+    the exact-dedup key that survives formatting noise."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def hex_to_long(hex_col: Column, start: int = 1, length: int = 15) -> Column:
+    """First ``length`` hex chars (≤15 → ≤60 bits, fits BIGINT) as a long.
+    Cross-engine primitive: DuckDB ``('0x' || substr(h, start, length))::BIGINT``
+    produces the identical value."""
+    return F.conv(F.substring(hex_col, start, length), 16, 10).cast("long")
+
+
+def token_hash60(tok: Column) -> Column:
+    """60-bit md5-derived token hash (identical in DuckDB)."""
+    return hex_to_long(F.md5(tok))
+
+
+def simhash60(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """60-bit SimHash over distinct whitespace tokens.
+
+    Classic scheme: each token contributes +1/-1 to each of 60 bit positions
+    according to its 60-bit hash; the signature takes bit i when the sum is
+    positive. Distributed shape: explode tokens -> single groupBy(id) with 60
+    conditional-sum aggregates -> bit reassembly; one shuffle on the id, no UDF.
+    """
+    toked = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("_tok")
+    ).withColumn("_h", token_hash60(F.col("_tok")))
+    aggs = [
+        F.sum(
+            F.when(F.col("_h").bitwiseAND(F.lit(1 << i).cast("long")) != 0, 1).otherwise(-1)
+        ).alias(f"_b{i}")
+        for i in range(60)
+    ]
+    sums = toked.groupBy(id_col).agg(*aggs)
+    sig = reduce(
+        lambda acc, i: acc
+        + F.when(F.col(f"_b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")),
+        range(60),
+        F.lit(0).cast("long"),
+    )
+    return sums.select(F.col(id_col), sig.alias("simhash"))

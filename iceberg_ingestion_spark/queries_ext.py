@@ -1,0 +1,396 @@
+"""Extension queries: LLM-training-data-pipeline operators with DuckDB oracles.
+
+Same cross-engine exactness conventions as queries.py. Hash-heavy operators
+(minhash, simhash, fingerprints) are md5-based so DuckDB computes bit-identical
+values; similarity math is explicit left-folded double arithmetic in both
+engines (see operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_ingestion_spark.operators import dedup, multimodal, sessionize, similarity, text
+from iceberg_ingestion_spark.queries import TS_FMT_SPARK, read_table
+
+EMBED_DIM = 64
+COSINE_THRESHOLD = 0.4
+JACCARD_THRESHOLD = 0.5
+MINHASH_THRESHOLD = 0.8
+SESSION_GAP_US = 8 * 3600 * 1_000_000  # 8 hours in microseconds
+ANN_K = 5
+
+
+def read_events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` as exact microseconds (bigint).
+
+    The driver's parquet stores TIMESTAMP(NANOS), which Spark rejects; read the
+    raw int64 via nanosAsLong and integer-divide to µs (never through double —
+    ns values exceed 2^53). DuckDB side: ``epoch_us(ts)``.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return read_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    ).drop("ts")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count_ws("text").alias("n_tokens_ws"),
+        text.token_count_bpe_ish("text").alias("n_tokens_bpe"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return text.quality_features(d).select(
+        "doc_id", "n_tokens", "mean_token_len", "stopword_ratio", "alpha_ratio",
+        "quality_score",
+    )
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", text.lang_id("text").alias("lang_pred"))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", text.fingerprint_md5("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+def _doubled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ (documents with shifted ids) — a corpus with every doc
+    exactly duplicated, for exact/fingerprint dedup demos."""
+    d = read_table(spark, sf_dir, "documents")
+    shifted = d.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    return d.unionByName(shifted)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on text over the doubled corpus; per-lang survivor counts."""
+    doubled = _doubled_docs(spark, sf_dir)
+    kept = dedup.exact_dedup(doubled.select("text", "lang"), subset=["text"])
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def q_dedup_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint duplicate groups over the doubled corpus: every group keeps
+    the minimum doc_id and reports size 2."""
+    doubled = _doubled_docs(spark, sf_dir)
+    return dedup.duplicate_groups(
+        doubled, "doc_id", text.fingerprint_md5("text"), min_count=2
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, "doc_id", k=3, threshold=JACCARD_THRESHOLD)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, "doc_id", k=3, threshold=MINHASH_THRESHOLD)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return text.simhash60(d, "doc_id")
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs(e, "vec_id", "embedding", EMBED_DIM, COSINE_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    return similarity.topk_bruteforce(
+        e, "vec_id", "embedding", EMBED_DIM, ANN_K, F.col("vec_id") % 50 == 0
+    )
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate variant — no oracle (recall pinned by tests instead)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return similarity.topk_lsh(
+        e, "vec_id", "embedding", EMBED_DIM, ANN_K, F.col("vec_id") % 50 == 0
+    )
+
+
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    topk = similarity.topk_bruteforce(
+        e, "vec_id", "embedding", EMBED_DIM, ANN_K, F.col("vec_id") % 50 == 0
+    )
+    return similarity.knn_label_vote(topk, e, "vec_id", "label")
+
+
+# ---------------------------------------------------------------------------
+# Sessionization
+# ---------------------------------------------------------------------------
+
+def q_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_us(spark, sf_dir)
+    s = sessionize.sessionize(
+        ev, user_col="user_id", ts_col="ts_us", gap_seconds=SESSION_GAP_US
+    )
+    out = s.groupBy("user_id", "session_index").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchases"),
+    )
+    return out.select(
+        "user_id", "session_index", "n_events",
+        F.date_format(F.timestamp_micros(F.col("start_us")), TS_FMT_SPARK + "SSS").alias(
+            "session_start"
+        ),
+        "duration_us", "n_purchases",
+    )
+
+
+def q_sessionize_user_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_us(spark, sf_dir)
+    s = sessionize.sessionize(
+        ev, user_col="user_id", ts_col="ts_us", gap_seconds=SESSION_GAP_US
+    )
+    return s.groupBy("user_id").agg(
+        F.max("session_index").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_errors"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    withbin = multimodal.attach_binary_payload(d)
+    return multimodal.decode_metadata(withbin)
+
+
+# ---------------------------------------------------------------------------
+# Registry + generated oracles
+# ---------------------------------------------------------------------------
+
+QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_token_counts": q_text_token_counts,
+    "text_quality": q_text_quality,
+    "text_lang_id": q_text_lang_id,
+    "text_fingerprint": q_text_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_fingerprint_groups": q_dedup_fingerprint_groups,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "sim_ann_topk_bruteforce": q_ann_topk_bruteforce,
+    "sim_ann_topk_lsh": q_ann_topk_lsh,  # approximate: rows-only check
+    "sim_knn_label_vote": q_knn_label_vote,
+    "sessionize_stats": q_sessionize_stats,
+    "sessionize_user_summary": q_sessionize_user_summary,
+    "multimodal_decode": q_multimodal_decode,
+}
+
+_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+_BPE = r"regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]')"
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+def _stop_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in text.LANG_STOPWORDS[lang])
+    return f"len(list_filter({_TOKS}, _t -> _t IN ({words})))"
+
+
+def _lang_case_sql() -> str:
+    langs = list(text.LANG_STOPWORDS)
+    scores = {lang: _stop_hits_sql(lang) for lang in langs}
+    best = f"greatest({', '.join(scores.values())})"
+    whens = "\n".join(
+        f"WHEN {scores[lang]} >= {best} THEN '{lang}'" for lang in langs
+    )
+    return f"CASE WHEN {best} = 0 THEN 'und' {whens} ELSE 'und' END"
+
+
+def _simhash_sql() -> str:
+    sums = ",\n".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(60)
+    )
+    bits = " + ".join(f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(60))
+    return f"""
+        WITH toked AS (
+            SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
+        ), hashed AS (
+            SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toked
+        ), sums AS (
+            SELECT doc_id, {sums} FROM hashed GROUP BY doc_id
+        )
+        SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM sums
+    """
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(1, EMBED_DIM + 1)
+    )
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return f"({_dot_sql(a, b)}) / sqrt(({_dot_sql(a, a)}) * ({_dot_sql(b, b)}))"
+
+
+_JACCARD_CTE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (
+    SELECT doc_id,
+           list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS ss
+    FROM toks
+),
+ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+inter AS (
+    SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS n_inter
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+jac AS (
+    SELECT id_1, id_2, n_inter * 1.0 / (la.c + lb.c - n_inter) AS jaccard
+    FROM inter
+    JOIN (SELECT doc_id, len(ss) AS c FROM sh) la ON la.doc_id = id_1
+    JOIN (SELECT doc_id, len(ss) AS c FROM sh) lb ON lb.doc_id = id_2
+)
+"""
+
+_SESSION_CTE = """
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+flagged AS (
+    SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                        OR ts_us - lag(ts_us) OVER w > {gap} THEN 1 ELSE 0 END AS is_start
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sessioned AS (
+    SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_index
+    FROM flagged
+)
+""".format(gap=SESSION_GAP_US)
+
+
+ORACLES_EXT: dict[str, str] = {
+    "text_token_counts": f"""
+        SELECT doc_id, len({_TOKS}) AS n_tokens_ws, len({_BPE}) AS n_tokens_bpe
+        FROM documents
+    """,
+    "text_quality": f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS toks, length(text) AS n_char,
+                   length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars,
+                   {_stop_hits_sql('en')} AS stop_hits
+            FROM documents
+        ), feats AS (
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   list_sum(list_transform(toks, _t -> length(_t))) * 1.0 / len(toks) AS mean_token_len,
+                   stop_hits * 1.0 / len(toks) AS stopword_ratio,
+                   alpha_chars * 1.0 / n_char AS alpha_ratio
+            FROM t
+        )
+        SELECT doc_id, n_tokens, mean_token_len, stopword_ratio, alpha_ratio,
+               0.4 * least(n_tokens / 50.0, 1.0) + 0.3 * least(stopword_ratio * 4.0, 1.0)
+                   + 0.3 * alpha_ratio AS quality_score
+        FROM feats
+    """,
+    "text_lang_id": f"SELECT doc_id, lang, {_lang_case_sql()} AS lang_pred FROM documents",
+    "text_fingerprint": f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
+    "dedup_exact": """
+        WITH doubled AS (
+            SELECT text, lang FROM documents
+            UNION ALL SELECT text, lang FROM documents
+        )
+        SELECT lang, count(*) AS n_docs FROM (SELECT DISTINCT text, lang FROM doubled)
+        GROUP BY lang
+    """,
+    "dedup_fingerprint_groups": f"""
+        WITH doubled AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        )
+        SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS dedup_key,
+               min(doc_id) AS keep_id, count(*) AS dup_count
+        FROM doubled GROUP BY 1 HAVING count(*) >= 2
+    """,
+    "dedup_ngram_jaccard": _JACCARD_CTE
+    + f"SELECT id_1, id_2, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}",
+    # LSH banding at 32x4 misses a >=0.9-similar pair with prob ~1e-15 and the
+    # candidates are exactly verified, so the oracle is the exact pair set.
+    "dedup_minhash_lsh": _JACCARD_CTE
+    + f"SELECT id_1, id_2, jaccard FROM jac WHERE jaccard >= {MINHASH_THRESHOLD}",
+    "dedup_simhash": _simhash_sql(),
+    "dedup_embedding_cosine": f"""
+        SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+               {_cosine_sql('a.embedding', 'b.embedding')} AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= {COSINE_THRESHOLD}
+    """,
+    "sim_ann_topk_bruteforce": f"""
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY {_cosine_sql('q.embedding', 'c.embedding')} DESC, c.vec_id) AS rank,
+               {_cosine_sql('q.embedding', 'c.embedding')} AS cosine
+        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        WHERE q.vec_id % 50 = 0
+        QUALIFY rank <= {ANN_K}
+    """,
+    "sim_knn_label_vote": f"""
+        WITH topk AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY {_cosine_sql('q.embedding', 'c.embedding')} DESC, c.vec_id) AS rank
+            FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+            WHERE q.vec_id % 50 = 0
+            QUALIFY rank <= {ANN_K}
+        ), votes AS (
+            SELECT query_id, label, count(*) AS votes FROM topk GROUP BY 1, 2
+        )
+        SELECT query_id, label AS predicted_label FROM votes
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY votes DESC, label) = 1
+    """,
+    "sessionize_stats": _SESSION_CTE + """
+        SELECT user_id, session_index, count(*) AS n_events,
+               strftime(make_timestamp(min(ts_us)), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+               max(ts_us) - min(ts_us) AS duration_us,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
+        FROM sessioned GROUP BY user_id, session_index
+    """,
+    "sessionize_user_summary": _SESSION_CTE + """
+        SELECT user_id, max(session_index) AS n_sessions, count(*) AS n_events,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+        FROM sessioned GROUP BY user_id
+    """,
+    "multimodal_decode": """
+        SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5,
+               1 + ascii(substr(text, 1, 1)) AS fake_width,
+               1 + ascii(substr(text, length(text), 1)) AS fake_height
+        FROM documents
+    """,
+}
