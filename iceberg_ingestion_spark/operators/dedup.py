@@ -171,9 +171,18 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, id_col, text_col, k, threshold=0.0)
+    # Exact verification on the CANDIDATES ONLY (not the full corpus): join the
+    # shingle arrays to each side and intersect per pair — candidate count is
+    # banding-bounded, so this stays cheap while removing all false positives.
+    sets_ = df.select(F.col(id_col), shingles(text_col, k).alias("ss"))
+    s1 = sets_.select(F.col(id_col).alias("id_1"), F.col("ss").alias("ss_1"))
+    s2 = sets_.select(F.col(id_col).alias("id_2"), F.col("ss").alias("ss_2"))
+    n_inter = F.size(F.array_intersect(F.col("ss_1"), F.col("ss_2")))
+    jac = n_inter / (F.size(F.col("ss_1")) + F.size(F.col("ss_2")) - n_inter)
     return (
-        candidates.join(exact, on=["id_1", "id_2"])
+        candidates.join(s1, "id_1")
+        .join(s2, "id_2")
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_1", "id_2", "jaccard")
     )

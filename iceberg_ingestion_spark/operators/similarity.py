@@ -38,14 +38,26 @@ def cosine(a: Column, b: Column, dim: int) -> Column:
     return dot(a, b, dim) / F.sqrt(dot(a, a, dim) * dot(b, b, dim))
 
 
+def with_self_dot(df: DataFrame, id_col: str, vec_col: str, dim: int) -> DataFrame:
+    """(id, v double[], norm2) — the self dot product computed ONCE per vector
+    instead of once per pair (the n² side of any pairwise op). Bit-identical to
+    the inline form since the fold order is unchanged."""
+    v = as_double(F.col(vec_col))
+    return df.select(
+        F.col(id_col), v.alias("v"), dot(v, v, dim).alias("norm2")
+    )
+
+
 def cosine_pairs(
     df: DataFrame, id_col: str, vec_col: str, dim: int, threshold: float
 ) -> DataFrame:
     """Exact cosine threshold-pairs (near-dup detection on embeddings).
-    Theta self-join baseline; the LSH bucketing below is the scale path."""
-    a = df.select(F.col(id_col).alias("id_1"), as_double(F.col(vec_col)).alias("v1"))
-    b = df.select(F.col(id_col).alias("id_2"), as_double(F.col(vec_col)).alias("v2"))
-    sim = cosine(F.col("v1"), F.col("v2"), dim)
+    Theta self-join baseline with precomputed norms; the LSH bucketing below is
+    the scale path."""
+    pre = with_self_dot(df, id_col, vec_col, dim)
+    a = pre.select(F.col(id_col).alias("id_1"), F.col("v").alias("v1"), F.col("norm2").alias("n1"))
+    b = pre.select(F.col(id_col).alias("id_2"), F.col("v").alias("v2"), F.col("norm2").alias("n2"))
+    sim = dot(F.col("v1"), F.col("v2"), dim) / F.sqrt(F.col("n1") * F.col("n2"))
     return (
         a.join(b, F.col("id_1") < F.col("id_2"))
         .withColumn("cosine", sim)
@@ -64,11 +76,14 @@ def topk_bruteforce(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for rows matching ``query_filter``.
     Deterministic rank: cosine DESC, neighbor id ASC."""
-    q = df.filter(query_filter).select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    pre = with_self_dot(df, id_col, vec_col, dim)
+    q = pre.filter(query_filter).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("norm2").alias("qn")
     )
-    c = df.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nv"))
-    sim = cosine(F.col("qv"), F.col("nv"), dim)
+    c = pre.select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("nv"), F.col("norm2").alias("nn")
+    )
+    sim = dot(F.col("qv"), F.col("nv"), dim) / F.sqrt(F.col("qn") * F.col("nn"))
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
@@ -134,27 +149,32 @@ def topk_lsh(
     and ``multiprobe``. At 100 TB the corpus is bucketed once and reused; the
     join cost is per-bucket, independent of corpus size."""
     planes = hyperplanes(num_planes, dim)
-    withb = df.select(
-        F.col(id_col), as_double(F.col(vec_col)).alias("v"),
-        lsh_bucket(as_double(F.col(vec_col)), planes, dim).alias("bucket"),
+    withb = with_self_dot(df, id_col, vec_col, dim).withColumn(
+        "bucket", lsh_bucket(F.col("v"), planes, dim)
     )
     qb = withb.filter(query_filter).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "bucket"
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
+        F.col("norm2").alias("qn"), "bucket",
     )
     if multiprobe:
         probes = F.array(
             F.col("bucket"), *[_flip(F.col("bucket"), p, num_planes) for p in range(num_planes)]
         )
-        qb = qb.select("query_id", "qv", F.explode(probes).alias("bucket"))
-    c = withb.select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("nv"), "bucket")
+        qb = qb.select("query_id", "qv", "qn", F.explode(probes).alias("bucket"))
+    c = withb.select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("nv"),
+        F.col("norm2").alias("nn"), "bucket",
+    )
     candidates = (
         F.broadcast(qb)
         .join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qv", "neighbor_id", "nv")
+        .select("query_id", "qv", "qn", "neighbor_id", "nv", "nn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = candidates.withColumn("cosine", cosine(F.col("qv"), F.col("nv"), dim))
+    scored = candidates.withColumn(
+        "cosine", dot(F.col("qv"), F.col("nv"), dim) / F.sqrt(F.col("qn") * F.col("nn"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
