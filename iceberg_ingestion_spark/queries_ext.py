@@ -113,7 +113,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_pairs(e, "vec_id", "embedding", EMBED_DIM, COSINE_THRESHOLD)
+    return similarity.cosine_pairs_blocked(
+        e, "vec_id", "embedding", EMBED_DIM, COSINE_THRESHOLD
+    )
 
 
 # ---------------------------------------------------------------------------
