@@ -142,7 +142,22 @@ def minhash_lsh_pairs(
     probability (≈1e-15 for 0.9-similar pairs at 32×4).
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    # One shingling pass feeds BOTH the signature aggregation and the exact
+    # verification arrays (shingling is the expensive interpreted expression;
+    # everything downstream is codegen-friendly arithmetic).
+    sets_ = df.select(F.col(id_col), shingles(text_col, k).alias("ss")).cache()
+    sh = sets_.select(F.col(id_col), F.explode("ss").alias("shingle"))
+    hexh = F.md5(F.col("shingle"))
+    h1 = hex_to_long(hexh, 1, 12) % MINHASH_PRIME
+    h2 = hex_to_long(hexh, 13, 12) % MINHASH_PRIME
+    hashed = sh.select(F.col(id_col), h1.alias("_h1"), h2.alias("_h2"))
+    aggs = [
+        F.min((F.col("_h1") + F.lit(i) * F.col("_h2")) % MINHASH_PRIME).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    sig = hashed.groupBy(id_col).agg(*aggs).select(
+        F.col(id_col), F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("minhash")
+    )
     band_entries = sig.select(
         F.col(id_col),
         F.explode(
@@ -172,9 +187,8 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # Exact verification on the CANDIDATES ONLY (not the full corpus): join the
-    # shingle arrays to each side and intersect per pair — candidate count is
-    # banding-bounded, so this stays cheap while removing all false positives.
-    sets_ = df.select(F.col(id_col), shingles(text_col, k).alias("ss"))
+    # cached shingle arrays to each side and intersect per pair — candidate
+    # count is banding-bounded, so this stays cheap with no false positives.
     s1 = sets_.select(F.col(id_col).alias("id_1"), F.col("ss").alias("ss_1"))
     s2 = sets_.select(F.col(id_col).alias("id_2"), F.col("ss").alias("ss_2"))
     n_inter = F.size(F.array_intersect(F.col("ss_1"), F.col("ss_2")))

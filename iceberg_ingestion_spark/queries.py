@@ -45,8 +45,21 @@ ORDERS_SPEC = ChangeSpec(natural_keys=("o_orderkey",), updated_at_fields=("o_ord
 INGESTION_TS = "2026-08-13 02:00:00"
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Read one testdata table. ``spread=True`` repartitions to the session's
+    parallelism straight off the scan: the driver's parquet is a single row
+    group, so without it every expression evaluated at the scan (shingling,
+    hashing, vector folds) runs on ONE core. At real scale the scan yields
+    thousands of splits and the repartition is a cheap narrow shuffle that
+    guarantees compute-heavy projections never under-parallelize."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if spread:
+        from iceberg_ingestion_spark.session import default_parallelism
+
+        df = df.repartition(default_parallelism())
+    return df
 
 
 def _fmt_ts(df: DataFrame, *cols: str) -> DataFrame:

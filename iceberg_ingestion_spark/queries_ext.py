@@ -42,7 +42,7 @@ def read_events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
+    d = read_table(spark, sf_dir, "documents", spread=True)
     return d.select(
         "doc_id",
         text.token_count_ws("text").alias("n_tokens_ws"),
@@ -51,7 +51,7 @@ def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
+    d = read_table(spark, sf_dir, "documents", spread=True)
     return text.quality_features(d).select(
         "doc_id", "n_tokens", "mean_token_len", "stopword_ratio", "alpha_ratio",
         "quality_score",
@@ -59,12 +59,12 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
+    d = read_table(spark, sf_dir, "documents", spread=True)
     return d.select("doc_id", "lang", text.lang_id("text").alias("lang_pred"))
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
+    d = read_table(spark, sf_dir, "documents", spread=True)
     return d.select("doc_id", text.fingerprint_md5("text").alias("fingerprint"))
 
 
@@ -75,7 +75,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _doubled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ (documents with shifted ids) — a corpus with every doc
     exactly duplicated, for exact/fingerprint dedup demos."""
-    d = read_table(spark, sf_dir, "documents")
+    d = read_table(spark, sf_dir, "documents", spread=True)
     shifted = d.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
     return d.unionByName(shifted)
 
@@ -97,22 +97,22 @@ def q_dedup_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
+    d = read_table(spark, sf_dir, "documents", spread=True)
     return dedup.ngram_jaccard_pairs(d, "doc_id", k=3, threshold=JACCARD_THRESHOLD)
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
+    d = read_table(spark, sf_dir, "documents", spread=True)
     return dedup.minhash_lsh_pairs(d, "doc_id", k=3, threshold=MINHASH_THRESHOLD)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
+    d = read_table(spark, sf_dir, "documents", spread=True)
     return text.simhash60(d, "doc_id")
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = read_table(spark, sf_dir, "embeddings")
+    e = read_table(spark, sf_dir, "embeddings", spread=True)
     return similarity.cosine_pairs_blocked(
         e, "vec_id", "embedding", EMBED_DIM, COSINE_THRESHOLD
     )
@@ -123,7 +123,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = read_table(spark, sf_dir, "embeddings")
+    e = read_table(spark, sf_dir, "embeddings", spread=True)
     return similarity.topk_bruteforce(
         e, "vec_id", "embedding", EMBED_DIM, ANN_K, F.col("vec_id") % 50 == 0
     )
@@ -131,14 +131,14 @@ def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate variant — no oracle (recall pinned by tests instead)."""
-    e = read_table(spark, sf_dir, "embeddings")
+    e = read_table(spark, sf_dir, "embeddings", spread=True)
     return similarity.topk_lsh(
         e, "vec_id", "embedding", EMBED_DIM, ANN_K, F.col("vec_id") % 50 == 0
     )
 
 
 def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = read_table(spark, sf_dir, "embeddings")
+    e = read_table(spark, sf_dir, "embeddings", spread=True)
     topk = similarity.topk_bruteforce(
         e, "vec_id", "embedding", EMBED_DIM, ANN_K, F.col("vec_id") % 50 == 0
     )
@@ -187,7 +187,7 @@ def q_sessionize_user_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
+    d = read_table(spark, sf_dir, "documents", spread=True)
     withbin = multimodal.attach_binary_payload(d)
     return multimodal.decode_metadata(withbin)
 

@@ -50,6 +50,10 @@ def build_session(
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # reference spark.py:94 — legacy parquet dates.
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+        # Split even single small files across the cluster: scans are sized by
+        # maxPartitionBytes at 100 TB, but a sub-128MB file must not serialize
+        # expression-heavy work (shingling, hashing) onto one core.
+        .config("spark.sql.files.minPartitionNum", str(cpus))
         # Arrow transfer for the Pandas-UDF operator surface.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
