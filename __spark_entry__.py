@@ -43,13 +43,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from iceberg_ingestion_spark.queries import QUERIES
+    from iceberg_ingestion_spark.queries_analytics import QUERIES_ANALYTICS
     from iceberg_ingestion_spark.queries_ext import QUERIES_EXT
 
-    return {**QUERIES, **QUERIES_EXT}
+    return {**QUERIES, **QUERIES_ANALYTICS, **QUERIES_EXT}
 
 
 def oracle_sql() -> dict[str, str]:
     from iceberg_ingestion_spark.queries import ORACLES
+    from iceberg_ingestion_spark.queries_analytics import ORACLES_ANALYTICS
     from iceberg_ingestion_spark.queries_ext import ORACLES_EXT
 
-    return {**ORACLES, **ORACLES_EXT}
+    return {**ORACLES, **ORACLES_ANALYTICS, **ORACLES_EXT}
