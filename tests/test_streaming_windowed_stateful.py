@@ -1,0 +1,147 @@
+"""Watermarked windowed aggregation (append finalization, late-drop) and the
+applyInPandasWithState streaming sessionizer (exactly-once closed sessions,
+state carried across micro-batches)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from iceberg_ingestion_spark.streaming.stateful import sessionize_stream
+from iceberg_ingestion_spark.streaming.windowed import windowed_event_stats
+
+EV_DDL = "ts timestamp, event_type string, value double"
+US_DDL = "user_id long, ts_us long"
+HOUR_US = 3600 * 1_000_000
+
+
+def _drop(spark, path, ddl, rows):
+    spark.createDataFrame(rows, ddl).coalesce(1).write.mode("append").parquet(path)
+
+
+def _drain(spark, input_dir, ddl, out_dir, ckpt, transform):
+    schema = spark.createDataFrame([], ddl).schema
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    q = (
+        transform(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def _ts(s):
+    import datetime
+
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_windowed_stats_finalize_and_late_drop(spark, tmp_path):
+    input_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    os.makedirs(input_dir)
+    tf = lambda st: windowed_event_stats(st, "ts", "1 hour", "2 hours")
+
+    # batch 1: events in the 10:00 and 11:00 windows; watermark -> 09:00
+    _drop(spark, input_dir, EV_DDL, [
+        (_ts("2026-01-01 10:10:00"), "click", 1.0),
+        (_ts("2026-01-01 10:40:00"), "click", 2.0),
+        (_ts("2026-01-01 11:05:00"), "view", 5.0),
+    ])
+    _drain(spark, input_dir, EV_DDL, out_dir, ckpt, tf)
+
+    # batch 2: event at 14:00 pushes the watermark to 12:00 -> both earlier
+    # windows finalize; a too-late event (08:30 < watermark 09:00 from batch 1)
+    # is dropped entirely.
+    _drop(spark, input_dir, EV_DDL, [
+        (_ts("2026-01-01 14:00:00"), "click", 1.0),
+        (_ts("2026-01-01 08:30:00"), "click", 99.0),
+    ])
+    _drain(spark, input_dir, EV_DDL, out_dir, ckpt, tf)
+
+    got = {
+        (r.window_start.isoformat(), r.event_type): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got[("2026-01-01T10:00:00", "click")] == (2, 3.0)
+    assert got[("2026-01-01T11:00:00", "view")] == (1, 5.0)
+    # late 08:30 event was dropped, not added to a new 08:00 window
+    assert not any(k[0] == "2026-01-01T08:00:00" for k in got)
+
+
+def test_sessionize_stream_closes_on_gap_across_batches(spark, tmp_path):
+    input_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    os.makedirs(input_dir)
+    tf = lambda st: sessionize_stream(st, gap_us=8 * HOUR_US)
+
+    # batch 1: user 1 has two events 1h apart (one open session); user 2 has
+    # two events 20h apart -> first session closes within the batch.
+    _drop(spark, input_dir, US_DDL, [
+        (1, 0), (1, HOUR_US),
+        (2, 0), (2, 20 * HOUR_US),
+    ])
+    _drain(spark, input_dir, US_DDL, out_dir, ckpt, tf)
+    got = {
+        (r.user_id, r.session_start_us): (r.session_end_us, r.n_events)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {(2, 0): (0, 1)}
+
+    # batch 2: user 1 events at +30h close the session carried in state
+    # (2 events, ended at 1h); user 2's open session (started 20h) stays open.
+    _drop(spark, input_dir, US_DDL, [(1, 30 * HOUR_US), (1, 31 * HOUR_US)])
+    _drain(spark, input_dir, US_DDL, out_dir, ckpt, tf)
+    got = {
+        (r.user_id, r.session_start_us): (r.session_end_us, r.n_events)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {(2, 0): (0, 1), (1, 0): (HOUR_US, 2)}
+
+
+def test_sessionize_stream_matches_batch_semantics(spark, tmp_path):
+    """Streaming closed sessions == batch sessionizer's non-final sessions."""
+    from iceberg_ingestion_spark.operators.sessionize import sessionize
+
+    input_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    os.makedirs(input_dir)
+    rows = [
+        (u, int(t * HOUR_US))
+        for u in range(1, 6)
+        for t in [0, 1, 2, 12, 13, 30, 30.5, 55]
+    ]
+    _drop(spark, input_dir, US_DDL, rows)
+    _drain(spark, input_dir, US_DDL, out_dir, ckpt,
+           lambda st: sessionize_stream(st, gap_us=8 * HOUR_US))
+
+    batch = sessionize(
+        spark.createDataFrame(rows, US_DDL),
+        "user_id",
+        "ts_us",
+        order_tiebreak="ts_us",
+        gap_seconds=8 * HOUR_US,
+    )
+    bs = (
+        batch.groupBy("user_id", "session_index")
+        .agg(
+            F.min("ts_us").alias("s"),
+            F.max("ts_us").alias("e"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    # drop each user's last (still-open) session from the batch view
+    w_last = bs.groupBy("user_id").agg(F.max("session_index").alias("last_idx"))
+    closed_batch = {
+        (r.user_id, r.s): (r.e, r.n)
+        for r in bs.join(w_last, "user_id")
+        .filter(F.col("session_index") != F.col("last_idx"))
+        .collect()
+    }
+    got = {
+        (r.user_id, r.session_start_us): (r.session_end_us, r.n_events)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == closed_batch
