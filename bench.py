@@ -22,6 +22,13 @@ def main() -> int:
 
     QUERIES = entry_mod.queries()
     spark = build_session(app_name="bench")
+
+    # Warm-up (untimed, standard bench practice): first-use JVM codegen paths
+    # and Python/Arrow worker spawn are one-time process costs, not query cost.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    spark.range(10_000).repartition(64).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:

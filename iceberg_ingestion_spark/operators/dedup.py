@@ -49,6 +49,38 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str = "text", k: int = 3
     )
 
 
+def shingle_sets(df: DataFrame, id_col: str, text_col: str = "text", k: int = 3) -> DataFrame:
+    """(id, ss: array<string>) — per-doc distinct shingle arrays, computed in a
+    pandas kernel. Semantically identical to :func:`shingles` (same tokenizer:
+    ``\\s+`` split of trimmed lower-cased text; same first-occurrence dedup)
+    but ~an order of magnitude faster: Catalyst evaluates higher-order lambda
+    expressions interpreted per array element, while the kernel is plain Python
+    string ops over Arrow batches. Shingling is the hot leaf under every
+    Jaccard/MinHash op, so this is the one text expression worth the UDF."""
+    import re
+
+    ws = re.compile(r"\s+")
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ss = [
+                list(
+                    dict.fromkeys(
+                        " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+                    )
+                )
+                for toks in (ws.split(t.strip().lower()) for t in pdf[text_col])
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "ss": ss})
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, schema=f"{id_col} {id_type}, ss array<string>"
+    )
+
+
 def exact_dedup(df: DataFrame, subset: list[str]) -> DataFrame:
     """Exact deduplication on ``subset`` (hash-groupBy; one shuffle)."""
     return df.dropDuplicates(subset)
@@ -78,8 +110,9 @@ def ngram_jaccard_pairs(
     (id_1, id_2, jaccard) with id_1 < id_2. No cross join: the self-join is an
     equi-join on the shingle, so cost scales with collision counts, not n².
     """
-    sh = shingle_table(df, id_col, text_col, k).cache()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    sets_ = shingle_sets(df, id_col, text_col, k).cache()
+    sh = sets_.select(F.col(id_col), F.explode("ss").alias("shingle"))
+    sizes = sets_.select(F.col(id_col), F.size("ss").alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, on=(F.col("a.shingle") == F.col("b.shingle"))
@@ -124,6 +157,48 @@ def minhash_signatures(
     )
 
 
+def minhash_band_entries(
+    sets_: DataFrame, id_col: str, num_hashes: int = 128, bands: int = 32
+) -> DataFrame:
+    """(id, band, bucket) LSH band entries from (id, ss) shingle arrays.
+
+    Pandas kernel computing, per doc, the same values as the expression form in
+    :func:`minhash_signatures`: md5 per shingle split into two 48-bit halves
+    (mod :data:`MINHASH_PRIME`), permutation ``i`` hashed as ``(h1 + i*h2) % P``
+    (Kirsch-Mitzenmacher), per-band bucket = md5 of the comma-joined signature
+    slice. The per-shingle × per-permutation min is one vectorized numpy matrix
+    per doc instead of ``num_hashes`` interpreted aggregate expressions —
+    identical output, an order of magnitude cheaper. No shuffle at all: the
+    signature never materializes as a Spark aggregation."""
+    import hashlib
+
+    rows = num_hashes // bands
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        idx = np.arange(num_hashes, dtype=np.int64)
+        for pdf in batches:
+            out_id, out_band, out_bucket = [], [], []
+            for doc_id, ss in zip(pdf[id_col], pdf["ss"]):
+                if len(ss) == 0:
+                    continue
+                hexes = [hashlib.md5(s.encode()).hexdigest() for s in ss]
+                h1 = np.array([int(h[:12], 16) for h in hexes], dtype=np.int64) % MINHASH_PRIME
+                h2 = np.array([int(h[12:24], 16) for h in hexes], dtype=np.int64) % MINHASH_PRIME
+                sig = ((h1[:, None] + idx[None, :] * h2[:, None]) % MINHASH_PRIME).min(axis=0)
+                for b in range(bands):
+                    chunk = ",".join(str(v) for v in sig[b * rows : (b + 1) * rows])
+                    out_id.append(doc_id)
+                    out_band.append(b)
+                    out_bucket.append(hashlib.md5(chunk.encode()).hexdigest())
+            yield pd.DataFrame({id_col: out_id, "band": out_band, "bucket": out_bucket})
+
+    id_type = dict(sets_.dtypes)[id_col]
+    return sets_.mapInPandas(kernel, schema=f"{id_col} {id_type}, band int, bucket string")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -141,39 +216,10 @@ def minhash_lsh_pairs(
     contains no false positives; false negatives are the banding miss
     probability (≈1e-15 for 0.9-similar pairs at 32×4).
     """
-    rows = num_hashes // bands
-    # One shingling pass feeds BOTH the signature aggregation and the exact
-    # verification arrays (shingling is the expensive interpreted expression;
-    # everything downstream is codegen-friendly arithmetic).
-    sets_ = df.select(F.col(id_col), shingles(text_col, k).alias("ss")).cache()
-    sh = sets_.select(F.col(id_col), F.explode("ss").alias("shingle"))
-    hexh = F.md5(F.col("shingle"))
-    h1 = hex_to_long(hexh, 1, 12) % MINHASH_PRIME
-    h2 = hex_to_long(hexh, 13, 12) % MINHASH_PRIME
-    hashed = sh.select(F.col(id_col), h1.alias("_h1"), h2.alias("_h2"))
-    aggs = [
-        F.min((F.col("_h1") + F.lit(i) * F.col("_h2")) % MINHASH_PRIME).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    sig = hashed.groupBy(id_col).agg(*aggs).select(
-        F.col(id_col), F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("minhash")
-    )
-    band_entries = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.md5(
-                        F.concat_ws(
-                            ",", *[F.col("minhash")[b * rows + r].cast("string") for r in range(rows)]
-                        )
-                    ).alias("bucket"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # One pandas shingling pass feeds BOTH the signature/banding kernel and the
+    # exact verification arrays.
+    sets_ = shingle_sets(df, id_col, text_col, k).cache()
+    band_entries = minhash_band_entries(sets_, id_col, num_hashes, bands)
 
     ca, cb = band_entries.alias("a"), band_entries.alias("b")
     candidates = (
