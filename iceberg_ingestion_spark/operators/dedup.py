@@ -32,14 +32,18 @@ from iceberg_ingestion_spark.operators.text import hex_to_long, tokens
 MINHASH_PRIME = 2_147_483_647
 
 
-def shingles(text: Column | str, k: int = 3) -> Column:
-    """Distinct k-word shingles (space-joined) of lower-cased text."""
+def shingles_all(text: Column | str, k: int = 3) -> Column:
+    """All k-word shingles (space-joined, duplicates kept) of lower-cased text."""
     toks = tokens(text)
     idx = F.sequence(F.lit(0), F.size(toks) - k)
-    grams = F.transform(
+    return F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)])
     )
-    return F.array_distinct(grams)
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles (space-joined) of lower-cased text."""
+    return F.array_distinct(shingles_all(text, k))
 
 
 def shingle_table(df: DataFrame, id_col: str, text_col: str = "text", k: int = 3) -> DataFrame:

@@ -61,6 +61,65 @@ def decode_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(_decode, DECODE_SCHEMA)
 
 
+FRAME_SCHEMA = "doc_id long, frame_index int, frame_bytes binary, frame_md5 string"
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    frame_size: int = 32,
+    every_n: int = 4,
+) -> DataFrame:
+    """Sample every ``every_n``-th fixed-size block of the payload as a 'frame'
+    — the one-row-to-many-rows shape of real video frame sampling, with the
+    codec stubbed to byte-block slicing (deterministic; a real pipeline swaps
+    the slicer for a decord/ffmpeg call, the Spark plumbing is unchanged).
+
+    Output partitioning follows the input — frames of one item stay together,
+    so a downstream per-frame model UDF batches well."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames, md5s = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                n_frames = max(1, len(payload) // frame_size)
+                for fi in range(0, n_frames, every_n):
+                    chunk = bytes(payload[fi * frame_size : (fi + 1) * frame_size])
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    frames.append(chunk)
+                    md5s.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_index": pd.array(idxs, dtype="int32"),
+                    "frame_bytes": frames,
+                    "frame_md5": md5s,
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(_sample, FRAME_SCHEMA)
+
+
+def resize_plan(
+    decoded: DataFrame,
+    max_side: int = 128,
+    width_col: str = "fake_width",
+    height_col: str = "fake_height",
+) -> DataFrame:
+    """Aspect-preserving resize targets from decoded dimensions — the metadata
+    half of a resize stage (the pixel op itself belongs in the decode kernel).
+    Pure JVM arithmetic: integer floor scaling, never upscales."""
+    w, h = F.col(width_col), F.col(height_col)
+    long_side = F.greatest(w, h)
+    scale = F.when(long_side > max_side, F.lit(max_side) / long_side).otherwise(F.lit(1.0))
+    return (
+        decoded.withColumn("target_width", F.floor(w * scale).cast("int"))
+        .withColumn("target_height", F.floor(h * scale).cast("int"))
+        .withColumn("resized", long_side > max_side)
+    )
+
+
 def real_decode(payload: bytes) -> dict:
     """Actual image decode — STUB: the container has no image/audio libraries.
 

@@ -106,6 +106,35 @@ def fingerprint_md5(text: Column | str) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
 
 
+#: PII patterns — intersection of Java-regex and RE2 syntax so Spark and the
+#: DuckDB oracles scrub identically. Order matters: URLs first (their paths may
+#: contain digit runs a phone pattern would eat), then emails, then phones.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?\d[\d -]{7,}\d", "<PHONE>"),
+)
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Replace URLs, emails and phone-number-ish digit runs with placeholder
+    tokens — the standard pre-training scrub pass. Pure JVM regexp_replace
+    chain; embarrassingly parallel."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pattern, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, token)
+    return c
+
+
+def repetition_ratio(text: Column | str, k: int = 3) -> Column:
+    """Fraction of repeated k-grams: 1 - distinct/total — high values flag
+    boilerplate/spam documents (cheap quality gate before near-dup)."""
+    from iceberg_ingestion_spark.operators.dedup import shingles_all
+
+    grams = shingles_all(text, k)
+    return F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams)
+
+
 def hex_to_long(hex_col: Column, start: int = 1, length: int = 15) -> Column:
     """First ``length`` hex chars (≤15 → ≤60 bits, fits BIGINT) as a long.
     Cross-engine primitive: DuckDB ``('0x' || substr(h, start, length))::BIGINT``

@@ -68,6 +68,26 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", text.fingerprint_md5("text").alias("fingerprint"))
 
 
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over documents salted with synthetic URL/email/phone per doc
+    (the corpus itself is clean — salting proves the scrub fires)."""
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    salted = F.concat(
+        F.col("text"),
+        F.lit(" see https://ex.com/p/"), F.col("doc_id").cast("string"),
+        F.lit(" mail user"), F.col("doc_id").cast("string"), F.lit("@example.com"),
+        F.lit(" call +12 345 6789 0"),
+    )
+    return d.select("doc_id", text.scrub_pii(salted).alias("scrubbed"))
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    return d.select(
+        "doc_id", text.repetition_ratio("text", k=3).alias("repetition_ratio")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -192,6 +212,21 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_metadata(withbin)
 
 
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (every 4th 32-byte block): one-to-many mapInPandas."""
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    withbin = multimodal.attach_binary_payload(d)
+    return multimodal.frame_sample(withbin).select("doc_id", "frame_index", "frame_md5")
+
+
+def q_multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    decoded = multimodal.decode_metadata(multimodal.attach_binary_payload(d))
+    return multimodal.resize_plan(decoded, max_side=128).select(
+        "doc_id", "fake_width", "fake_height", "target_width", "target_height", "resized"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry + generated oracles
 # ---------------------------------------------------------------------------
@@ -201,6 +236,8 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "text_fingerprint": q_text_fingerprint,
+    "text_pii_scrub": q_text_pii_scrub,
+    "text_repetition": q_text_repetition,
     "dedup_exact": q_dedup_exact,
     "dedup_fingerprint_groups": q_dedup_fingerprint_groups,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -213,6 +250,8 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize_stats": q_sessionize_stats,
     "sessionize_user_summary": q_sessionize_user_summary,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
+    "multimodal_resize_plan": q_multimodal_resize_plan,
 }
 
 _TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
@@ -324,6 +363,29 @@ ORACLES_EXT: dict[str, str] = {
     """,
     "text_lang_id": f"SELECT doc_id, lang, {_lang_case_sql()} AS lang_pred FROM documents",
     "text_fingerprint": f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
+    "text_pii_scrub": """
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           text || ' see https://ex.com/p/' || doc_id
+                                || ' mail user' || doc_id || '@example.com'
+                                || ' call +12 345 6789 0',
+                           'https?://[^\\s]+', '<URL>', 'g'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\\+?\\d[\\d -]{7,}\\d', '<PHONE>', 'g') AS scrubbed
+        FROM documents
+    """,
+    "text_repetition": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        grams AS (
+            SELECT doc_id,
+                   [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)] AS g
+            FROM toks
+        )
+        SELECT doc_id, 1.0 - len(list_distinct(g)) / len(g) AS repetition_ratio
+        FROM grams
+    """,
     "dedup_exact": """
         WITH doubled AS (
             SELECT text, lang FROM documents
@@ -394,5 +456,35 @@ ORACLES_EXT: dict[str, str] = {
                1 + ascii(substr(text, 1, 1)) AS fake_width,
                1 + ascii(substr(text, length(text), 1)) AS fake_height
         FROM documents
+    """,
+    # documents are pure ASCII (verified), so VARCHAR substr/md5 see the same
+    # bytes the pandas kernel slices from the binary payload.
+    "multimodal_frame_sample": """
+        WITH n AS (
+            SELECT doc_id, text, greatest(1, length(text) // 32) AS n_frames
+            FROM documents
+        ), f AS (
+            SELECT doc_id, unnest(range(0, n_frames, 4)) AS fi, text FROM n
+        )
+        SELECT doc_id, CAST(fi AS INT) AS frame_index,
+               md5(substr(text, CAST(fi * 32 + 1 AS BIGINT), 32)) AS frame_md5
+        FROM f
+    """,
+    "multimodal_resize_plan": """
+        WITH d AS (
+            SELECT doc_id,
+                   1 + ascii(substr(text, 1, 1)) AS fake_width,
+                   1 + ascii(substr(text, length(text), 1)) AS fake_height
+            FROM documents
+        )
+        SELECT doc_id, fake_width, fake_height,
+               CAST(floor(fake_width * (CASE WHEN greatest(fake_width, fake_height) > 128
+                    THEN 128 / greatest(fake_width, fake_height) ELSE 1.0 END)) AS INT)
+                    AS target_width,
+               CAST(floor(fake_height * (CASE WHEN greatest(fake_width, fake_height) > 128
+                    THEN 128 / greatest(fake_width, fake_height) ELSE 1.0 END)) AS INT)
+                    AS target_height,
+               greatest(fake_width, fake_height) > 128 AS resized
+        FROM d
     """,
 }

@@ -196,3 +196,58 @@ def test_multimodal_decode_roundtrip(spark):
 def test_real_decode_is_gated(spark):
     with pytest.raises(NotImplementedError):
         multimodal.real_decode(b"\x89PNG")
+
+
+# -- multimodal frame sampling / resize / new text ops ----------------------
+
+def test_frame_sample_blocks_and_stride(spark):
+    from iceberg_ingestion_spark.operators import multimodal
+
+    payload = bytes(range(200))  # 6 full 32-byte frames + remainder
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    rows = {r.frame_index: r for r in multimodal.frame_sample(df).collect()}
+    # 200 // 32 = 6 frames, stride 4 -> indices 0 and 4
+    assert set(rows) == {0, 4}
+    assert bytes(rows[0].frame_bytes) == payload[0:32]
+    assert bytes(rows[4].frame_bytes) == payload[128:160]
+
+
+def test_frame_sample_short_payload_single_frame(spark):
+    from iceberg_ingestion_spark.operators import multimodal
+
+    df = spark.createDataFrame([(1, b"tiny")], "doc_id long, payload binary")
+    rows = multimodal.frame_sample(df).collect()
+    assert len(rows) == 1 and rows[0].frame_index == 0
+    assert bytes(rows[0].frame_bytes) == b"tiny"
+
+
+def test_resize_plan_never_upscales_and_keeps_aspect(spark):
+    from iceberg_ingestion_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [(1, 256, 128), (2, 64, 32)], "doc_id long, fake_width int, fake_height int"
+    )
+    got = {r.doc_id: r for r in multimodal.resize_plan(df, max_side=128).collect()}
+    assert (got[1].target_width, got[1].target_height, got[1].resized) == (128, 64, True)
+    assert (got[2].target_width, got[2].target_height, got[2].resized) == (64, 32, False)
+
+
+def test_scrub_pii_all_three_patterns(spark):
+    df = spark.createDataFrame(
+        [("mail a.b@x.co or visit https://x.co/1?q=2 or call +49 170 123456 now",)],
+        "text string",
+    )
+    got = df.select(text.scrub_pii("text").alias("s")).first().s
+    assert "<EMAIL>" in got and "<URL>" in got and "<PHONE>" in got
+    assert "a.b@x.co" not in got and "https" not in got and "170" not in got
+
+
+def test_repetition_ratio_extremes(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c a b c a b c a b c"), (2, "all words here are unique tokens")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.r for r in df.select(
+        "doc_id", text.repetition_ratio("text").alias("r")).collect()}
+    assert got[1] > 0.5      # heavy 3-gram repetition
+    assert got[2] == 0.0     # no repeated 3-grams
