@@ -142,6 +142,20 @@ class IngestionJob:
         (reference ``iceberg.py:291-301``)."""
         return diff_count(source.drop(INGESTION_DATETIME_COL), self.sink.read(name))
 
+    def export_metadata(self, name: str, out_dir: str) -> None:
+        """S10: write the table's data-file list and manifest pointer as JSON
+        (reference ``salesforce.py:71-77``, ``dmsdatabase1.py:106-112`` — the
+        handoff contract for downstream consumers reading outside the engine).
+        """
+        import os
+
+        self.sink.list_files(name).write.mode("overwrite").json(
+            os.path.join(out_dir, "files")
+        )
+        self.sink.metadata_location(name).write.mode("overwrite").json(
+            os.path.join(out_dir, "manifest")
+        )
+
     def maintain(self, name: str, run_date: datetime | None = None) -> None:
         """Post-run maintenance (reference ``salesforce.py:64-69``,
         ``dmsdatabase1.py:99-104``): expire snapshots + orphan removal every run,

@@ -271,6 +271,108 @@ def q22_inactive_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of PROMO-part revenue into one
+    region, by year. Share = double division of two decimal-exact sums."""
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n_cust = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n_supp = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    dp = _disc_price()
+    vol = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_cust), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_supp), s.s_nationkey == F.col("sn_key"))
+    )
+    return (
+        vol.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", dp)).cast("double").alias("nation_rev"),
+            F.sum(dp).cast("double").alias("total_rev"),
+        )
+        .select(
+            "o_year",
+            (F.coalesce(F.col("nation_rev"), F.lit(0.0)) / F.col("total_rev")).alias("mkt_share"),
+        )
+    )
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per (brand, size) bucket, excluding
+    one brand — the COUNT(DISTINCT) + exclusion-filter pattern (adapted to
+    lineitem as the part-supplier bridge; no partsupp table)."""
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    l = read_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q20_part_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped more than 30% of a part's total
+    1996 volume, for parts matching a name pattern. The correlated 'excess
+    share' subquery becomes a per-part window over the (supplier, part)
+    aggregate — one shuffle, no re-scan."""
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("%blue%"))
+    s = read_table(spark, sf_dir, "supplier")
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    per_sp = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("supp_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    share = per_sp.withColumn("part_qty", F.sum("supp_qty").over(w)).filter(
+        F.col("supp_qty") > F.lit(0.3) * F.col("part_qty")
+    )
+    return (
+        share.join(F.broadcast(s), share.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "l_partkey", "supp_qty", "part_qty")
+    )
+
+
+def q21_single_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: per supplier, the number of multi-supplier orders where
+    that supplier was the ONLY one to ship after the order date. Double
+    correlated EXISTS/NOT EXISTS collapses to one per-order aggregate."""
+    s = read_table(spark, sf_dir, "supplier")
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem")
+    late = F.when(F.col("l_shipdate") > F.col("o_orderdate"), F.col("l_suppkey"))
+    per_order = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(late).alias("n_late_supp"),
+            F.max(late).alias("late_supp"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        per_order.join(F.broadcast(s), per_order.late_supp == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP(region, nation) customer-balance subtotals (grand total included):
     multi-level aggregation in one pass."""
@@ -346,7 +448,11 @@ QUERIES_ANALYTICS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q10_returned_items": q10_returned_items,
     "q13_order_count_distribution": q13_order_count_distribution,
     "q14_promo_revenue": q14_promo_revenue,
+    "q8_market_share": q8_market_share,
     "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q20_part_share_suppliers": q20_part_share_suppliers,
+    "q21_single_late_supplier": q21_single_late_supplier,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q18_large_volume_orders": q18_large_volume_orders,
     "q19_bracketed_revenue": q19_bracketed_revenue,
@@ -429,6 +535,58 @@ ORACLES_ANALYTICS: dict[str, str] = {
                / CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS promo_revenue_pct
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+    "q8_market_share": f"""
+        SELECT year(o_orderdate) AS o_year,
+               coalesce(CAST(SUM(CASE WHEN sn.n_name = 'NATION_3' THEN {_DISC_PRICE} END)
+                             AS DOUBLE), 0.0)
+               / CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS mkt_share
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+        GROUP BY 1
+    """,
+    "q16_supplier_part_counts": """
+        SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+        GROUP BY p_brand, p_size
+    """,
+    "q20_part_share_suppliers": """
+        WITH per_sp AS (
+            SELECT l_suppkey, l_partkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS supp_qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE '%blue%'
+              AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_suppkey, l_partkey
+        ), share AS (
+            SELECT *, SUM(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty FROM per_sp
+        )
+        SELECT s_suppkey, s_name, l_partkey, supp_qty, part_qty
+        FROM share JOIN supplier ON l_suppkey = s_suppkey
+        WHERE supp_qty > 0.3 * part_qty
+    """,
+    "q21_single_late_supplier": """
+        WITH per_order AS (
+            SELECT l_orderkey,
+                   count(DISTINCT l_suppkey) AS n_supp,
+                   count(DISTINCT CASE WHEN l_shipdate > o_orderdate THEN l_suppkey END)
+                       AS n_late_supp,
+                   max(CASE WHEN l_shipdate > o_orderdate THEN l_suppkey END) AS late_supp
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY l_orderkey
+        )
+        SELECT s_suppkey, s_name, count(*) AS numwait
+        FROM per_order JOIN supplier ON late_supp = s_suppkey
+        WHERE n_supp >= 2 AND n_late_supp = 1
+        GROUP BY s_suppkey, s_name
     """,
     "q15_top_supplier": f"""
         WITH rev AS (

@@ -40,6 +40,19 @@ from iceberg_ingestion_spark.model import ChangeSpec, TablePolicy
 SNAPSHOT_LOG = "_snapshots.json"
 
 
+def bucket_partition_ordering(
+    df: DataFrame, cols: list[str], n_buckets: int = 8
+) -> DataFrame:
+    """D1: bucket-partitioned write ordering (reference declares the hook at
+    ``iceberg.py:332-338`` and implements it — commented out — via a JVM
+    ``iceberg_bucket_bigint`` UDF, ``dmsdatabase1.py:79-93``). Here the bucket
+    is plain ``pmod(hash(cols), n)`` — no py4j UDF registration needed — and
+    rows are clustered so each output file covers one bucket: fewer, larger,
+    cluster-aligned files at write time."""
+    b = F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(n_buckets))
+    return df.repartition(n_buckets, b).sortWithinPartitions(b)
+
+
 class TableSink(Protocol):
     def exists(self, name: str) -> bool: ...
     def read(self, name: str) -> DataFrame: ...

@@ -95,3 +95,35 @@ def test_snapshot_log_is_json_with_properties(sink, df):
     assert log["current"] == 1
     assert log["properties"]["write.target-file-size-bytes"] == str(64 * 1024 * 1024)
     assert log["snapshots"][0]["operation"] == "create"
+
+
+def test_export_metadata_writes_json(spark, sink, df, tmp_path):
+    from iceberg_ingestion_spark.jobs import IngestionJob
+    from iceberg_ingestion_spark.model import ChangeSpec
+
+    sink.create(NAME, df, POLICY)
+    job = IngestionJob(sink, ChangeSpec(("id",), ("ts",)))
+    out = str(tmp_path / "export")
+    job.export_metadata(NAME, out)
+    files = spark.read.json(f"{out}/files")
+    assert files.count() >= 1 and "file_path" in files.columns
+    manifest = spark.read.json(f"{out}/manifest")
+    assert manifest.count() == 1
+
+
+def test_bucket_partition_ordering_clusters_rows(spark):
+    from iceberg_ingestion_spark.sinks import bucket_partition_ordering
+
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    out = bucket_partition_ordering(df, ["k"], n_buckets=8)
+    assert out.rdd.getNumPartitions() == 8
+    # within every partition, rows are clustered: bucket values non-decreasing
+    from pyspark.sql import functions as F
+
+    buckets = out.withColumn("b", F.pmod(F.hash("k"), F.lit(8)))
+
+    def _is_sorted(it):
+        vals = [r.b for r in it]
+        yield vals == sorted(vals)
+
+    assert all(buckets.select("b").rdd.mapPartitions(_is_sorted).collect())
