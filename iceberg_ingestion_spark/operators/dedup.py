@@ -85,6 +85,36 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str = "text", k: int = 3)
     )
 
 
+def shingle_counts(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(id, n_grams, n_distinct) — total and distinct k-gram counts per doc,
+    same tokenizer/shingling as :func:`shingle_sets`, one pandas pass (feeds
+    repetition-ratio style quality gates without materializing the arrays)."""
+    import re
+
+    ws = re.compile(r"\s+")
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n_all, n_dist = [], []
+            for t in pdf[text_col]:
+                toks = ws.split(t.strip().lower())
+                grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+                n_all.append(len(grams))
+                n_dist.append(len(set(grams)))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "n_grams": n_all, "n_distinct": n_dist}
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, schema=f"{id_col} {id_type}, n_grams long, n_distinct long"
+    )
+
+
 def exact_dedup(df: DataFrame, subset: list[str]) -> DataFrame:
     """Exact deduplication on ``subset`` (hash-groupBy; one shuffle)."""
     return df.dropDuplicates(subset)

@@ -83,8 +83,10 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", spread=True)
-    return d.select(
-        "doc_id", text.repetition_ratio("text", k=3).alias("repetition_ratio")
+    counts = dedup.shingle_counts(d, "doc_id", "text", k=3)
+    return counts.select(
+        "doc_id",
+        (F.lit(1.0) - F.col("n_distinct") / F.col("n_grams")).alias("repetition_ratio"),
     )
 
 

@@ -145,3 +145,29 @@ def test_sessionize_stream_matches_batch_semantics(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert got == closed_batch
+
+
+def test_exact_dedup_stream_drops_replays(spark, tmp_path):
+    from iceberg_ingestion_spark.streaming.dedup_stream import exact_dedup_stream
+
+    input_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    os.makedirs(input_dir)
+    ddl = "event_id long, ts timestamp, v string"
+    tf = lambda st: exact_dedup_stream(st, ["event_id"], "ts", "1 hour")
+
+    # batch 1 contains an in-batch duplicate of event 1
+    _drop(spark, input_dir, ddl, [
+        (1, _ts("2026-01-01 10:00:00"), "a"),
+        (1, _ts("2026-01-01 10:10:00"), "a-dup"),
+        (2, _ts("2026-01-01 10:20:00"), "b"),
+    ])
+    _drain(spark, input_dir, ddl, out_dir, ckpt, tf)
+    # batch 2 replays event 2 within the watermark horizon and adds event 3
+    _drop(spark, input_dir, ddl, [
+        (2, _ts("2026-01-01 10:25:00"), "b-replay"),
+        (3, _ts("2026-01-01 10:30:00"), "c"),
+    ])
+    _drain(spark, input_dir, ddl, out_dir, ckpt, tf)
+
+    got = sorted((r.event_id, r.v) for r in spark.read.parquet(out_dir).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
