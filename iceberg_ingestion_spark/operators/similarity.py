@@ -154,6 +154,76 @@ def cosine_pairs_blocked(
     return pairs.mapInPandas(kernel, schema="id_1 long, id_2 long, cosine double")
 
 
+def pack_vectors(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    planes: list[list[int]] | None = None,
+) -> DataFrame:
+    """(id, v double[], norm2[, bucket]) in ONE pandas kernel pass.
+
+    norm2 accumulates in ascending dimension order (bit-identical to the SQL
+    left fold — the exactness contract of the oracles); the LSH bucket (when
+    ``planes`` is given) is plain matrix math — buckets only steer candidate
+    generation, so they carry no exactness contract. Replaces a stack of
+    interpreted 64-term Catalyst folds per row with vectorized numpy."""
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        P = np.array(planes, dtype=np.float64).T if planes is not None else None
+        for pdf in batches:
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if len(V) == 0:
+                continue
+            norm2 = V[:, 0] * V[:, 0]
+            for i in range(1, dim):
+                norm2 = norm2 + V[:, i] * V[:, i]
+            out = {id_col: pdf[id_col], "v": list(V), "norm2": norm2}
+            if P is not None:
+                bits = (V @ P) >= 0
+                out["bucket"] = ["".join("1" if b else "0" for b in row) for row in bits]
+            yield pd.DataFrame(out)
+
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, v array<double>, norm2 double"
+    if planes is not None:
+        schema += ", bucket string"
+    return df.select(id_col, vec_col).mapInPandas(kernel, schema=schema)
+
+
+def score_pairs(pairs: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id, cosine) from (query_id, qv, qn, neighbor_id,
+    nv, nn) — ordered-fold pandas kernel, bit-identical to the SQL cosine."""
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.array([np.asarray(v, dtype=np.float64) for v in pdf["qv"]])
+            N = np.array([np.asarray(v, dtype=np.float64) for v in pdf["nv"]])
+            acc = Q[:, 0] * N[:, 0]
+            for i in range(1, Q.shape[1]):
+                acc = acc + Q[:, i] * N[:, i]
+            cos = acc / np.sqrt(pdf["qn"].to_numpy() * pdf["nn"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "cosine": cos,
+                }
+            )
+
+    return pairs.select("query_id", "qv", "qn", "neighbor_id", "nv", "nn").mapInPandas(
+        kernel, schema="query_id long, neighbor_id long, cosine double"
+    )
+
+
 def topk_bruteforce(
     df: DataFrame,
     id_col: str,
@@ -163,20 +233,21 @@ def topk_bruteforce(
     query_filter: Column,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for rows matching ``query_filter``.
-    Deterministic rank: cosine DESC, neighbor id ASC."""
-    pre = with_self_dot(df, id_col, vec_col, dim)
+    Deterministic rank: cosine DESC, neighbor id ASC. Queries broadcast against
+    the packed corpus; scoring is the ordered-fold kernel (bit-exact)."""
+    pre = pack_vectors(df, id_col, vec_col, dim)
     q = pre.filter(query_filter).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("norm2").alias("qn")
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm2").alias("qn"),
     )
     c = pre.select(
-        F.col(id_col).alias("neighbor_id"), F.col("v").alias("nv"), F.col("norm2").alias("nn")
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("norm2").alias("nn"),
     )
-    sim = dot(F.col("qv"), F.col("nv"), dim) / F.sqrt(F.col("qn") * F.col("nn"))
-    scored = (
-        F.broadcast(q)
-        .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", sim)
-    )
+    pairs = F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
+    scored = score_pairs(pairs)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -237,11 +308,9 @@ def topk_lsh(
     and ``multiprobe``. At 100 TB the corpus is bucketed once and reused; the
     join cost is per-bucket, independent of corpus size."""
     planes = hyperplanes(num_planes, dim)
-    withb = with_self_dot(df, id_col, vec_col, dim).withColumn(
-        "bucket", lsh_bucket(F.col("v"), planes, dim)
-    )
+    withb = pack_vectors(df, id_col, vec_col, dim, planes=planes)
     qb = withb.filter(query_filter).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
+        F.col(id_col).cast("long").alias("query_id"), F.col("v").alias("qv"),
         F.col("norm2").alias("qn"), "bucket",
     )
     if multiprobe:
@@ -250,7 +319,7 @@ def topk_lsh(
         )
         qb = qb.select("query_id", "qv", "qn", F.explode(probes).alias("bucket"))
     c = withb.select(
-        F.col(id_col).alias("neighbor_id"), F.col("v").alias("nv"),
+        F.col(id_col).cast("long").alias("neighbor_id"), F.col("v").alias("nv"),
         F.col("norm2").alias("nn"), "bucket",
     )
     candidates = (
@@ -260,9 +329,7 @@ def topk_lsh(
         .select("query_id", "qv", "qn", "neighbor_id", "nv", "nn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = candidates.withColumn(
-        "cosine", dot(F.col("qv"), F.col("nv"), dim) / F.sqrt(F.col("qn") * F.col("nn"))
-    )
+    scored = score_pairs(candidates)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
