@@ -147,14 +147,11 @@ def token_hash60(tok: Column) -> Column:
     return hex_to_long(F.md5(tok))
 
 
-def simhash60(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
-    """60-bit SimHash over distinct whitespace tokens.
-
-    Classic scheme: each token contributes +1/-1 to each of 60 bit positions
-    according to its 60-bit hash; the signature takes bit i when the sum is
-    positive. Distributed shape: explode tokens -> single groupBy(id) with 60
-    conditional-sum aggregates -> bit reassembly; one shuffle on the id, no UDF.
-    """
+def simhash60_agg(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """60-bit SimHash, pure-expression form: explode tokens -> groupBy(id) with
+    60 conditional-sum aggregates -> bit reassembly. Kept as the all-JVM
+    reference implementation; :func:`simhash60` is the kernel form used in the
+    hot path (identical output, no explode/shuffle)."""
     toked = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("_tok")
     ).withColumn("_h", token_hash60(F.col("_tok")))
@@ -172,3 +169,40 @@ def simhash60(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
         F.lit(0).cast("long"),
     )
     return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash60(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """60-bit SimHash over distinct whitespace tokens (classic scheme: each
+    token votes +1/-1 per bit position by its md5-derived 60-bit hash; the
+    signature takes bit i when the vote sum is positive).
+
+    Pandas-kernel form: per doc, one numpy bit-matrix vote — integer math
+    identical to :func:`simhash60_agg` and the DuckDB oracle, with no token
+    explode and no 60-aggregate shuffle (map-only at any scale)."""
+    import re
+
+    ws = re.compile(r"\s+")
+
+    def kernel(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        bit_idx = np.arange(60, dtype=np.int64)
+        for pdf in batches:
+            sigs = []
+            for t in pdf[text_col]:
+                toks = set(ws.split(t.strip().lower()))
+                hs = np.array(
+                    [int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) for tok in toks],
+                    dtype=np.int64,
+                )
+                votes = (((hs[:, None] >> bit_idx[None, :]) & 1) * 2 - 1).sum(axis=0)
+                sigs.append(int(((votes > 0).astype(np.int64) << bit_idx).sum()))
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": sigs})
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, schema=f"{id_col} {id_type}, simhash long"
+    )
