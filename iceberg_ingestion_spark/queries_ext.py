@@ -103,9 +103,12 @@ def _doubled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup on text over the doubled corpus; per-lang survivor counts."""
+    """Exact dedup on (text, lang) over the doubled corpus; per-lang survivor
+    counts. Dedup on text alone would be nondeterministic when the same text
+    occurs under two langs (which happens from sf0.1 up) — the surviving lang
+    would be arbitrary; keying the full projection keeps it well-defined."""
     doubled = _doubled_docs(spark, sf_dir)
-    kept = dedup.exact_dedup(doubled.select("text", "lang"), subset=["text"])
+    kept = dedup.exact_dedup(doubled.select("text", "lang"), subset=["text", "lang"])
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
