@@ -84,9 +84,14 @@ def build_session(
 
 @contextmanager
 def session(**kwargs) -> Iterator[SparkSession]:
-    """Context-managed session (reference ``spark.py:105-109`` guarantees stop())."""
+    """Context-managed session (reference ``spark.py:105-109`` guarantees
+    stop()) — but only stops a session it actually created: ``getOrCreate``
+    returns any live session, and stopping a borrowed one would kill the
+    caller's (e.g. a test harness embedding the CLI)."""
+    existing = SparkSession.getActiveSession()
     spark = build_session(**kwargs)
     try:
         yield spark
     finally:
-        spark.stop()
+        if existing is None or existing is not spark:
+            spark.stop()
