@@ -162,6 +162,15 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF variant — approximate, no oracle (recall pinned by tests)."""
+    e = read_table(spark, sf_dir, "embeddings", spread=True)
+    return similarity.topk_ivf(
+        e, "vec_id", "embedding", EMBED_DIM, ANN_K, F.col("vec_id") % 50 == 0,
+        n_cells=16, nprobe=4,
+    )
+
+
 def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings", spread=True)
     topk = similarity.topk_bruteforce(
@@ -251,6 +260,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "sim_ann_topk_bruteforce": q_ann_topk_bruteforce,
     "sim_ann_topk_lsh": q_ann_topk_lsh,  # approximate: rows-only check
+    "sim_ann_topk_ivf": q_ann_topk_ivf,  # approximate: rows-only check
     "sim_knn_label_vote": q_knn_label_vote,
     "sessionize_stats": q_sessionize_stats,
     "sessionize_user_summary": q_sessionize_user_summary,

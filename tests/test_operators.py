@@ -251,3 +251,20 @@ def test_repetition_ratio_extremes(spark):
         "doc_id", text.repetition_ratio("text").alias("r")).collect()}
     assert got[1] > 0.5      # heavy 3-gram repetition
     assert got[2] == 0.0     # no repeated 3-grams
+
+
+def test_topk_ivf_recall_and_shape(spark, embeddings):
+    """IVF with nprobe=8 of 16 cells scans ~half the corpus per query -> recall
+    well above chance; shape contract identical to the exact path."""
+    exact = similarity.topk_bruteforce(
+        embeddings, "vec_id", "embedding", 64, 5, F.col("vec_id") % 50 == 0
+    )
+    approx = similarity.topk_ivf(
+        embeddings, "vec_id", "embedding", 64, 5, F.col("vec_id") % 50 == 0,
+        n_cells=16, nprobe=8,
+    )
+    rows = approx.collect()
+    assert all(1 <= r.rank <= 5 for r in rows)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(a & e) / len(e) >= 0.5
