@@ -235,7 +235,7 @@ def topk_bruteforce(
     """Exact top-k cosine neighbors for rows matching ``query_filter``.
     Deterministic rank: cosine DESC, neighbor id ASC. Queries broadcast against
     the packed corpus; scoring is the ordered-fold kernel (bit-exact)."""
-    pre = pack_vectors(df, id_col, vec_col, dim)
+    pre = pack_vectors(df, id_col, vec_col, dim).cache()  # one kernel pass, two consumers
     q = pre.filter(query_filter).select(
         F.col(id_col).cast("long").alias("query_id"),
         F.col("v").alias("qv"),
@@ -308,7 +308,7 @@ def topk_lsh(
     and ``multiprobe``. At 100 TB the corpus is bucketed once and reused; the
     join cost is per-bucket, independent of corpus size."""
     planes = hyperplanes(num_planes, dim)
-    withb = pack_vectors(df, id_col, vec_col, dim, planes=planes)
+    withb = pack_vectors(df, id_col, vec_col, dim, planes=planes).cache()
     qb = withb.filter(query_filter).select(
         F.col(id_col).cast("long").alias("query_id"), F.col("v").alias("qv"),
         F.col("norm2").alias("qn"), "bucket",
