@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from iceberg_ingestion_spark.changes import with_soft_delete_flag
 from iceberg_ingestion_spark.model import (
     HARD_DELETED_COL,
+    INGESTION_DATETIME_COL,
     OP_DELETE,
     ChangeSpec,
 )
@@ -81,6 +82,113 @@ def merge_dataframes(
         how="left_anti",
     )
     return untouched.unionByName(applied)
+
+
+def merge_snapshot_fused(
+    target: DataFrame,
+    source: DataFrame,
+    spec: ChangeSpec,
+    options: "MergeOptions" = None,
+    ingestion_ts=None,
+    include_deletes: bool = True,
+    keep_deletes: bool = False,
+    soft_delete_col: str | None = None,
+) -> DataFrame:
+    """Snapshot merge in ONE full-outer join — the at-scale physical strategy.
+
+    ``build_changeset`` + ``merge_dataframes`` is the faithful leg-by-leg
+    composition of the reference (J1 ∪ J2 ∪ J3, then the merge's anti join):
+    four shuffles over the target. This fused form computes the identical final
+    table (bag-equal; pinned by tests across every toggle combination) with a
+    single key-shuffle of each side: full-outer join, then per-row
+    classification — target-only -> delete leg, source-only -> insert leg,
+    both + strictly-newer -> update leg, both otherwise -> untouched.
+
+    Natural keys must be non-null (the reference assumes the same).
+    """
+    from iceberg_ingestion_spark.model import MergeOptions
+
+    options = options or MergeOptions()
+    t, s = target.alias("t"), source.alias("s")
+    key_eq = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in spec.natural_keys]
+    j = t.join(s, on=key_eq, how="full_outer")
+
+    k0 = spec.natural_keys[0]
+    t_present = F.col(f"t.{k0}").isNotNull()
+    s_present = F.col(f"s.{k0}").isNotNull()
+    newer = F.lit(True)
+    for u in spec.updated_at_fields:
+        newer = newer & (F.col(f"s.{u}") > F.col(f"t.{u}"))
+
+    already_deleted = (
+        F.col(f"t.{soft_delete_col}") == F.lit(True)
+        if soft_delete_col and soft_delete_col in target.columns
+        else F.lit(False)
+    )
+    take_source = (s_present & ~t_present & F.lit(options.insert)) | (
+        s_present & t_present & newer & F.lit(options.update)
+    )
+    is_delete = (
+        t_present
+        & ~s_present
+        & F.lit(include_deletes and options.delete)
+        & ~already_deleted
+    )
+    changed = take_source | (is_delete & F.lit(keep_deletes))
+    keep_row = F.when(
+        t_present & ~s_present, ~is_delete | F.lit(keep_deletes)
+    ).when(~t_present, F.lit(options.insert)).otherwise(F.lit(True))
+
+    payload = set(source.columns)
+    out_cols: list = []
+    seen = set()
+    for c in target.columns:
+        seen.add(c)
+        if c == HARD_DELETED_COL and keep_deletes:
+            out_cols.append(
+                F.when(is_delete, F.lit(True))
+                .when(changed, F.lit(False))
+                .otherwise(F.coalesce(F.col(f"t.{c}"), F.lit(False)))
+                .cast("boolean")
+                .alias(c)
+            )
+        elif c in payload:
+            out_cols.append(
+                F.when(take_source, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            )
+        elif c == INGESTION_DATETIME_COL and ingestion_ts is not None:
+            out_cols.append(
+                F.when(changed, F.lit(ingestion_ts).cast("timestamp"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+            )
+        else:
+            # target-only column: the leg path nulls it on changed rows
+            # (change-set carries only the source payload)
+            out_cols.append(
+                F.when(changed, F.lit(None)).otherwise(F.col(f"t.{c}")).alias(c)
+            )
+    for c in source.columns:
+        if c not in seen:
+            out_cols.append(F.when(take_source, F.col(f"s.{c}")).alias(c))
+            seen.add(c)
+    if ingestion_ts is not None and INGESTION_DATETIME_COL not in seen:
+        out_cols.append(
+            F.when(changed, F.lit(ingestion_ts).cast("timestamp")).alias(
+                INGESTION_DATETIME_COL
+            )
+        )
+        seen.add(INGESTION_DATETIME_COL)
+    if keep_deletes and HARD_DELETED_COL not in seen:
+        out_cols.append(
+            F.when(is_delete, F.lit(True))
+            .when(changed, F.lit(False))
+            .otherwise(F.lit(False))
+            .cast("boolean")
+            .alias(HARD_DELETED_COL)
+        )
+
+    return j.filter(keep_row).select(*out_cols)
 
 
 def merge_into_sql(

@@ -146,6 +146,17 @@ def q_snapshot_merge_soft_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _orders_out(merge_dataframes(day1, changes, ORDERS_SPEC, keep_deletes=True))
 
 
+def q_snapshot_merge_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode 3 (full) through the single-pass fused merge (merge.py:
+    merge_snapshot_fused) — one full-outer join instead of four target
+    shuffles; oracle identical to the leg-based form (bag-equal by tests)."""
+    from iceberg_ingestion_spark.merge import merge_snapshot_fused
+
+    orders = read_table(spark, sf_dir, "orders")
+    day1, day2 = fixtures.orders_day1(orders), fixtures.orders_day2(orders)
+    return _orders_out(merge_snapshot_fused(day1, day2, ORDERS_SPEC))
+
+
 def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mode 4: CDC batch -> window dedup -> merge on source op
     (reference iceberg.py:203-244)."""
@@ -291,6 +302,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ingest_snapshot_merge_full": q_snapshot_merge_full,
     "ingest_snapshot_merge_incremental": q_snapshot_merge_incremental,
     "ingest_snapshot_merge_soft_delete": q_snapshot_merge_soft_delete,
+    "ingest_snapshot_merge_fused": q_snapshot_merge_fused,
     "ingest_cdc_merge": q_cdc_merge,
     "ingest_replace": q_replace,
     "ingest_first_load_cdc": q_first_load_cdc,
@@ -303,6 +315,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 _AUDIT_SQL = f"'{INGESTION_TS}.000' AS ingestion_datetime"
+
+ORACLE_MERGE_FULL = fixtures.with_ctes(
+    f"""
+    SELECT {_ORDERS_OUT_SQL} FROM day1 t
+    WHERE EXISTS (SELECT 1 FROM day2 s WHERE s.o_orderkey = t.o_orderkey)
+      AND NOT EXISTS (SELECT 1 FROM day2 s WHERE s.o_orderkey = t.o_orderkey
+                      AND s.o_orderdate > t.o_orderdate)
+    UNION ALL
+    SELECT {_ORDERS_OUT_SQL} FROM day2 s
+    WHERE EXISTS (SELECT 1 FROM day1 t WHERE t.o_orderkey = s.o_orderkey
+                  AND s.o_orderdate > t.o_orderdate)
+    UNION ALL
+    SELECT {_ORDERS_OUT_SQL} FROM day2 s
+    WHERE NOT EXISTS (SELECT 1 FROM day1 t WHERE t.o_orderkey = s.o_orderkey)
+    """
+)
 
 ORACLES: dict[str, str] = {
     "ingest_detect_inserts": fixtures.with_ctes(
@@ -322,21 +350,7 @@ ORACLES: dict[str, str] = {
         f"SELECT {_ORDERS_OUT_SQL}, op FROM cdc "
         "QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY o_orderdate DESC) = 1"
     ),
-    "ingest_snapshot_merge_full": fixtures.with_ctes(
-        f"""
-        SELECT {_ORDERS_OUT_SQL} FROM day1 t
-        WHERE EXISTS (SELECT 1 FROM day2 s WHERE s.o_orderkey = t.o_orderkey)
-          AND NOT EXISTS (SELECT 1 FROM day2 s WHERE s.o_orderkey = t.o_orderkey
-                          AND s.o_orderdate > t.o_orderdate)
-        UNION ALL
-        SELECT {_ORDERS_OUT_SQL} FROM day2 s
-        WHERE EXISTS (SELECT 1 FROM day1 t WHERE t.o_orderkey = s.o_orderkey
-                      AND s.o_orderdate > t.o_orderdate)
-        UNION ALL
-        SELECT {_ORDERS_OUT_SQL} FROM day2 s
-        WHERE NOT EXISTS (SELECT 1 FROM day1 t WHERE t.o_orderkey = s.o_orderkey)
-        """
-    ),
+    "ingest_snapshot_merge_full": ORACLE_MERGE_FULL,
     "ingest_snapshot_merge_incremental": fixtures.with_ctes(
         f"""
         SELECT {_ORDERS_OUT_SQL} FROM day1 t
@@ -369,6 +383,7 @@ ORACLES: dict[str, str] = {
         WHERE NOT EXISTS (SELECT 1 FROM day2 s WHERE s.o_orderkey = t.o_orderkey)
         """
     ),
+    "ingest_snapshot_merge_fused": ORACLE_MERGE_FULL,
     "ingest_cdc_merge": fixtures.with_ctes(
         f"""
         , latest AS (

@@ -11,7 +11,8 @@ minhash_lsh 58s (the blown-up corpus contains ~1M TRUE near-dup pairs — every
 doc has 20 identical copies — so pair output itself is quadratic by
 construction), simhash 4.5s (linear map-only), blocked exact cosine 112s
 (inherently O(n²) — the IVF/LSH variants are the at-scale path; this is the
-oracle baseline), topk_lsh 12s, snapshot merge over 3M keys 39s.
+oracle baseline), topk_lsh 12s, snapshot merge over 3M keys 39s leg-based / 9s fused
+(merge_snapshot_fused: one full-outer join vs four target shuffles).
 
     python tools/scale_smoke.py [multiplier]
 """
