@@ -180,6 +180,38 @@ class ParquetVersionedSink:
         merged = merge_dataframes(target, changes, spec, keep_deletes=keep_deletes)
         self._commit(name, merged, policy, "merge")
 
+    def merge_snapshot(
+        self,
+        name: str,
+        source: DataFrame,
+        spec: ChangeSpec,
+        policy: TablePolicy,
+        options=None,
+        ingestion_ts=None,
+        include_deletes: bool = True,
+        keep_deletes: bool = False,
+        soft_delete_col: str | None = None,
+    ) -> None:
+        """Snapshot merge via the fused single-pass plan (merge.py:
+        merge_snapshot_fused — one full-outer join instead of the leg-based
+        changeset's four target shuffles; bag-equal, pinned by tests). Only the
+        DataFrame sink offers this: the Iceberg sink's primitive is MERGE INTO
+        on a changeset, where the engine fuses server-side."""
+        from iceberg_ingestion_spark.merge import merge_snapshot_fused
+
+        target = self.read(name)
+        merged = merge_snapshot_fused(
+            target,
+            source,
+            spec,
+            options=options,
+            ingestion_ts=ingestion_ts,
+            include_deletes=include_deletes,
+            keep_deletes=keep_deletes,
+            soft_delete_col=soft_delete_col,
+        )
+        self._commit(name, merged, policy, "merge")
+
     def list_files(self, name: str) -> DataFrame:
         """``SELECT file_path FROM db.tbl.files`` analogue (reference
         ``iceberg.py:272-278``)."""
