@@ -1,17 +1,26 @@
 """Similarity search over embedding columns (``array<float>``).
 
-- :func:`cosine` — explicit left-folded dot product over a fixed dim, so the
-  double arithmetic is bit-identical to the SQL form the oracle runs.
-- :func:`topk_bruteforce` — exact top-k for a query subset: theta-join against
-  the corpus, window rank. The correctness baseline.
-- :func:`topk_lsh` — random-hyperplane LSH: deterministic hash-derived
-  hyperplanes, sign-bit bucket, candidates from a bucket equi-join, exact
-  rerank. The 100 TB path: candidate cost is per-bucket, not per-corpus; add
-  multi-probe (neighboring buckets) to trade recall for cost.
+- :func:`cosine` / :func:`dot` — explicit left-folded expressions; the bit-for-
+  bit semantic spec every kernel below must match (the DuckDB oracles run the
+  same fold as SQL).
+- :func:`cosine_pairs_blocked` — exact all-pairs above a threshold: hash-tiled
+  block pairs, numpy kernel per tile, O(n²/B) shuffle rows. Exact but
+  inherently quadratic — the near-dup oracle baseline.
+- :func:`pack_vectors` / :func:`score_pairs` — shared kernels: one pass
+  computing (v, norm2[, lsh bucket]) per vector, and ordered-fold cosine over
+  candidate pairs. Norm/cosine math is bit-identical to the fold; buckets are
+  plain matrix math (no exactness contract — they only steer candidates).
+- :func:`topk_bruteforce` — exact top-k for a query subset (broadcast queries
+  x packed corpus). The recall baseline.
+- :func:`topk_lsh` — random-hyperplane LSH with multi-probe: candidates from a
+  bucket equi-join, exact rerank. Candidate cost per-bucket, not per-corpus.
+- :func:`topk_ivf` — inverted-file coarse quantization: nprobe nearest cells
+  per query, exact rerank. Cost = nprobe/n_cells of the corpus per query.
 - :func:`knn_label_vote` — majority-vote classification on top of top-k.
 
-At real scale the corpus side is bucketed/partitioned once and reused across
-query batches; queries broadcast when small.
+At real scale the packed/bucketed corpus is computed once and reused across
+query batches; queries broadcast when small; recall of the approximate paths
+is pinned by tests against the exact baseline.
 """
 
 from __future__ import annotations

@@ -171,3 +171,24 @@ def test_exact_dedup_stream_drops_replays(spark, tmp_path):
 
     got = sorted((r.event_id, r.v) for r in spark.read.parquet(out_dir).collect())
     assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join: each micro-batch enriches against a static dimension
+    (re-read per batch; broadcast by Catalyst) — the standard lookup shape."""
+    input_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    os.makedirs(input_dir)
+    ddl = "user_id long, ts timestamp, amount double"
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+
+    _drop(spark, input_dir, ddl, [
+        (1, _ts("2026-01-01 10:00:00"), 10.0),
+        (2, _ts("2026-01-01 10:01:00"), 20.0),
+        (3, _ts("2026-01-01 10:02:00"), 30.0),  # no dim row -> null tier
+    ])
+    _drain(spark, input_dir, ddl, out_dir, ckpt,
+           lambda st: st.join(dim, "user_id", "left"))
+    got = {r.user_id: r.tier for r in spark.read.parquet(out_dir).collect()}
+    assert got == {1: "gold", 2: "silver", 3: None}
