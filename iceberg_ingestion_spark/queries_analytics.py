@@ -271,6 +271,80 @@ def q22_inactive_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per part (of a size bracket), the supplier(s) offering
+    its minimum observed price — the correlated-min pattern as a per-part
+    window over the (supplier, part) aggregate. (Adapted: lineitem is the
+    part-supplier bridge and 'cost' = min extendedprice/quantity observed; no
+    partsupp table.)"""
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_size").between(10, 20))
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    l = read_table(spark, sf_dir, "lineitem")
+    unit = (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    per_sp = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select("l_suppkey", "l_partkey", "p_name", unit)
+        .groupBy("l_suppkey", "l_partkey", "p_name")
+        .agg(F.min("unit_price").alias("min_unit_price"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = per_sp.withColumn("part_min", F.min("min_unit_price").over(w)).filter(
+        F.col("min_unit_price") == F.col("part_min")
+    )
+    return (
+        best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"), "p_name", "s_name",
+            F.col("n_name").alias("supp_nation"), "min_unit_price",
+        )
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose share of total inventory value exceeds a
+    threshold — group + global-window share, HAVING-style filter. (Adapted:
+    value = retailprice * shipped quantity via lineitem; no partsupp.)"""
+    p = read_table(spark, sf_dir, "part")
+    l = read_table(spark, sf_dir, "lineitem")
+    val = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(_dec("p_retailprice", 12) * _dec("l_quantity", 12))
+            .cast("double")
+            .alias("part_value")
+        )
+    )
+    w = Window.partitionBy()
+    return (
+        val.withColumn("total_value", F.sum("part_value").over(w))
+        .filter(F.col("part_value") > F.lit(0.0005) * F.col("total_value"))
+        .select("l_partkey", "part_value")
+    )
+
+
+def q12_return_class_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per lineitem class, how many orders are high- vs
+    low-priority — the conditional two-way count after a fact join. (Adapted:
+    the class column is l_returnflag; no shipmode.)"""
+    o = read_table(spark, sf_dir, "orders")
+    l = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one nation's share of PROMO-part revenue into one
     region, by year. Share = double division of two decimal-exact sums."""
@@ -441,7 +515,10 @@ def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 QUERIES_ANALYTICS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
     "q4_late_shipment_priority": q4_late_shipment_priority,
+    "q11_important_parts": q11_important_parts,
+    "q12_return_class_priority": q12_return_class_priority,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_nation_volume": q7_nation_volume,
     "q9_product_profit": q9_product_profit,
@@ -466,6 +543,46 @@ _SUM_DBL = "CAST(SUM({expr}) AS DOUBLE)"
 
 
 ORACLES_ANALYTICS: dict[str, str] = {
+    "q2_min_cost_supplier": """
+        WITH per_sp AS (
+            SELECT l_suppkey, l_partkey, p_name,
+                   min(l_extendedprice / l_quantity) AS min_unit_price
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_size BETWEEN 10 AND 20
+            GROUP BY l_suppkey, l_partkey, p_name
+        ), best AS (
+            SELECT *, min(min_unit_price) OVER (PARTITION BY l_partkey) AS part_min
+            FROM per_sp
+        )
+        SELECT l_partkey AS p_partkey, p_name, s_name,
+               n_name AS supp_nation, min_unit_price
+        FROM best
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE min_unit_price = part_min
+    """,
+    "q11_important_parts": """
+        WITH val AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))
+                            * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS part_value
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY l_partkey
+        )
+        SELECT l_partkey, part_value
+        FROM (SELECT *, SUM(part_value) OVER () AS total_value FROM val)
+        WHERE part_value > 0.0005 * total_value
+    """,
+    "q12_return_class_priority": """
+        SELECT l_returnflag,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_returnflag
+    """,
     "q4_late_shipment_priority": """
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders
