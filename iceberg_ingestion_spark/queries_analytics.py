@@ -429,14 +429,24 @@ def q21_single_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = read_table(spark, sf_dir, "supplier")
     o = read_table(spark, sf_dir, "orders")
     l = read_table(spark, sf_dir, "lineitem")
-    late = F.when(F.col("l_shipdate") > F.col("o_orderdate"), F.col("l_suppkey"))
-    per_order = (
+    # two-level aggregate instead of countDistinct pairs: the first groupBy
+    # collapses to one row per (order, supplier), so the per-order pass needs
+    # no expand-based distinct — same result, one fewer wide pass.
+    per_os = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .groupBy("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct(late).alias("n_late_supp"),
-            F.max(late).alias("late_supp"),
+            F.max(
+                F.when(F.col("l_shipdate") > F.col("o_orderdate"), 1).otherwise(0)
+            ).alias("is_late")
+        )
+    )
+    per_order = (
+        per_os.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum("is_late").alias("n_late_supp"),
+            F.max(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("late_supp"),
         )
         .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
     )
