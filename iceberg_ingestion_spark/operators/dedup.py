@@ -282,6 +282,59 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(id, component) for every id in a pair list — component = minimum id
+    reachable through the pair graph (the canonical-survivor convention of a
+    dedup pipeline: keep ``id == component``, drop the rest).
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own label and its neighbors' labels; converged when no label changes.
+    Rounds needed = graph diameter — near-dup clusters are shallow (stars and
+    short chains), so this converges in a handful of rounds; each round is one
+    equi-join + min-aggregate on the (tiny, pairs-only) label relation, never
+    the corpus. ``localCheckpoint`` truncates the iterative lineage so plans
+    don't grow with the loop (the standard Spark iterative-algorithm idiom).
+    """
+    edges = (
+        pairs.select(F.col("id_1").alias("src"), F.col("id_2").alias("dst"))
+        .unionByName(pairs.select(F.col("id_2").alias("src"), F.col("id_1").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    ).localCheckpoint()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash_pairs(
     simhashed: DataFrame, id_col: str, max_hamming: int = 8
 ) -> DataFrame:

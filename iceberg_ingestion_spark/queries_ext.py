@@ -136,6 +136,20 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.simhash60(d, "doc_id")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash-LSH pairs -> connected components ->
+    (doc_id, component, keep) — the decision step of a dedup pipeline (keep
+    the minimum id of every cluster, drop the rest)."""
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    pairs = dedup.minhash_lsh_pairs(d, "doc_id", k=3, threshold=MINHASH_THRESHOLD)
+    cc = dedup.connected_components(pairs)
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        (F.col("id") == F.col("component")).alias("keep"),
+    )
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings", spread=True)
     return similarity.cosine_pairs_blocked(
@@ -257,6 +271,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "sim_ann_topk_bruteforce": q_ann_topk_bruteforce,
     "sim_ann_topk_lsh": q_ann_topk_lsh,  # approximate: rows-only check
@@ -425,6 +440,26 @@ ORACLES_EXT: dict[str, str] = {
     "dedup_minhash_lsh": _JACCARD_CTE
     + f"SELECT id_1, id_2, jaccard FROM jac WHERE jaccard >= {MINHASH_THRESHOLD}",
     "dedup_simhash": _simhash_sql(),
+    # transitive closure of the exact-Jaccard pair graph (identical pair set to
+    # the LSH candidates at this threshold); component = min reachable id.
+    "dedup_clusters": _JACCARD_CTE + f""",
+        p AS (SELECT id_1, id_2 FROM jac WHERE jaccard >= {MINHASH_THRESHOLD}),
+        edges AS (SELECT id_1 AS src, id_2 AS dst FROM p
+                  UNION SELECT id_2, id_1 FROM p),
+        reach AS (
+            SELECT src AS id, dst AS r FROM edges
+            UNION SELECT src AS id, src AS r FROM edges
+        ),
+        closure AS (
+            WITH RECURSIVE walk(id, r) AS (
+                SELECT id, r FROM reach
+                UNION
+                SELECT walk.id, edges.dst FROM walk JOIN edges ON walk.r = edges.src
+            )
+            SELECT id, min(r) AS component FROM walk GROUP BY id
+        )
+        SELECT id AS doc_id, component, id = component AS keep FROM closure
+    """,
     "dedup_embedding_cosine": f"""
         SELECT a.vec_id AS id_1, b.vec_id AS id_2,
                {_cosine_sql('a.embedding', 'b.embedding')} AS cosine

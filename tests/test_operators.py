@@ -268,3 +268,13 @@ def test_topk_ivf_recall_and_shape(spark, embeddings):
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     a = {(r.query_id, r.neighbor_id) for r in rows}
     assert len(a & e) / len(e) >= 0.5
+
+
+def test_connected_components_chains_and_stars(spark):
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4, star 10-(11,12), isolated pair 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (20, 21)],
+        "id_1 long, id_2 long",
+    )
+    got = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
