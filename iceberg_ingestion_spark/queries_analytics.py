@@ -457,6 +457,73 @@ def q21_single_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of extended price per return flag — quantile as the
+    value at ``ceil(q*n)`` in sort order (percentile_disc semantics), computed
+    with one window rank so both engines pick the identical element
+    (approx-percentile sketches are engine-specific; this is the deterministic
+    form). One shuffle on the group key; the sort is within groups."""
+    l = read_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    ranked = l.select(
+        "l_returnflag", "l_extendedprice", F.row_number().over(w).alias("rn")
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")))
+    out = None
+    for q, name in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+        pick = ranked.filter(
+            F.col("rn") == F.ceil(F.lit(q) * F.col("n"))
+        ).select("l_returnflag", F.col("l_extendedprice").alias(name))
+        out = pick if out is None else out.join(pick, "l_returnflag")
+    return out
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. Score = tf * N / df with
+    multiplication/division only (no log — libm rounding differs across
+    engines; the ranking is identical). Shape: explode -> (doc, term) counts
+    -> term document-frequency join -> per-doc window top-k."""
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    n_docs = d.count()
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = tf.join(df_, "term").withColumn(
+        "score", F.col("tf") * F.lit(float(n_docs)) / F.col("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "score")
+    )
+
+
+def running_customer_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running order-value totals (rows-frame cumulative window) —
+    decimal-exact cumulative sums cast to double per row. One shuffle on the
+    customer key; frame evaluation is streaming within each partition."""
+    o = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+        .alias("order_seq"),
+    )
+    return _fmt_ts(out, "o_orderdate")
+
+
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP(region, nation) customer-balance subtotals (grand total included):
     multi-level aggregation in one pass."""
@@ -544,6 +611,9 @@ QUERIES_ANALYTICS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_large_volume_orders": q18_large_volume_orders,
     "q19_bracketed_revenue": q19_bracketed_revenue,
     "q22_inactive_balance": q22_inactive_balance,
+    "analytics_exact_quantiles": exact_quantiles,
+    "analytics_tfidf_top_terms": tfidf_top_terms,
+    "analytics_running_totals": running_customer_totals,
     "rollup_revenue": rollup_revenue,
     "topn_orders_per_segment": topn_orders_per_segment,
     "asof_last_click_before_purchase": asof_last_click_before_purchase,
@@ -772,6 +842,50 @@ ORACLES_ANALYTICS: dict[str, str] = {
           AND NOT EXISTS (SELECT 1 FROM orders
                           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         GROUP BY c_nationkey
+    """,
+    "analytics_exact_quantiles": """
+        WITH ranked AS (
+            SELECT l_returnflag, l_extendedprice,
+                   ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+                   COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM lineitem
+        )
+        SELECT p50.l_returnflag, p50.p50, p90.p90, p99.p99 FROM
+            (SELECT l_returnflag, l_extendedprice AS p50 FROM ranked
+             WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)) p50
+        JOIN (SELECT l_returnflag, l_extendedprice AS p90 FROM ranked
+              WHERE rn = CAST(ceil(0.9 * n) AS BIGINT)) p90 USING (l_returnflag)
+        JOIN (SELECT l_returnflag, l_extendedprice AS p99 FROM ranked
+              WHERE rn = CAST(ceil(0.99 * n) AS BIGINT)) p99 USING (l_returnflag)
+    """,
+    "analytics_tfidf_top_terms": """
+        WITH toks AS (
+            SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        ), df_ AS (
+            SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks)
+            GROUP BY term
+        ), n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, rank, term, score FROM (
+            SELECT tf.doc_id, tf.term,
+                   tf.tf * (SELECT CAST(n_docs AS DOUBLE) FROM n) / df_.df AS score,
+                   ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * (SELECT CAST(n_docs AS DOUBLE) FROM n) / df_.df DESC,
+                                tf.term) AS rank
+            FROM tf JOIN df_ USING (term)
+        ) WHERE rank <= 3
+    """,
+    "analytics_running_totals": f"""
+        SELECT o_custkey, o_orderkey, strftime(o_orderdate, '{TS_FMT_DUCK}') AS o_orderdate,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS order_seq
+        FROM orders
     """,
     "rollup_revenue": """
         SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
