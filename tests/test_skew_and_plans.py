@@ -79,3 +79,43 @@ def test_q3_broadcasts_dimension(spark):
     plan = _formatted(q3_shipping_priority(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "EqualTo(c_mktsegment,BUILDING)" in plan  # dim filter pushed to scan
+
+
+def test_zorder_value_interleaves_bits(spark):
+    from iceberg_ingestion_spark.operators.layout import zorder_value
+
+    # corners of a 2-bit grid: (min,min)->0, (max,max)->all bits set
+    df = spark.createDataFrame([(0, 0), (3, 3), (3, 0), (0, 3)], "x int, y int")
+    z = {(r.x, r.y): r.z for r in df.withColumn(
+        "z", zorder_value(df, ["x", "y"], bits=2)).collect()}
+    assert z[(0, 0)] == 0
+    assert z[(3, 3)] == 0b1111
+    assert z[(3, 0)] == 0b0101   # x contributes even bit positions
+    assert z[(0, 3)] == 0b1010   # y contributes odd bit positions
+
+
+def test_zorder_layout_clusters_space(spark):
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from iceberg_ingestion_spark.operators.layout import zorder_layout
+
+    pts = spark.createDataFrame(
+        [(x, y) for x, y in itertools.product(range(64), range(64))], "x int, y int"
+    )
+    laid = zorder_layout(pts, ["x", "y"], n_files=16)
+    # each partition's bounding box must be far smaller than the full space:
+    # z-range partitioning keeps files spatially compact (this is what makes
+    # parquet min/max stats prune 2-D predicates)
+    boxes = (
+        laid.withColumn("p", F.spark_partition_id())
+        .groupBy("p")
+        .agg(
+            (F.max("x") - F.min("x")).alias("dx"),
+            (F.max("y") - F.min("y")).alias("dy"),
+        )
+        .collect()
+    )
+    areas = [(r.dx + 1) * (r.dy + 1) for r in boxes]
+    assert sum(areas) / len(areas) <= 64 * 64 / 4  # avg box <= quarter of space
