@@ -231,6 +231,22 @@ def q_sessionize_user_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dataset splits
+# ---------------------------------------------------------------------------
+
+def q_data_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible hash-based train/val/test split: per (split, lang) counts.
+    A document's split never changes as the corpus grows (content-hash
+    bucketing, no RNG)."""
+    from iceberg_ingestion_spark.operators.sampling import hash_split
+
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    return hash_split(d, "doc_id").groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
 
@@ -277,6 +293,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_topk_lsh": q_ann_topk_lsh,  # approximate: rows-only check
     "sim_ann_topk_ivf": q_ann_topk_ivf,  # approximate: rows-only check
     "sim_knn_label_vote": q_knn_label_vote,
+    "data_split_counts": q_data_split_counts,
     "sessionize_stats": q_sessionize_stats,
     "sessionize_user_summary": q_sessionize_user_summary,
     "multimodal_decode": q_multimodal_decode,
@@ -488,6 +505,19 @@ ORACLES_EXT: dict[str, str] = {
         )
         SELECT query_id, label AS predicted_label FROM votes
         QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY votes DESC, label) = 1
+    """,
+    "data_split_counts": """
+        WITH b AS (
+            SELECT lang,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100
+                       AS bucket
+            FROM documents
+        )
+        SELECT CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'val'
+                    ELSE 'test' END AS split,
+               lang, count(*) AS n_docs
+        FROM b GROUP BY 1, 2
     """,
     "sessionize_stats": _SESSION_CTE + """
         SELECT user_id, session_index, count(*) AS n_events,

@@ -278,3 +278,30 @@ def test_connected_components_chains_and_stars(spark):
     )
     got = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_hash_split_stable_under_corpus_growth(spark, documents):
+    """A document's split assignment must not change when the corpus grows —
+    the defining property of hash-based splits."""
+    from iceberg_ingestion_spark.operators.sampling import hash_split
+
+    small = {r.doc_id: r.split for r in hash_split(documents.limit(100), "doc_id").collect()}
+    full = {r.doc_id: r.split for r in hash_split(documents, "doc_id").collect()}
+    assert all(full[k] == v for k, v in small.items())
+    fracs = {s: sum(1 for v in full.values() if v == s) / len(full) for s in set(full.values())}
+    assert 0.80 <= fracs["train"] <= 0.97  # ~90% within sampling noise
+
+
+def test_stratified_sample_rates(spark, documents):
+    from iceberg_ingestion_spark.operators.sampling import stratified_sample
+
+    fractions = {"en": 0.5, "es": 1.0, "de": 0.1, "fr": 1.0, "zh": 1.0}
+    sampled = stratified_sample(documents, "lang", fractions)
+    before = {r.lang: r.n for r in documents.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    after = {r.lang: r.n for r in sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert after.get("es") == before["es"]          # fraction 1.0 keeps all
+    assert after.get("fr") == before["fr"]
+    assert after.get("en", 0) < before["en"]        # downsampled strata shrink
+    assert after.get("de", 0) < before["de"]
