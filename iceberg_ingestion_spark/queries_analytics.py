@@ -468,13 +468,14 @@ def exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = l.select(
         "l_returnflag", "l_extendedprice", F.row_number().over(w).alias("rn")
     ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")))
-    out = None
-    for q, name in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
-        pick = ranked.filter(
-            F.col("rn") == F.ceil(F.lit(q) * F.col("n"))
-        ).select("l_returnflag", F.col("l_extendedprice").alias(name))
-        out = pick if out is None else out.join(pick, "l_returnflag")
-    return out
+    # one conditional-aggregation pass picks all three quantiles (no re-scan)
+    picks = [
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("n")), F.col("l_extendedprice"))
+        ).alias(name)
+        for q, name in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]
+    ]
+    return ranked.groupBy("l_returnflag").agg(*picks)
 
 
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -851,13 +852,14 @@ ORACLES_ANALYTICS: dict[str, str] = {
                    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
             FROM lineitem
         )
-        SELECT p50.l_returnflag, p50.p50, p90.p90, p99.p99 FROM
-            (SELECT l_returnflag, l_extendedprice AS p50 FROM ranked
-             WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)) p50
-        JOIN (SELECT l_returnflag, l_extendedprice AS p90 FROM ranked
-              WHERE rn = CAST(ceil(0.9 * n) AS BIGINT)) p90 USING (l_returnflag)
-        JOIN (SELECT l_returnflag, l_extendedprice AS p99 FROM ranked
-              WHERE rn = CAST(ceil(0.99 * n) AS BIGINT)) p99 USING (l_returnflag)
+        SELECT l_returnflag,
+               max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                        THEN l_extendedprice END) AS p50,
+               max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                        THEN l_extendedprice END) AS p90,
+               max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                        THEN l_extendedprice END) AS p99
+        FROM ranked GROUP BY l_returnflag
     """,
     "analytics_tfidf_top_terms": """
         WITH toks AS (
