@@ -39,6 +39,31 @@ def sessionize(
     ).drop("_start")
 
 
+def normalize_per_user(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-user z-score normalization of ``value_col`` via grouped-map
+    ``applyInPandas`` — the batch grouped-map shape (one Arrow batch per key
+    group) for per-entity feature normalization in a training pipeline.
+
+    Numpy double math (mean/std are reduction-order dependent, so this is
+    pinned by tests, not a bit-exact oracle). Groups shuffle on the user key;
+    skewed users are the usual salting candidates (operators/skew.py)."""
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in events.schema.fields)
+    schema += ", value_z double"
+
+    def norm(pdf):
+        v = pdf[value_col].to_numpy()
+        sd = v.std()
+        pdf = pdf.copy()
+        pdf["value_z"] = (v - v.mean()) / sd if sd > 0 else 0.0
+        return pdf
+
+    return events.groupBy(user_col).applyInPandas(norm, schema=schema)
+
+
 def session_stats(
     events: DataFrame,
     user_col: str = "user_id",

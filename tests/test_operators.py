@@ -305,3 +305,18 @@ def test_stratified_sample_rates(spark, documents):
     assert after.get("fr") == before["fr"]
     assert after.get("en", 0) < before["en"]        # downsampled strata shrink
     assert after.get("de", 0) < before["de"]
+
+
+def test_normalize_per_user_zscore(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (1, 30.0), (2, 5.0), (2, 5.0)],
+        "user_id long, value double",
+    )
+    got = sessionize.normalize_per_user(df).collect()
+    u1 = sorted(r.value_z for r in got if r.user_id == 1)
+    import math
+    sd = math.sqrt(((10-20)**2 + 0 + (30-20)**2) / 3)  # population std
+    assert abs(u1[0] - (10 - 20) / sd) < 1e-12
+    assert abs(u1[1]) < 1e-12
+    # zero-variance group -> 0.0, not NaN
+    assert all(r.value_z == 0.0 for r in got if r.user_id == 2)
