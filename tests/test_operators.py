@@ -320,3 +320,25 @@ def test_normalize_per_user_zscore(spark):
     assert abs(u1[1]) < 1e-12
     # zero-variance group -> 0.0, not NaN
     assert all(r.value_z == 0.0 for r in got if r.user_id == 2)
+
+
+def test_approx_distinct_error_bound(spark):
+    from iceberg_ingestion_spark.operators import sketches
+
+    df = spark.range(100_000).select(
+        (F.col("id") % 4).alias("g"), F.col("id").alias("v")
+    )
+    got = {r.g: r.approx_distinct for r in sketches.approx_distinct_by(
+        df, ["g"], "v", rsd=0.02).collect()}
+    for g, est in got.items():
+        assert abs(est - 25_000) / 25_000 < 0.1  # well within 5 sigma of 2% rsd
+
+
+def test_approx_quantiles_rank_error(spark):
+    from iceberg_ingestion_spark.operators import sketches
+
+    df = spark.range(10_000).select(F.lit("a").alias("g"), F.col("id").alias("v"))
+    [row] = sketches.approx_quantiles_by(df, ["g"], "v", [0.5, 0.9], 0.01).collect()
+    p50, p90 = row.approx_quantiles
+    assert abs(p50 - 5_000) <= 150   # rank error <= 1% of n, with slack
+    assert abs(p90 - 9_000) <= 150
