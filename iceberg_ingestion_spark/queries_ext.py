@@ -230,6 +230,15 @@ def q_sessionize_user_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view->click->purchase funnel over events (integer-exact mins,
+    one conditional aggregation per stage)."""
+    from iceberg_ingestion_spark.operators.funnel import funnel_counts
+
+    ev = read_events_us(spark, sf_dir)
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
 # ---------------------------------------------------------------------------
 # Dataset splits
 # ---------------------------------------------------------------------------
@@ -293,6 +302,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_topk_lsh": q_ann_topk_lsh,  # approximate: rows-only check
     "sim_ann_topk_ivf": q_ann_topk_ivf,  # approximate: rows-only check
     "sim_knn_label_vote": q_knn_label_vote,
+    "funnel_conversion": q_funnel_conversion,
     "data_split_counts": q_data_split_counts,
     "sessionize_stats": q_sessionize_stats,
     "sessionize_user_summary": q_sessionize_user_summary,
@@ -505,6 +515,20 @@ ORACLES_EXT: dict[str, str] = {
         )
         SELECT query_id, label AS predicted_label FROM votes
         QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY votes DESC, label) = 1
+    """,
+    "funnel_conversion": """
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+               WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, min(ts_us) AS t2 FROM e JOIN s1 USING (user_id)
+               WHERE event_type = 'click' AND ts_us >= t1 GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, min(ts_us) AS t3 FROM e JOIN s2 USING (user_id)
+               WHERE event_type = 'purchase' AND ts_us >= t2 GROUP BY e.user_id)
+        SELECT 'view' AS stage, 1 AS stage_index, (SELECT count(*) FROM s1) AS n_users
+        UNION ALL
+        SELECT 'click', 2, (SELECT count(*) FROM s2)
+        UNION ALL
+        SELECT 'purchase', 3, (SELECT count(*) FROM s3)
     """,
     "data_split_counts": """
         WITH b AS (

@@ -342,3 +342,19 @@ def test_approx_quantiles_rank_error(spark):
     p50, p90 = row.approx_quantiles
     assert abs(p50 - 5_000) <= 150   # rank error <= 1% of n, with slack
     assert abs(p90 - 9_000) <= 150
+
+
+def test_funnel_order_matters(spark):
+    from iceberg_ingestion_spark.operators.funnel import funnel_counts
+
+    ev = spark.createDataFrame(
+        [
+            (1, "view", 10), (1, "click", 20), (1, "purchase", 30),   # full funnel
+            (2, "click", 10), (2, "view", 20),                        # out of order: no click AFTER view
+            (3, "view", 10), (3, "purchase", 20),                     # skips click: stops at view
+        ],
+        "user_id long, event_type string, ts_us long",
+    )
+    got = {r.stage: r.n_users for r in funnel_counts(
+        ev, ["view", "click", "purchase"]).collect()}
+    assert got == {"view": 3, "click": 1, "purchase": 1}
