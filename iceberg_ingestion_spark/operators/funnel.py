@@ -48,6 +48,50 @@ def funnel_stage_times(
     return out
 
 
+WEEK_US = 7 * 24 * 3600 * 1_000_000
+DAY_US = 24 * 3600 * 1_000_000
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    max_offset: int = 3,
+    bucket_us: int = WEEK_US,
+) -> DataFrame:
+    """Cohort retention: users grouped by first-activity bucket (week by
+    default; pass ``bucket_us=DAY_US`` for daily cohorts), counted per bucket
+    offset (0..max_offset) in which they were active again.
+
+    Pure integer arithmetic (epoch-µs floor-division into buckets) so the
+    result is exact on any engine. Shape: per-user min -> per-(user, bucket)
+    distinct -> pivot on offset. Output: cohort_week, then ``w0..wN`` columns.
+    """
+    first = events.groupBy(user_col).agg(
+        F.floor(F.min(ts_col) / F.lit(bucket_us)).alias("cohort_week")
+    )
+    active = events.select(
+        user_col, F.floor(F.col(ts_col) / F.lit(bucket_us)).alias("week")
+    ).distinct()
+    offsets = (
+        active.join(first, user_col)
+        .withColumn("offset", (F.col("week") - F.col("cohort_week")).cast("int"))
+        .filter(F.col("offset").between(0, max_offset))
+        .select(user_col, "cohort_week", "offset")
+        .distinct()
+    )
+    return (
+        offsets.groupBy("cohort_week")
+        .pivot("offset", list(range(max_offset + 1)))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .select(
+            "cohort_week",
+            *[F.col(str(i)).alias(f"w{i}") for i in range(max_offset + 1)],
+        )
+    )
+
+
 def funnel_counts(
     events: DataFrame,
     stages: list[str],

@@ -239,6 +239,14 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(ev, ["view", "click", "purchase"])
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention counts (integer day buckets, pivot on offset)."""
+    from iceberg_ingestion_spark.operators.funnel import DAY_US, cohort_retention
+
+    ev = read_events_us(spark, sf_dir)
+    return cohort_retention(ev, max_offset=3, bucket_us=DAY_US)
+
+
 # ---------------------------------------------------------------------------
 # Dataset splits
 # ---------------------------------------------------------------------------
@@ -303,6 +311,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_topk_ivf": q_ann_topk_ivf,  # approximate: rows-only check
     "sim_knn_label_vote": q_knn_label_vote,
     "funnel_conversion": q_funnel_conversion,
+    "cohort_retention": q_cohort_retention,
     "data_split_counts": q_data_split_counts,
     "sessionize_stats": q_sessionize_stats,
     "sessionize_user_summary": q_sessionize_user_summary,
@@ -529,6 +538,24 @@ ORACLES_EXT: dict[str, str] = {
         SELECT 'click', 2, (SELECT count(*) FROM s2)
         UNION ALL
         SELECT 'purchase', 3, (SELECT count(*) FROM s3)
+    """,
+    "cohort_retention": """
+        WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        wk AS (SELECT user_id, ts_us // 86400000000 AS week FROM e),
+        first AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id),
+        act AS (SELECT DISTINCT user_id, week FROM wk),
+        offs AS (
+            SELECT DISTINCT act.user_id, cohort_week,
+                   CAST(week - cohort_week AS INT) AS off
+            FROM act JOIN first USING (user_id)
+            WHERE week - cohort_week BETWEEN 0 AND 3
+        )
+        SELECT cohort_week,
+               SUM(CASE WHEN off = 0 THEN 1 ELSE 0 END) AS w0,
+               SUM(CASE WHEN off = 1 THEN 1 ELSE 0 END) AS w1,
+               SUM(CASE WHEN off = 2 THEN 1 ELSE 0 END) AS w2,
+               SUM(CASE WHEN off = 3 THEN 1 ELSE 0 END) AS w3
+        FROM offs GROUP BY cohort_week
     """,
     "data_split_counts": """
         WITH b AS (

@@ -358,3 +358,21 @@ def test_funnel_order_matters(spark):
     got = {r.stage: r.n_users for r in funnel_counts(
         ev, ["view", "click", "purchase"]).collect()}
     assert got == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_cohort_retention_buckets_and_offsets(spark):
+    from iceberg_ingestion_spark.operators.funnel import cohort_retention
+
+    DAY = 24 * 3600 * 1_000_000
+    ev = spark.createDataFrame(
+        [
+            (1, 0), (1, DAY), (1, 3 * DAY),        # cohort 0: active d0, d1, d3
+            (2, 0),                                 # cohort 0: only d0
+            (3, DAY), (3, 2 * DAY),                 # cohort 1: d1, d2 (offsets 0,1)
+        ],
+        "user_id long, ts_us long",
+    )
+    got = {r.cohort_week: (r.w0, r.w1, r.w2, r.w3) for r in cohort_retention(
+        ev, max_offset=3, bucket_us=DAY).collect()}
+    assert got[0] == (2, 1, 0, 1)   # both users day0; user1 back on d1 and d3
+    assert got[1] == (1, 1, 0, 0)   # user3 cohort day1, back next day
