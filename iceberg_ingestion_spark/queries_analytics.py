@@ -654,12 +654,14 @@ ORACLES_ANALYTICS: dict[str, str] = {
         FROM (SELECT *, SUM(part_value) OVER () AS total_value FROM val)
         WHERE part_value > 0.0005 * total_value
     """,
+    # SUM over INTEGER is HUGEINT in DuckDB (int128 -> float64 in Arrow) while
+    # Spark's is LongType; CAST AS BIGINT keeps the value-hash type-identical.
     "q12_return_class_priority": """
         SELECT l_returnflag,
-               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 0 ELSE 1 END) AS low_line_count
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         GROUP BY l_returnflag

@@ -396,8 +396,10 @@ flagged AS (
     FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
 ),
 sessioned AS (
-    SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_index
+    -- CAST: DuckDB window SUM over INTEGER is HUGEINT (float64 via Arrow);
+    -- Spark's running sum is LongType. BIGINT keeps the hash type-identical.
+    SELECT *, CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_index
     FROM flagged
 )
 """.format(gap=SESSION_GAP_US)
@@ -551,10 +553,10 @@ ORACLES_EXT: dict[str, str] = {
             WHERE week - cohort_week BETWEEN 0 AND 3
         )
         SELECT cohort_week,
-               SUM(CASE WHEN off = 0 THEN 1 ELSE 0 END) AS w0,
-               SUM(CASE WHEN off = 1 THEN 1 ELSE 0 END) AS w1,
-               SUM(CASE WHEN off = 2 THEN 1 ELSE 0 END) AS w2,
-               SUM(CASE WHEN off = 3 THEN 1 ELSE 0 END) AS w3
+               CAST(SUM(CASE WHEN off = 0 THEN 1 ELSE 0 END) AS BIGINT) AS w0,
+               CAST(SUM(CASE WHEN off = 1 THEN 1 ELSE 0 END) AS BIGINT) AS w1,
+               CAST(SUM(CASE WHEN off = 2 THEN 1 ELSE 0 END) AS BIGINT) AS w2,
+               CAST(SUM(CASE WHEN off = 3 THEN 1 ELSE 0 END) AS BIGINT) AS w3
         FROM offs GROUP BY cohort_week
     """,
     "data_split_counts": """
@@ -574,12 +576,14 @@ ORACLES_EXT: dict[str, str] = {
         SELECT user_id, session_index, count(*) AS n_events,
                strftime(make_timestamp(min(ts_us)), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
                max(ts_us) - min(ts_us) AS duration_us,
-               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_purchases
         FROM sessioned GROUP BY user_id, session_index
     """,
     "sessionize_user_summary": _SESSION_CTE + """
         SELECT user_id, max(session_index) AS n_sessions, count(*) AS n_events,
-               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_errors
         FROM sessioned GROUP BY user_id
     """,
     "multimodal_decode": """

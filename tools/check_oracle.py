@@ -37,6 +37,12 @@ def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> str:
     a, b = normalize(spark_df), normalize(duck_df)
     for c in a.columns:
         av, bv = a[c], b[c]
+        # int-vs-float kind drift is how a DuckDB HUGEINT (e.g. SUM over INTEGER,
+        # which Arrow surfaces as float64) shows up against a Spark LongType: the
+        # values coerce equal but the driver's value-hash sees different types.
+        # CAST the oracle to BIGINT instead of loosening this.
+        if {av.dtype.kind, bv.dtype.kind} == {"i", "f"}:
+            return f"TYPE col={c}: spark {av.dtype} vs duck {bv.dtype} (HUGEINT? cast oracle to BIGINT)"
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             import numpy as np
 
