@@ -197,14 +197,36 @@ def merge_into_sql(
     spec: ChangeSpec,
     keep_deletes: bool = False,
 ) -> str:
-    """Build the Iceberg ``MERGE INTO`` statement (reference ``iceberg.py:235-244``)."""
+    """Build the Iceberg ``MERGE INTO`` statement (reference ``iceberg.py:235-244``).
+
+    NOT MATCHED clause, by mode — chosen so this SQL path and
+    :func:`merge_dataframes` resolve every case identically:
+
+    - ``keep_deletes=False``: ``WHEN NOT MATCHED AND source.op != 'D' THEN
+      INSERT *``. DELIBERATE DIVERGENCE from the reference, which inserts
+      unconditionally (``iceberg.py:243``) and therefore resurrects a CDC
+      delete whose key is already absent as a normal row. A delete of an
+      absent key is a no-op, which is also what ``merge_dataframes`` computes
+      (op='D' rows are filtered before the union, ``merge.py:65``).
+    - ``keep_deletes=True``: ``WHEN NOT MATCHED THEN INSERT *`` — the
+      reference's unconditional insert is CORRECT here, because the change
+      rows carry the soft-delete rewrite (``hard_deleted=true`` for op='D',
+      applied by the sink before registering the view): an absent-key delete
+      materializes as a tombstone, exactly like ``merge_dataframes`` unioning
+      the full flagged change-set.
+    """
     on = " AND ".join(f"target.{k} = source.{k}" for k in spec.natural_keys)
     delete_action = "UPDATE SET *" if keep_deletes else "DELETE"
+    not_matched = (
+        "WHEN NOT MATCHED THEN INSERT *"
+        if keep_deletes
+        else f"WHEN NOT MATCHED AND source.{spec.op_col} != 'D' THEN INSERT *"
+    )
     return f"""
         MERGE INTO {target_table} AS target
         USING {changes_view} AS source
         ON {on}
         WHEN MATCHED AND source.{spec.op_col} = 'D' THEN {delete_action}
         WHEN MATCHED AND source.{spec.op_col} = 'U' THEN UPDATE SET *
-        WHEN NOT MATCHED AND source.{spec.op_col} != 'D' THEN INSERT *
+        {not_matched}
     """

@@ -13,7 +13,8 @@ Scale design (the point of each variant):
   path: tune (bands, rows) for the target threshold; with b=32, r=4 a 0.9-sim
   pair is missed with prob (1-0.9^4)^32 ≈ 1e-15.
 - SimHash: 60-bit signature, hamming-distance pairs — near-dup at one BIGINT
-  per doc; at scale, band the signature bits to avoid the quadratic compare.
+  per doc; pairing is pigeonhole-banded (max_hamming+1 bit bands, equi-join on
+  band value, exact verify) so candidate generation never goes quadratic.
 - embedding cosine: exact threshold-pairs baseline (block-nested join); the
   scale path is the LSH variant in similarity.py.
 
@@ -131,29 +132,103 @@ def duplicate_groups(df: DataFrame, id_col: str, key: Column, min_count: int = 2
     )
 
 
+def _verify_jaccard(
+    candidates: DataFrame, sets_: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over candidate (id_1, id_2) pairs from cached shingle
+    arrays — the verify step of the banding-candidate generators. Output has
+    no false positives regardless of how candidates were made. Per-pair
+    ``array_intersect`` is interpreted expression work over full arrays, so
+    this is for BOUNDED candidate sets (LSH banding); for all-pairs-sharing-a-
+    shingle candidate volumes use the join-count form in ngram_jaccard_pairs."""
+    s1 = sets_.select(F.col(id_col).alias("id_1"), F.col("ss").alias("ss_1"))
+    s2 = sets_.select(F.col(id_col).alias("id_2"), F.col("ss").alias("ss_2"))
+    n_inter = F.size(F.array_intersect(F.col("ss_1"), F.col("ss_2")))
+    jac = n_inter / (F.size(F.col("ss_1")) + F.size(F.col("ss_2")) - n_inter)
+    return (
+        candidates.join(s1, "id_1")
+        .join(s2, "id_2")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", "jaccard")
+    )
+
+
+def _pair_intersections(sh: DataFrame, id_col: str) -> DataFrame:
+    """(id_1, id_2, n_inter) — shared-shingle counts via the inverted-index
+    self-join. Counting happens in the join's partial aggregation: no arrays
+    are shipped per pair, which is what keeps the exact path cheap even when
+    millions of pairs share a shingle."""
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, on=(F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via shingle inverted-index self-join.
 
-    intersection from the shingle join, union by |A|+|B|-∩. Returns
-    (id_1, id_2, jaccard) with id_1 < id_2. No cross join: the self-join is an
-    equi-join on the shingle, so cost scales with collision counts, not n².
-    """
+    Intersection counts come from the equi-join's partial aggregation (no
+    per-pair array work), union by |A|+|B|-∩. Returns (id_1, id_2, jaccard)
+    with id_1 < id_2. No cross join: cost scales with per-shingle collision
+    counts, not n².
+
+    ``max_shingle_df`` bounds the skew term: the self-join emits C(df, 2) rows
+    for a shingle of document frequency df, so one corpus-wide boilerplate
+    3-gram makes one reducer quadratic. With the cap, the pair join runs on
+    rare (df <= cap) shingles only — per-shingle cost <= C(cap, 2) — and the
+    intersection is then CORRECTED EXACTLY: each doc's hot shingles (the few
+    distinct shingles with df > cap) are carried as a small array, and
+    ``n_inter = n_inter_rare + |hot_1 ∩ hot_2|``. Every reported jaccard is
+    therefore exact; the only loss is RECALL for pairs whose entire
+    intersection is hot — corpus-wide boilerplate by definition (tests pin
+    pair-set equality on the fixture corpus and the boilerplate-only edge)."""
     sets_ = shingle_sets(df, id_col, text_col, k).cache()
     sh = sets_.select(F.col(id_col), F.explode("ss").alias("shingle"))
     sizes = sets_.select(F.col(id_col), F.size("ss").alias("n_shingles"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, on=(F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+
+    if max_shingle_df is None:
+        inter = _pair_intersections(sh, id_col)
+    else:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("shingle")
+        )
+        # few shingles exceed the cap (|hot| <= |index| / cap) — AQE broadcasts
+        sh_rare = sh.join(hot, "shingle", "left_anti")
+        hot_per_doc = (
+            sh.join(hot, "shingle")
+            .groupBy(id_col)
+            .agg(F.sort_array(F.collect_list("shingle")).alias("hot_ss"))
+        )
+        h1 = hot_per_doc.select(F.col(id_col).alias("id_1"), F.col("hot_ss").alias("hot_1"))
+        h2 = hot_per_doc.select(F.col(id_col).alias("id_2"), F.col("hot_ss").alias("hot_2"))
+        empty = F.array().cast("array<string>")
+        hot_inter = F.size(
+            F.array_intersect(
+                F.coalesce(F.col("hot_1"), empty), F.coalesce(F.col("hot_2"), empty)
+            )
+        )
+        inter = (
+            _pair_intersections(sh_rare, id_col)
+            .join(h1, "id_1", "left")
+            .join(h2, "id_2", "left")
+            .withColumn("n_inter", F.col("n_inter") + hot_inter)
+            .select("id_1", "id_2", "n_inter")
+        )
+
     sa = sizes.select(F.col(id_col).alias("id_1"), F.col("n_shingles").alias("n_1"))
     sb = sizes.select(F.col(id_col).alias("id_2"), F.col("n_shingles").alias("n_2"))
     jac = F.col("n_inter") / (F.col("n_1") + F.col("n_2") - F.col("n_inter"))
@@ -241,6 +316,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     num_hashes: int = 128,
     bands: int = 32,
+    max_band_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs: MinHash banding for candidates, exact Jaccard verify.
 
@@ -249,11 +325,26 @@ def minhash_lsh_pairs(
     Candidates are then verified with the exact shingle Jaccard, so the output
     contains no false positives; false negatives are the banding miss
     probability (≈1e-15 for 0.9-similar pairs at 32×4).
-    """
+
+    ``max_band_bucket_size`` bounds the join's worst case: a band bucket with
+    B members emits B² candidate rows, and a very hot bucket is a cluster of
+    (near-)identical band slices — usually boilerplate. Buckets above the cap
+    are dropped before pairing; a pair is missed only if ALL the bands it
+    collides on are hot (near-identical docs collide on ~all 32 bands, so
+    recall loss needs the whole cluster to exceed the cap — at that point the
+    right tool is exact/fingerprint dedup of the boilerplate first)."""
     # One pandas shingling pass feeds BOTH the signature/banding kernel and the
     # exact verification arrays.
     sets_ = shingle_sets(df, id_col, text_col, k).cache()
     band_entries = minhash_band_entries(sets_, id_col, num_hashes, bands)
+    if max_band_bucket_size is not None:
+        small = (
+            band_entries.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_band_bucket_size)
+            .select("band", "bucket")
+        )
+        band_entries = band_entries.join(small, ["band", "bucket"])
 
     ca, cb = band_entries.alias("a"), band_entries.alias("b")
     candidates = (
@@ -266,20 +357,9 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2"))
         .distinct()
     )
-    # Exact verification on the CANDIDATES ONLY (not the full corpus): join the
-    # cached shingle arrays to each side and intersect per pair — candidate
-    # count is banding-bounded, so this stays cheap with no false positives.
-    s1 = sets_.select(F.col(id_col).alias("id_1"), F.col("ss").alias("ss_1"))
-    s2 = sets_.select(F.col(id_col).alias("id_2"), F.col("ss").alias("ss_2"))
-    n_inter = F.size(F.array_intersect(F.col("ss_1"), F.col("ss_2")))
-    jac = n_inter / (F.size(F.col("ss_1")) + F.size(F.col("ss_2")) - n_inter)
-    return (
-        candidates.join(s1, "id_1")
-        .join(s2, "id_2")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_1", "id_2", "jaccard")
-    )
+    # Exact verification on the CANDIDATES ONLY (not the full corpus):
+    # candidate count is banding-bounded, so this stays cheap.
+    return _verify_jaccard(candidates, sets_, id_col, threshold)
 
 
 def connected_components(
@@ -332,23 +412,69 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Labels were still moving when the round budget ran out: the graph's
+        # diameter exceeds max_iterations and the returned components would be
+        # silently WRONG (over-split). Dedup survivors derived from them would
+        # keep rows that should have been dropped — fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds "
+            f"({changed} labels still changing); raise max_iterations — rounds "
+            "needed equal the pair graph's diameter"
+        )
     return labels
 
 
-def simhash_pairs(
-    simhashed: DataFrame, id_col: str, max_hamming: int = 8
-) -> DataFrame:
-    """Pairs of docs whose 60-bit SimHash signatures are within ``max_hamming``.
+def simhash_band_values(sig: Column, max_hamming: int, bits: int = 60) -> list[Column]:
+    """Split a ``bits``-bit signature into ``max_hamming + 1`` contiguous bit
+    bands (widths differing by at most one). Pigeonhole: two signatures within
+    hamming distance ``max_hamming`` differ in at most ``max_hamming`` bands,
+    so they agree exactly on at least one of the ``max_hamming + 1`` bands."""
+    n_bands = max_hamming + 1
+    base, extra = divmod(bits, n_bands)
+    cols, lo = [], 0
+    for i in range(n_bands):
+        width = base + (1 if i < extra else 0)
+        mask = F.lit((1 << width) - 1).cast("long")
+        cols.append(F.shiftright(sig, lo).bitwiseAND(mask))
+        lo += width
+    return cols
 
-    Block-nested join at test scale; at 100 TB split the signature into
-    (max_hamming+1) bands and equi-join on band value first (pigeonhole: any
-    pair within the distance shares at least one exact band)."""
-    a = simhashed.select(F.col(id_col).alias("id_1"), F.col("simhash").alias("sh_1"))
-    b = simhashed.select(F.col(id_col).alias("id_2"), F.col("simhash").alias("sh_2"))
-    ham = F.bit_count(F.col("sh_1").bitwiseXOR(F.col("sh_2")))
+
+def simhash_pairs(
+    simhashed: DataFrame, id_col: str, max_hamming: int = 8, bits: int = 60
+) -> DataFrame:
+    """Pairs of docs whose ``bits``-bit SimHash signatures are within
+    ``max_hamming`` (returns id_1 < id_2 with the exact hamming distance).
+
+    Pigeonhole banding: the signature is split into ``max_hamming + 1`` bit
+    bands; any pair within the distance agrees exactly on at least one band,
+    so candidate generation is an equi-join on (band index, band value) — no
+    cross join, cost bounded by band-bucket collision counts — followed by an
+    exact ``bit_count(xor)`` verify. Zero false negatives (pigeonhole is a
+    guarantee, unlike MinHash banding's probabilistic recall) and zero false
+    positives (candidates are exactly verified)."""
+    bands = simhash_band_values(F.col("simhash"), max_hamming, bits)
+    entries = simhashed.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(F.array(*bands)).alias("band", "band_val"),
+    )
+    a = entries.select(
+        F.col(id_col).alias("id_1"), F.col("simhash").alias("sh_1"), "band", "band_val"
+    )
+    b = entries.select(
+        F.col(id_col).alias("id_2"), F.col("simhash").alias("sh_2"), "band", "band_val"
+    )
+    candidates = (
+        a.join(b, on=["band", "band_val"])
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2", "sh_1", "sh_2")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_1").bitwiseXOR(F.col("sh_2"))).cast("int")
     return (
-        a.join(b, F.col("id_1") < F.col("id_2"))
-        .withColumn("hamming", ham.cast("int"))
+        candidates.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_1", "id_2", "hamming")
     )

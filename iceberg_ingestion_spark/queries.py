@@ -32,7 +32,7 @@ from iceberg_ingestion_spark.changes import (
     detect_updates,
 )
 from iceberg_ingestion_spark.merge import merge_dataframes
-from iceberg_ingestion_spark.model import ChangeSpec, MergeOptions
+from iceberg_ingestion_spark.model import ChangeSpec
 from iceberg_ingestion_spark.validate import bag_diff
 
 TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSS"
@@ -128,22 +128,29 @@ def q_snapshot_merge_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_snapshot_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mode 3 (incremental): same minus the delete leg (reference iceberg.py:177-178)."""
+    """Mode 3 (incremental): full merge minus the delete leg (reference
+    iceberg.py:177-178), through the fused single-pass plan — the strategy the
+    sink actually runs at scale. ``ingest_snapshot_merge_full`` stays on the
+    leg-based composition as the reference-faithful pin; the fused/leg
+    equivalence is swept across all toggles in tests/test_merge_fused.py."""
+    from iceberg_ingestion_spark.merge import merge_snapshot_fused
+
     orders = read_table(spark, sf_dir, "orders")
     day1, day2 = fixtures.orders_day1(orders), fixtures.orders_day2(orders)
-    changes = build_changeset(day2, day1, ORDERS_SPEC, include_deletes=False)
-    return _orders_out(merge_dataframes(day1, changes, ORDERS_SPEC))
+    return _orders_out(
+        merge_snapshot_fused(day1, day2, ORDERS_SPEC, include_deletes=False)
+    )
 
 
 def q_snapshot_merge_soft_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mode 3 with keep_deletes: deletes flip ``hard_deleted`` instead of removing
-    rows (reference iceberg.py:127,224-227,241)."""
+    """Mode 3 with keep_deletes: deletes flip ``hard_deleted`` instead of
+    removing rows (reference iceberg.py:127,224-227,241), through the fused
+    single-pass plan (see q_snapshot_merge_incremental on why)."""
+    from iceberg_ingestion_spark.merge import merge_snapshot_fused
+
     orders = read_table(spark, sf_dir, "orders")
     day1, day2 = fixtures.orders_day1(orders), fixtures.orders_day2(orders)
-    changes = build_changeset(
-        day2, day1, ORDERS_SPEC, options=MergeOptions(keep_deletes=True)
-    )
-    return _orders_out(merge_dataframes(day1, changes, ORDERS_SPEC, keep_deletes=True))
+    return _orders_out(merge_snapshot_fused(day1, day2, ORDERS_SPEC, keep_deletes=True))
 
 
 def q_snapshot_merge_fused(spark: SparkSession, sf_dir: str) -> DataFrame:

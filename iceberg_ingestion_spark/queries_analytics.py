@@ -459,15 +459,47 @@ def q21_single_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p90/p99 of extended price per return flag — quantile as the
-    value at ``ceil(q*n)`` in sort order (percentile_disc semantics), computed
-    with one window rank so both engines pick the identical element
-    (approx-percentile sketches are engine-specific; this is the deterministic
-    form). One shuffle on the group key; the sort is within groups."""
-    l = read_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-    ranked = l.select(
-        "l_returnflag", "l_extendedprice", F.row_number().over(w).alias("rn")
-    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")))
+    value at ``ceil(q*n)`` in sort order (percentile_disc semantics), so both
+    engines pick the identical element (approx-percentile sketches are
+    engine-specific; this is the deterministic form).
+
+    Two-phase distributed selection — the group key has only 3 distinct
+    values, so a ``Window.partitionBy(l_returnflag)`` rank would funnel the
+    whole table through 3 tasks. Instead:
+
+    1. range-repartition on the full sort key — the range exchange spreads
+       each group across MANY partitions, contiguously in sort order;
+    2. per (partition, group) row counts -> cumulative offsets (a window over
+       #partitions × #groups rows — driver-scale, not data-scale);
+    3. local ``row_number`` within each (partition, group) — parallel across
+       range partitions — plus the broadcast offset = the exact global rank.
+
+    Every stage is bounded by the range-partition size at any data scale; the
+    GK sketch (``sketch_approx_quantiles``) remains the documented default
+    when ±1% rank error is acceptable."""
+    from iceberg_ingestion_spark.session import default_parallelism
+
+    sort_cols = ["l_extendedprice", "l_orderkey", "l_linenumber"]
+    l = read_table(spark, sf_dir, "lineitem").select("l_returnflag", *sort_cols)
+    ranged = l.repartitionByRange(
+        default_parallelism(), "l_returnflag", *[F.col(c) for c in sort_cols]
+    ).withColumn("pid", F.spark_partition_id())
+
+    seg = ranged.groupBy("pid", "l_returnflag").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.partitionBy("l_returnflag").orderBy("pid")
+    offsets = seg.select(
+        "pid",
+        "l_returnflag",
+        (F.sum("cnt").over(w_off) - F.col("cnt")).alias("offset"),
+        F.sum("cnt").over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+
+    w_local = Window.partitionBy("pid", "l_returnflag").orderBy(*sort_cols)
+    ranked = (
+        ranged.withColumn("lrn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), ["pid", "l_returnflag"])
+        .withColumn("rn", F.col("offset") + F.col("lrn"))
+    )
     # one conditional-aggregation pass picks all three quantiles (no re-scan)
     picks = [
         F.max(

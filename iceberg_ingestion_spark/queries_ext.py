@@ -22,6 +22,9 @@ JACCARD_THRESHOLD = 0.5
 MINHASH_THRESHOLD = 0.8
 SESSION_GAP_US = 8 * 3600 * 1_000_000  # 8 hours in microseconds
 ANN_K = 5
+# hamming <= 4 of 60 bits: tight near-dup band (8+ admits ~20% of random
+# short-doc pairs — dilutes the semantics and bloats the pair set)
+SIMHASH_MAX_HAMMING = 4
 
 
 def read_events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -122,8 +125,15 @@ def q_dedup_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard pairs with the production hot-shingle cap on: shingles in
+    >20 docs are excluded from candidate generation (they are boilerplate and
+    quadratic in the inverted-index join); the oracle is the UNCAPPED exact
+    pair set, so the driver check also pins the cap's no-recall-loss contract
+    on this corpus."""
     d = read_table(spark, sf_dir, "documents", spread=True)
-    return dedup.ngram_jaccard_pairs(d, "doc_id", k=3, threshold=JACCARD_THRESHOLD)
+    return dedup.ngram_jaccard_pairs(
+        d, "doc_id", k=3, threshold=JACCARD_THRESHOLD, max_shingle_df=20
+    )
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,6 +144,14 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", spread=True)
     return text.simhash60(d, "doc_id")
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-near pairs via pigeonhole-banded SimHash: equi-join on
+    (band, band value) for candidates, exact bit_count(xor) verify — the exact
+    pair set (banding is a guarantee, not a probability), no cross join."""
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    return dedup.simhash_pairs(text.simhash60(d, "doc_id"), "doc_id", max_hamming=SIMHASH_MAX_HAMMING)
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -264,6 +282,33 @@ def q_data_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sketches (approximate; rows-only driver check — sketch values are
+# engine-specific, so there is deliberately no oracle_sql entry. Error bounds
+# vs the exact counterparts are pinned in tests/test_operators.py.)
+# ---------------------------------------------------------------------------
+
+def q_sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct orders per return flag — the 100 TB answer to exact
+    COUNT(DISTINCT): one map-side pass, constant-size merge, rsd=2%."""
+    from iceberg_ingestion_spark.operators.sketches import approx_distinct_by
+
+    l = read_table(spark, sf_dir, "lineitem")
+    return approx_distinct_by(l, ["l_returnflag"], "l_orderkey", rsd=0.02)
+
+
+def q_sketch_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GK approximate p50/p90/p99 of extended price per return flag — the
+    documented at-scale default for quantiles (exact_quantiles is the
+    deterministic oracle-checked counterpart)."""
+    from iceberg_ingestion_spark.operators.sketches import approx_quantiles_by
+
+    l = read_table(spark, sf_dir, "lineitem")
+    return approx_quantiles_by(
+        l, ["l_returnflag"], "l_extendedprice", [0.5, 0.9, 0.99], relative_error=0.01
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
 
@@ -304,6 +349,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_clusters": q_dedup_clusters,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "sim_ann_topk_bruteforce": q_ann_topk_bruteforce,
@@ -315,6 +361,8 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "data_split_counts": q_data_split_counts,
     "sessionize_stats": q_sessionize_stats,
     "sessionize_user_summary": q_sessionize_user_summary,
+    "sketch_approx_distinct": q_sketch_approx_distinct,  # approximate: rows-only check
+    "sketch_approx_quantiles": q_sketch_approx_quantiles,  # approximate: rows-only check
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_resize_plan": q_multimodal_resize_plan,
@@ -478,6 +526,15 @@ ORACLES_EXT: dict[str, str] = {
     "dedup_minhash_lsh": _JACCARD_CTE
     + f"SELECT id_1, id_2, jaccard FROM jac WHERE jaccard >= {MINHASH_THRESHOLD}",
     "dedup_simhash": _simhash_sql(),
+    # exact pair set: the banded candidate join provably loses nothing
+    # (pigeonhole), so the quadratic DuckDB self-join is a valid oracle.
+    "dedup_simhash_pairs": f"""
+        WITH sims AS ({_simhash_sql()})
+        SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """,
     # transitive closure of the exact-Jaccard pair graph (identical pair set to
     # the LSH candidates at this threshold); component = min reachable id.
     "dedup_clusters": _JACCARD_CTE + f""",

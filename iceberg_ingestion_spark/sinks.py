@@ -127,6 +127,12 @@ class ParquetVersionedSink:
             log = {"current": 0, "snapshots": [], "properties": {}}
         version = log["current"] + 1
         vdir = self._version_dir(name, version)
+        # Crash recovery: a previous commit may have written this version dir
+        # and died before the log swap. The dir is unrecorded (the log is the
+        # source of truth), so it's an orphan — remove it rather than wedging
+        # every subsequent commit on mode('errorifexists').
+        if os.path.exists(vdir):
+            shutil.rmtree(vdir)
 
         writer = df.write.mode("errorifexists").option("compression", policy.compression_codec)
         if policy.partition_by:
@@ -331,6 +337,15 @@ class IcebergSink:
         self, name: str, changes: DataFrame, spec: ChangeSpec, policy: TablePolicy,
         keep_deletes: bool = False,
     ) -> None:
+        if keep_deletes:
+            # Soft-delete rewrite BEFORE the view registration, so the MERGE's
+            # UPDATE SET * / INSERT * carry hard_deleted (reference
+            # iceberg.py:224-227 does the same rewrite ahead of the MERGE).
+            # Keeps this path row-identical to merge_dataframes, including the
+            # absent-key-delete tombstone (see merge_into_sql docstring).
+            from iceberg_ingestion_spark.changes import with_soft_delete_flag
+
+            changes = with_soft_delete_flag(changes, spec.op_col)
         changes.createOrReplaceTempView("__ingest_changes")
         self.spark.sql(
             merge_into_sql(self._fq(name), "__ingest_changes", spec, keep_deletes=keep_deletes)

@@ -12,6 +12,10 @@ aggregates can't express (per-key HLL, decaying counters, CEP-ish matching):
 group by key, Arrow-batch the group's rows into pandas, fold them through a
 typed state tuple.
 
+Late data: events arriving with ts older than the open session's last-seen
+timestamp are dropped (they cannot rewind or re-extend state) — the poor
+man's watermark for cross-batch disorder; within a batch, events are sorted.
+
 Scale notes: state size is O(active keys), not O(events). For production add
 an event-time timeout (GroupStateTimeout.EventTimeTimeout) so idle sessions
 flush when the watermark passes, instead of waiting for the key's next event.
@@ -69,6 +73,12 @@ def sessionize_stream(stream: DataFrame, gap_us: int) -> DataFrame:
             n = 0
         closed: list[tuple[int, int, int, int]] = []
         ts_all = sorted(int(t) for pdf in pdfs for t in pdf["ts_us"])
+        # Late-data guard: an event older than the stored last timestamp would
+        # rewind `last` and could re-extend (or mis-close) the open session.
+        # Events are ordered within a batch by the sort above, but only the
+        # state carries order ACROSS micro-batches — drop anything behind it.
+        if last is not None:
+            ts_all = [t for t in ts_all if t >= last]
         for ts in ts_all:
             if last is not None and ts - last > gap_us:
                 closed.append((user_id, start, last, n))

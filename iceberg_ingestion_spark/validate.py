@@ -27,10 +27,22 @@ def diff_count(
     soft_delete_col: str = HARD_DELETED_COL,
 ) -> int:
     """Rows in the symmetric difference after stripping audit columns and
-    excluding soft-deleted target rows (reference ``iceberg.py:291-301``)."""
+    excluding soft-deleted target rows (reference ``iceberg.py:291-301``).
+
+    Column sets (net of audit/soft-delete columns) must match exactly: a
+    target with unexpected extra columns, or missing a source column, is a
+    schema drift the row diff cannot express — raised as ``ValueError`` so
+    ``--test`` fails loudly instead of silently projecting columns away."""
     src = source.drop(*audit_cols)
     tgt = target
     if soft_delete_col in tgt.columns:
         tgt = tgt.filter(F.col(soft_delete_col) == F.lit(False)).drop(soft_delete_col)
     tgt = tgt.drop(*audit_cols)
+    src_only = set(src.columns) - set(tgt.columns)
+    tgt_only = set(tgt.columns) - set(src.columns)
+    if src_only or tgt_only:
+        raise ValueError(
+            "diff_count: column sets differ — "
+            f"source-only={sorted(src_only)}, target-only={sorted(tgt_only)}"
+        )
     return bag_diff(src.select(*sorted(src.columns)), tgt.select(*sorted(src.columns))).count()

@@ -158,3 +158,19 @@ def test_diff_count_detects_drift(spark, orders):
     day1, day2 = orders_day1(orders), orders_day2(orders)
     assert diff_count(day1, day1) == 0
     assert diff_count(day1, day2) > 0
+
+
+def test_diff_count_rejects_asymmetric_columns(spark, orders):
+    """Schema drift is a validation failure, not something to project away: a
+    target with an unexpected extra column (or missing a source column) must
+    raise, or --test could report 0 despite the drift."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    day1 = orders_day1(orders)
+    extra = day1.withColumn("surprise", F.lit(1))
+    with pytest.raises(ValueError, match="surprise"):
+        diff_count(day1, extra)
+    with pytest.raises(ValueError, match="o_orderpriority"):
+        diff_count(day1, day1.drop("o_orderpriority"))

@@ -103,6 +103,95 @@ def test_minhash_lsh_finds_exact_pairs(spark, documents):
     assert exact and lsh == exact
 
 
+def test_ngram_jaccard_hot_shingle_cap_keeps_pair_set(spark, documents):
+    """Dropping df>cap shingles from candidate generation must not change the
+    >=threshold pair set (hot shingles carry no Jaccard signal), and jaccard
+    values stay exact because verification uses the full sets."""
+    uncapped = {
+        (r.id_1, r.id_2, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(documents, "doc_id", threshold=0.5).collect()
+    }
+    capped = {
+        (r.id_1, r.id_2, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(
+            documents, "doc_id", threshold=0.5, max_shingle_df=10
+        ).collect()
+    }
+    assert uncapped and capped == uncapped
+
+
+def test_ngram_jaccard_cap_drops_boilerplate_only_pairs(spark):
+    """The recall contract, exercised: a pair whose ENTIRE intersection is hot
+    shingles is missed under the cap; pairs sharing any rare shingle are kept."""
+    boiler = "terms of service apply to all documents here"  # only shared content of 1-2
+    rows = [
+        (1, boiler + " alpha beta gamma delta"),
+        (2, boiler + " epsilon zeta eta theta"),
+        (3, boiler + " alpha beta gamma delta"),  # exact dup of 1 beyond boiler
+    ] + [(100 + i, boiler + f" filler{i} x{i} y{i} z{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {
+        (r.id_1, r.id_2)
+        for r in dedup.ngram_jaccard_pairs(df, "doc_id", threshold=0.3).collect()
+    }
+    capped = {
+        (r.id_1, r.id_2)
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", threshold=0.3, max_shingle_df=5
+        ).collect()
+    }
+    assert (1, 3) in capped  # shares rare shingles -> kept
+    assert (1, 2) in uncapped and (1, 2) not in capped  # boilerplate-only -> dropped
+
+
+def test_minhash_lsh_bucket_cap_keeps_planted_pairs(spark, documents):
+    """A generous band-bucket cap must keep the full >=threshold pair set on
+    the corpus (hot buckets are boilerplate clusters, not near-dup signal)."""
+    uncapped = {
+        (r.id_1, r.id_2)
+        for r in dedup.minhash_lsh_pairs(documents, "doc_id", threshold=0.8).collect()
+    }
+    capped = {
+        (r.id_1, r.id_2)
+        for r in dedup.minhash_lsh_pairs(
+            documents, "doc_id", threshold=0.8, max_band_bucket_size=10
+        ).collect()
+    }
+    assert uncapped and capped == uncapped
+
+
+def test_simhash_pairs_plan_has_no_cross_join(spark, documents):
+    """Pigeonhole banding: candidate generation must be an equi-join — no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere in the plan."""
+    sig = text.simhash60(documents, "doc_id")
+    plan = (
+        dedup.simhash_pairs(sig, "doc_id", max_hamming=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_pairs_banding_matches_bruteforce(spark, documents):
+    """Banded pair set == brute-force pair set (pigeonhole is a guarantee)."""
+    sig = text.simhash60(documents, "doc_id").cache()
+    a = sig.select(F.col("doc_id").alias("id_1"), F.col("simhash").alias("sh_1"))
+    b = sig.select(F.col("doc_id").alias("id_2"), F.col("simhash").alias("sh_2"))
+    brute = {
+        (r.id_1, r.id_2, r.hamming)
+        for r in a.join(b, F.col("id_1") < F.col("id_2"))
+        .withColumn("hamming", F.bit_count(F.col("sh_1").bitwiseXOR(F.col("sh_2"))).cast("int"))
+        .filter(F.col("hamming") <= 6)
+        .select("id_1", "id_2", "hamming")
+        .collect()
+    }
+    banded = {
+        (r.id_1, r.id_2, r.hamming)
+        for r in dedup.simhash_pairs(sig, "doc_id", max_hamming=6).collect()
+    }
+    assert brute and banded == brute
+
+
 # -- similarity -------------------------------------------------------------
 
 def test_cosine_self_is_one(spark, embeddings):
@@ -376,3 +465,15 @@ def test_cohort_retention_buckets_and_offsets(spark):
         ev, max_offset=3, bucket_us=DAY).collect()}
     assert got[0] == (2, 1, 0, 1)   # both users day0; user1 back on d1 and d3
     assert got[1] == (1, 1, 0, 0)   # user3 cohort day1, back next day
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A chain longer than the round budget must fail loudly — silently
+    returning over-split components corrupts dedup survivor sets."""
+    chain = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(12)], "id_1 long, id_2 long, jaccard double"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iterations=3)
+    labels = dedup.connected_components(chain, max_iterations=15)
+    assert {r.component for r in labels.collect()} == {0}

@@ -33,6 +33,20 @@ def test_create_is_idempotent(sink, df):
     assert sink.current_version(NAME) == 1
 
 
+def test_commit_recovers_from_crashed_commit(sink, df):
+    """A crash between the parquet write and the log swap leaves an orphan
+    v_N+1 dir; the next commit must clear it and proceed, not wedge on
+    mode('errorifexists')."""
+    sink.create(NAME, df, POLICY)
+    orphan = sink._version_dir(NAME, 2)  # what a crashed commit leaves behind
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-junk.parquet"), "w") as f:
+        f.write("partial write")
+    sink.replace(NAME, df, POLICY)
+    assert sink.current_version(NAME) == 2
+    assert sink.read(NAME).count() == 100
+
+
 def test_replace_creates_new_version(sink, df):
     sink.create(NAME, df, POLICY)
     sink.replace(NAME, df.limit(7), POLICY)

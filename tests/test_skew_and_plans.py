@@ -73,6 +73,48 @@ def test_merge_legs_use_broadcast_joins(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_fused_merge_single_join_no_single_partition_exchange(spark):
+    """The fused snapshot merge must stay ONE join on the natural keys — no
+    repartition(1)-style exchanges anywhere, and no extra target shuffles."""
+    import re
+
+    from iceberg_ingestion_spark.merge import merge_snapshot_fused
+    from iceberg_ingestion_spark.queries import ORDERS_SPEC, read_table
+    from iceberg_ingestion_spark import fixtures
+
+    spark.catalog.clearCache()  # cached scans from other tests rewrite the plan
+    orders = read_table(spark, SF, "orders")
+    day1, day2 = fixtures.orders_day1(orders), fixtures.orders_day2(orders)
+    plan = _plan(merge_snapshot_fused(day1, day2, ORDERS_SPEC, keep_deletes=True))
+    assert "SinglePartition" not in plan
+    joins = re.findall(
+        r"\b(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|CartesianProduct|BroadcastNestedLoopJoin)\b",
+        plan,
+    )
+    assert len(joins) == 1  # one full-outer join, nothing else
+
+
+def test_job_merge_plan_broadcasts_small_changeset(spark, warehouse):
+    """At the job layer: with a day-sized change-set against a big target, the
+    anti join's change-set side must become a broadcast (AQE or static) — the
+    target is rewritten in one pass with no wide shuffle of the target — and
+    nothing in the merge may collapse to a single partition."""
+    from iceberg_ingestion_spark.merge import merge_dataframes
+    from iceberg_ingestion_spark.queries import ORDERS_SPEC, read_table
+
+    target = read_table(spark, SF, "orders")
+    # small change-set via a filter, NOT limit() (a global limit would inject
+    # its own SinglePartition exchange and mask what this test pins)
+    changes = target.filter(F.col("o_orderkey") % 500 == 0).withColumn("op", F.lit("U"))
+    import re
+
+    merged = merge_dataframes(target, changes, ORDERS_SPEC)
+    plan = _plan(merged)
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan)
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_q3_broadcasts_dimension(spark):
     from iceberg_ingestion_spark.queries import q3_shipping_priority
 

@@ -192,3 +192,27 @@ def test_stream_static_enrichment_join(spark, tmp_path):
            lambda st: st.join(dim, "user_id", "left"))
     got = {r.user_id: r.tier for r in spark.read.parquet(out_dir).collect()}
     assert got == {1: "gold", 2: "silver", 3: None}
+
+
+def test_sessionize_stream_drops_late_events(spark, tmp_path):
+    """An event arriving in a later micro-batch with ts BEHIND the open
+    session's last-seen timestamp must not rewind state: without the guard it
+    would re-extend the session (or mis-close it) retroactively."""
+    input_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    os.makedirs(input_dir)
+    tf = lambda st: sessionize_stream(st, gap_us=8 * HOUR_US)
+
+    # batch 1: open session for user 1 (events at 0 and 5h, within the gap)
+    _drop(spark, input_dir, US_DDL, [(1, 0), (1, 5 * HOUR_US)])
+    _drain(spark, input_dir, US_DDL, out_dir, ckpt, tf)
+
+    # batch 2: a LATE event at 2h (behind last=5h) plus a closer at 30h.
+    # The late event is dropped: the closed session must read
+    # (start=0, end=5h, n=2) — not n=3.
+    _drop(spark, input_dir, US_DDL, [(1, 2 * HOUR_US), (1, 30 * HOUR_US)])
+    _drain(spark, input_dir, US_DDL, out_dir, ckpt, tf)
+    got = {
+        (r.user_id, r.session_start_us): (r.session_end_us, r.n_events)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {(1, 0): (5 * HOUR_US, 2)}
