@@ -33,9 +33,22 @@ def approx_quantiles_by(
     relative_error: float = 0.01,
 ) -> DataFrame:
     """Greenwald-Khanna approximate quantiles per group: rank error bounded by
-    ``relative_error * n`` with sketch size O(1/relative_error)."""
-    return df.groupBy(*group_cols).agg(
+    ``relative_error * n`` with sketch size O(1/relative_error).
+
+    Output is one SCALAR row per (group, probability): ``(*group_cols,
+    probability, value)`` — never an array column, so results sort/hash
+    cleanly in any downstream harness (arrays are unhashable in pandas
+    canonicalization)."""
+    probs = F.array(*[F.lit(float(p)) for p in probabilities])
+    agg = df.groupBy(*group_cols).agg(
         F.percentile_approx(
             value_col, probabilities, int(1.0 / relative_error)
-        ).alias("approx_quantiles")
+        ).alias("_qs")
+    )
+    return agg.select(
+        *group_cols, F.posexplode("_qs").alias("_i", "value")
+    ).select(
+        *group_cols,
+        F.element_at(probs, F.col("_i") + 1).alias("probability"),
+        "value",
     )
