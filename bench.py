@@ -25,7 +25,18 @@ def main() -> int:
 
     # Warm-up (untimed, standard bench practice): first-use JVM codegen paths
     # and Python/Arrow worker spawn are one-time process costs, not query cost.
+    # Each table family gets one untimed touch so per-query numbers are
+    # position-independent (r2 flagged text_token_counts 3.6x slower purely
+    # because reordering made it the first query to read documents.parquet and
+    # compile a regexp — suite order must not be a hidden timing input).
+    from pyspark.sql import functions as F
+
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs.repartition(64).select(
+        F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0)).alias("n")
+    ).write.format("noop").mode("overwrite").save()
+    spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).count()
     spark.range(10_000).repartition(64).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()

@@ -200,34 +200,48 @@ def ngram_jaccard_pairs(
     if max_shingle_df is None:
         inter = _pair_intersections(sh, id_col)
     else:
+        # |hot| is bounded by |index| / cap, so materialize the hot set up to a
+        # driver-safe limit: empty -> the correction machinery (left-anti +
+        # collect_list + two extra joins) is skipped ENTIRELY (the common case
+        # on clean corpora — and a 2x local win); small -> literal isin filters
+        # replace the anti/inner joins; only a genuinely large hot set falls
+        # back to the join-based path.
+        _HOT_COLLECT_CAP = 1000
         hot = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("_df"))
             .filter(F.col("_df") > max_shingle_df)
             .select("shingle")
         )
-        # few shingles exceed the cap (|hot| <= |index| / cap) — AQE broadcasts
-        sh_rare = sh.join(hot, "shingle", "left_anti")
-        hot_per_doc = (
-            sh.join(hot, "shingle")
-            .groupBy(id_col)
-            .agg(F.sort_array(F.collect_list("shingle")).alias("hot_ss"))
-        )
-        h1 = hot_per_doc.select(F.col(id_col).alias("id_1"), F.col("hot_ss").alias("hot_1"))
-        h2 = hot_per_doc.select(F.col(id_col).alias("id_2"), F.col("hot_ss").alias("hot_2"))
-        empty = F.array().cast("array<string>")
-        hot_inter = F.size(
-            F.array_intersect(
-                F.coalesce(F.col("hot_1"), empty), F.coalesce(F.col("hot_2"), empty)
+        hot_list = [r["shingle"] for r in hot.limit(_HOT_COLLECT_CAP + 1).collect()]
+        if not hot_list:
+            inter = _pair_intersections(sh, id_col)
+        else:
+            if len(hot_list) <= _HOT_COLLECT_CAP:
+                sh_rare = sh.filter(~F.col("shingle").isin(hot_list))
+                sh_hot = sh.filter(F.col("shingle").isin(hot_list))
+            else:
+                # AQE broadcasts the (still |index|/cap-bounded) hot relation
+                sh_rare = sh.join(hot, "shingle", "left_anti")
+                sh_hot = sh.join(hot, "shingle")
+            hot_per_doc = sh_hot.groupBy(id_col).agg(
+                F.sort_array(F.collect_list("shingle")).alias("hot_ss")
             )
-        )
-        inter = (
-            _pair_intersections(sh_rare, id_col)
-            .join(h1, "id_1", "left")
-            .join(h2, "id_2", "left")
-            .withColumn("n_inter", F.col("n_inter") + hot_inter)
-            .select("id_1", "id_2", "n_inter")
-        )
+            h1 = hot_per_doc.select(F.col(id_col).alias("id_1"), F.col("hot_ss").alias("hot_1"))
+            h2 = hot_per_doc.select(F.col(id_col).alias("id_2"), F.col("hot_ss").alias("hot_2"))
+            empty = F.array().cast("array<string>")
+            hot_inter = F.size(
+                F.array_intersect(
+                    F.coalesce(F.col("hot_1"), empty), F.coalesce(F.col("hot_2"), empty)
+                )
+            )
+            inter = (
+                _pair_intersections(sh_rare, id_col)
+                .join(h1, "id_1", "left")
+                .join(h2, "id_2", "left")
+                .withColumn("n_inter", F.col("n_inter") + hot_inter)
+                .select("id_1", "id_2", "n_inter")
+            )
 
     sa = sizes.select(F.col(id_col).alias("id_1"), F.col("n_shingles").alias("n_1"))
     sb = sizes.select(F.col(id_col).alias("id_2"), F.col("n_shingles").alias("n_2"))

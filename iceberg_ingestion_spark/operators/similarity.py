@@ -76,6 +76,11 @@ def cosine_pairs(
     )
 
 
+#: Corpus-size ceiling for the exact all-pairs path; above it the quadratic
+#: cost is a mistake in practice (guard overridable with ``exact=True``).
+COSINE_EXACT_MAX_ROWS = 100_000
+
+
 def cosine_pairs_blocked(
     df: DataFrame,
     id_col: str,
@@ -83,8 +88,17 @@ def cosine_pairs_blocked(
     dim: int,
     threshold: float,
     block_size: int = 256,
+    max_rows: int = COSINE_EXACT_MAX_ROWS,
+    exact: bool = False,
 ) -> DataFrame:
-    """Exact cosine threshold-pairs via blocked pairwise kernel (the scale path).
+    """Exact cosine threshold-pairs via blocked pairwise kernel (the exact-
+    baseline path — inherently O(n²) even tiled).
+
+    Contract: raises ``ValueError`` when the corpus exceeds ``max_rows`` unless
+    ``exact=True`` is passed explicitly — at that size the production paths are
+    :func:`topk_lsh` / :func:`topk_ivf` (ANN) or
+    ``dedup.minhash_lsh_pairs`` (near-dup pairs); this operator exists as the
+    oracle baseline they are verified against.
 
     The O(n²) pair space is tiled into hash-assigned blocks of ~``block_size``
     vectors; each block *pair* is one task whose similarity matrix is computed
@@ -103,6 +117,14 @@ def cosine_pairs_blocked(
     import math
 
     n = df.count()
+    if n > max_rows and not exact:
+        raise ValueError(
+            f"cosine_pairs_blocked: corpus has {n} rows > max_rows={max_rows}; "
+            "the exact all-pairs kernel is O(n^2) and meant as the oracle "
+            "baseline. Use similarity.topk_lsh / topk_ivf for ANN or "
+            "dedup.minhash_lsh_pairs for near-dup pairs; pass exact=True to "
+            "force the quadratic path anyway."
+        )
     num_blocks = max(1, math.ceil(n / block_size))
     pre = df.select(
         F.col(id_col).cast("long").alias("_id"),

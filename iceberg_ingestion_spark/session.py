@@ -44,7 +44,16 @@ def build_session(
         # AQE: reference spark.py:88-90, kept — runtime coalesce + skew handling.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # DIVERGENCE from the reference (spark.py:90 pins false): with
+        # parallelismFirst=false, AQE coalesces any shuffle smaller than the
+        # 64MB advisory size down to ONE partition, serializing mid-size
+        # aggregations onto a single core (measured 2x on the inverted-index
+        # join at sf0.1). true — Spark's own default — only affects shuffles
+        # smaller than advisory*parallelism: at 100 TB bytes/64MB dwarfs the
+        # core count so coalescing targets the advisory size regardless, while
+        # small shuffles spread across the cluster bounded below by
+        # minPartitionSize (1MB), which is the right behavior at every scale.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # reference spark.py:69 — overwrite only touched partitions.
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")

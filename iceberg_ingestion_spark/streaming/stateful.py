@@ -16,9 +16,13 @@ Late data: events arriving with ts older than the open session's last-seen
 timestamp are dropped (they cannot rewind or re-extend state) — the poor
 man's watermark for cross-batch disorder; within a batch, events are sorted.
 
-Scale notes: state size is O(active keys), not O(events). For production add
-an event-time timeout (GroupStateTimeout.EventTimeTimeout) so idle sessions
-flush when the watermark passes, instead of waiting for the key's next event.
+Scale notes: state size is O(active keys), not O(events). With
+``watermark_delay`` set, idle sessions flush via an EVENT-TIME TIMEOUT
+(``GroupStateTimeout.EventTimeTimeout``): each update arms a timeout at
+``last_event + gap``; when the stream's watermark passes it, the open session
+is emitted and its state removed — without waiting for the key's next event
+(which for a churned user never comes, so without the timeout that state —
+and the session — would be held forever).
 """
 
 from __future__ import annotations
@@ -27,6 +31,7 @@ from typing import Any, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
@@ -53,11 +58,18 @@ SESSION_STATE = StructType(
 )
 
 
-def sessionize_stream(stream: DataFrame, gap_us: int) -> DataFrame:
+def sessionize_stream(
+    stream: DataFrame, gap_us: int, watermark_delay: str | None = None
+) -> DataFrame:
     """Emit (user_id, session_start_us, session_end_us, n_events) for every
     session closed by a later event arriving > ``gap_us`` after it.
 
     Input stream needs columns ``user_id: long`` and ``ts_us: long``.
+
+    ``watermark_delay`` (e.g. ``"1 hour"``): enable the event-time timeout —
+    a session idle past the gap is flushed once the watermark (max event time
+    minus the delay) passes ``last_event + gap``, instead of staying open
+    until the key's next event. Required for bounded state under key churn.
     """
 
     def fold(
@@ -71,6 +83,17 @@ def sessionize_stream(stream: DataFrame, gap_us: int) -> DataFrame:
         else:
             start = last = None
             n = 0
+        if watermark_delay is not None and state.hasTimedOut:
+            # Watermark passed last + gap with no new events: the open session
+            # can never be extended (anything older would be late-dropped) —
+            # flush it exactly once and clear the key's state.
+            state.remove()
+            if last is not None:
+                yield pd.DataFrame(
+                    [(user_id, start, last, n)],
+                    columns=["user_id", "session_start_us", "session_end_us", "n_events"],
+                )
+            return
         closed: list[tuple[int, int, int, int]] = []
         ts_all = sorted(int(t) for pdf in pdfs for t in pdf["ts_us"])
         # Late-data guard: an event older than the stored last timestamp would
@@ -88,16 +111,27 @@ def sessionize_stream(stream: DataFrame, gap_us: int) -> DataFrame:
             last = ts
             n += 1
         state.update((start, last, n))
+        if watermark_delay is not None and last is not None:
+            # Arm the idle flush: fires when the watermark passes last + gap.
+            state.setTimeoutTimestamp((last + gap_us) // 1000)
         if closed:
             yield pd.DataFrame(
                 closed,
                 columns=["user_id", "session_start_us", "session_end_us", "n_events"],
             )
 
+    timeout = GroupStateTimeout.NoTimeout
+    if watermark_delay is not None:
+        # EventTimeTimeout requires a watermark on an event-time column; the
+        # stream carries integer microseconds, so derive one.
+        stream = stream.withColumn(
+            "_event_ts", F.timestamp_micros(F.col("ts_us"))
+        ).withWatermark("_event_ts", watermark_delay)
+        timeout = GroupStateTimeout.EventTimeTimeout
     return stream.groupBy("user_id").applyInPandasWithState(
         fold,
         outputStructType=SESSION_OUTPUT,
         stateStructType=SESSION_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

@@ -359,6 +359,23 @@ def test_topk_ivf_recall_and_shape(spark, embeddings):
     assert len(a & e) / len(e) >= 0.5
 
 
+def test_cosine_pairs_blocked_size_guard(spark):
+    """The exact all-pairs path refuses corpora above max_rows unless
+    exact=True — the error must route the caller to the ANN/LSH paths."""
+    big = spark.range(0, 1_000).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="topk_lsh"):
+        similarity.cosine_pairs_blocked(
+            big, "vec_id", "embedding", 2, 0.5, max_rows=500
+        )
+    # explicit exact=True bypasses the guard (plan builds; no execution here)
+    similarity.cosine_pairs_blocked(
+        big, "vec_id", "embedding", 2, 0.5, max_rows=500, exact=True
+    )
+
+
 def test_connected_components_chains_and_stars(spark):
     pairs = spark.createDataFrame(
         # chain 1-2-3-4, star 10-(11,12), isolated pair 20-21

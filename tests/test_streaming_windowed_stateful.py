@@ -147,6 +147,39 @@ def test_sessionize_stream_matches_batch_semantics(spark, tmp_path):
     assert got == closed_batch
 
 
+def test_sessionize_stream_event_time_timeout_flushes_idle(spark, tmp_path):
+    """With watermark_delay set, an idle open session closes when the
+    watermark passes last_event + gap — WITHOUT a new event for that key.
+    User 1 never appears after batch 1; other users' events advance the
+    watermark and flush user 1's session."""
+    input_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    os.makedirs(input_dir)
+    tf = lambda st: sessionize_stream(st, gap_us=8 * HOUR_US, watermark_delay="1 hour")
+    # keep all events strictly above the initial watermark (epoch 0): Spark's
+    # event-time pre-filter drops rows at/behind the watermark before they
+    # reach the stateful operator.
+    base = 100 * HOUR_US
+
+    # batch 1: user 1 open session (base, base+1h); user 2 event at base+40h
+    # pushes the post-batch watermark to base+39h — past user 1's timeout at
+    # base + 1h + 8h.
+    _drop(spark, input_dir, US_DDL,
+          [(1, base), (1, base + HOUR_US), (2, base + 40 * HOUR_US)])
+    _drain(spark, input_dir, US_DDL, out_dir, ckpt, tf)
+
+    # batch 2: only user 2 again (base+41h). User 1's timed-out session must
+    # be flushed by now; user 2's own session (timeout base+49h > watermark
+    # base+40h) stays open.
+    _drop(spark, input_dir, US_DDL, [(2, base + 41 * HOUR_US)])
+    _drain(spark, input_dir, US_DDL, out_dir, ckpt, tf)
+
+    got = {
+        (r.user_id, r.session_start_us): (r.session_end_us, r.n_events)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {(1, base): (base + HOUR_US, 2)}
+
+
 def test_exact_dedup_stream_drops_replays(spark, tmp_path):
     from iceberg_ingestion_spark.streaming.dedup_stream import exact_dedup_stream
 
