@@ -115,7 +115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     merged = {**QUERIES, **QUERIES_ANALYTICS, **QUERIES_EXT}
     missing = [n for n in _PRIORITY if n not in merged]
-    assert not missing, f"_PRIORITY names not registered: {missing}"
+    if missing:  # not assert: survives python -O with the diagnostic intact
+        raise RuntimeError(f"_PRIORITY names not registered: {missing}")
     out = {n: merged[n] for n in _PRIORITY}
     out.update({n: fn for n, fn in merged.items() if n not in out})
     return out

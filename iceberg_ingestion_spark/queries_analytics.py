@@ -481,9 +481,15 @@ def exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sort_cols = ["l_extendedprice", "l_orderkey", "l_linenumber"]
     l = read_table(spark, sf_dir, "lineitem").select("l_returnflag", *sort_cols)
+    # cache(): `ranged` feeds TWO plan subtrees (offsets and ranked) whose
+    # correctness requires IDENTICAL pid assignment in both. Without the
+    # cache that held only via Spark's exchange reuse + deterministic range
+    # sampling — an implicit dependency a refactor could silently break;
+    # the cache makes the single evaluation explicit (and at scale you want
+    # the range exchange computed once anyway).
     ranged = l.repartitionByRange(
         default_parallelism(), "l_returnflag", *[F.col(c) for c in sort_cols]
-    ).withColumn("pid", F.spark_partition_id())
+    ).withColumn("pid", F.spark_partition_id()).cache()
 
     seg = ranged.groupBy("pid", "l_returnflag").agg(F.count(F.lit(1)).alias("cnt"))
     w_off = Window.partitionBy("l_returnflag").orderBy("pid")

@@ -129,7 +129,16 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     >20 docs are excluded from candidate generation (they are boilerplate and
     quadratic in the inverted-index join); the oracle is the UNCAPPED exact
     pair set, so the driver check also pins the cap's no-recall-loss contract
-    on this corpus."""
+    on this corpus.
+
+    CORPUS-DEPENDENT gate (by design): the no-recall-loss property holds
+    because no >=0.5-jaccard pair in the testdata has its ENTIRE intersection
+    in df>20 boilerplate shingles. Regenerated testdata planting such a pair
+    would rightly fail this driver row — that is the cap's documented recall
+    loss, exercised deliberately in
+    tests/test_operators.py::test_ngram_jaccard_cap_drops_boilerplate_only_pairs;
+    if it ever fires here, either raise max_shingle_df or exact-dedup the
+    boilerplate first (the operator docstring's stated remedy)."""
     d = read_table(spark, sf_dir, "documents", spread=True)
     return dedup.ngram_jaccard_pairs(
         d, "doc_id", k=3, threshold=JACCARD_THRESHOLD, max_shingle_df=20

@@ -28,6 +28,7 @@ import json
 import os
 import shutil
 import tempfile
+import uuid
 from datetime import datetime, timedelta, timezone
 from typing import Protocol
 
@@ -127,17 +128,37 @@ class ParquetVersionedSink:
             log = {"current": 0, "snapshots": [], "properties": {}}
         version = log["current"] + 1
         vdir = self._version_dir(name, version)
-        # Crash recovery: a previous commit may have written this version dir
-        # and died before the log swap. The dir is unrecorded (the log is the
-        # source of truth), so it's an orphan — remove it rather than wedging
-        # every subsequent commit on mode('errorifexists').
-        if os.path.exists(vdir):
-            shutil.rmtree(vdir)
-
+        # Write to a private in-flight dir, then rename into place. Crash
+        # recovery (an unrecorded v_NNNNN dir left by a commit that died
+        # before the log swap) therefore never has to delete data at the
+        # final path while another writer might be producing it; stale
+        # .inflight-* dirs are inert garbage swept by remove_orphan_files.
+        # The log swap itself assumes a SINGLE COMMITTER per table (the
+        # reference delegates this to Iceberg's catalog CAS); a lost race is
+        # DETECTED below and raised, never silently absorbed.
+        tmp = f"{vdir}.inflight-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         writer = df.write.mode("errorifexists").option("compression", policy.compression_codec)
         if policy.partition_by:
             writer = writer.partitionBy(*policy.partition_by)
-        writer.parquet(vdir)
+        writer.parquet(tmp)
+        try:
+            os.rename(tmp, vdir)
+        except OSError:
+            # vdir exists: either an orphan of a crashed commit (the log —
+            # the source of truth — does not record it) or a concurrent
+            # committer won the race (it does). The log distinguishes them.
+            if os.path.exists(self._log_path(name)) and self._read_log(name)[
+                "current"
+            ] >= version:
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise RuntimeError(
+                    f"concurrent commit detected on {name} v{version}: the "
+                    "versioned-parquet log protocol is single-committer per "
+                    "table — serialize writers or use the Iceberg sink, whose "
+                    "catalog provides the compare-and-swap"
+                )
+            shutil.rmtree(vdir)
+            os.rename(tmp, vdir)
 
         log["current"] = version
         log["properties"] = policy.iceberg_table_properties()

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
-from iceberg_ingestion_spark.changes import dedup_latest, stamp_audit
+from iceberg_ingestion_spark.changes import dedup_latest, stamp_audit, with_soft_delete_flag
 from iceberg_ingestion_spark.model import ChangeSpec, TablePolicy
 from iceberg_ingestion_spark.sinks import TableSink
 
@@ -55,7 +55,15 @@ def stream_cdc_merge(
         if sink.exists(name):
             sink.merge(name, changes, spec, policy, keep_deletes=keep_deletes)
         else:
-            sink.create(name, changes.drop(spec.op_col), policy)
+            # First batch creates the table. With keep_deletes the target
+            # schema must carry hard_deleted from the start (later merges
+            # UPDATE SET * / INSERT * against it), and first-batch D rows
+            # must land flagged, not live — same contract as
+            # IngestionJob.first_load (reference iceberg.py:122-149).
+            initial = changes
+            if keep_deletes:
+                initial = with_soft_delete_flag(initial, spec.op_col)
+            sink.create(name, initial.drop(spec.op_col), policy)
 
     writer = stream.writeStream.foreachBatch(_apply).outputMode("update")
     if checkpoint_dir:

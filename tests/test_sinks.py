@@ -47,6 +47,38 @@ def test_commit_recovers_from_crashed_commit(sink, df):
     assert sink.read(NAME).count() == 100
 
 
+def test_commit_detects_lost_race_to_concurrent_committer(sink, df):
+    """If the version dir exists AND the log already records that version, a
+    concurrent committer won — the commit must raise, not delete the winner's
+    committed data (single-committer protocol, violation detected loudly)."""
+    import pytest
+
+    sink.create(NAME, df, POLICY)
+    sink.replace(NAME, df.limit(5), POLICY)  # v2 committed (the "winner")
+    # simulate this writer having read the log BEFORE the winner's commit:
+    # rewind the log pointer so _commit recomputes version 2
+    log = sink._read_log(NAME)
+    log["current"] = 1
+    sink._write_log(NAME, log)
+
+    class _RacingSink(type(sink)):
+        def _read_log(self, name):
+            # first read (version calc) sees the rewound log; restore the
+            # winner's log before the rename-conflict check re-reads it
+            out = super()._read_log(name)
+            out2 = dict(out)
+            if out["current"] == 1:
+                restored = dict(out, current=2)
+                super()._write_log(name, restored)
+            return out2
+
+    racing = _RacingSink(sink.spark, sink.warehouse)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        racing.replace(NAME, df.limit(3), POLICY)
+    # the winner's v2 data is intact
+    assert sink.read_version(NAME, 2).count() == 5
+
+
 def test_replace_creates_new_version(sink, df):
     sink.create(NAME, df, POLICY)
     sink.replace(NAME, df.limit(7), POLICY)

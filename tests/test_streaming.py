@@ -53,3 +53,33 @@ def test_stream_cdc_merge_two_batches(spark, tmp_path):
     assert got == {1: "a1", 3: "c0"}
     # checkpoint prevents reprocessing: batch 1 files were not re-applied
     assert sink.current_version("db.t") == 2
+
+
+def test_stream_cdc_first_batch_create_keeps_soft_delete_flag(spark, tmp_path):
+    """keep_deletes: the FIRST batch creates the table — it must carry the
+    hard_deleted column (later merges UPDATE SET */INSERT * against it), and
+    a D row in that first batch must land flagged, not as a live row."""
+    input_dir = str(tmp_path / "cdc_in")
+    ckpt = str(tmp_path / "ckpt")
+    wh = str(tmp_path / "wh")
+    os.makedirs(input_dir)
+    sink = ParquetVersionedSink(spark, wh)
+    schema = spark.createDataFrame([], SCHEMA_DDL).schema
+
+    _write_batch(
+        spark, input_dir,
+        [(1, 10, "a0", "I"), (2, 10, "b0", "D")],
+    )
+    q = stream_cdc_merge(spark, input_dir, schema, sink, "db.t", SPEC,
+                         TablePolicy(), checkpoint_dir=ckpt, keep_deletes=True)
+    q.awaitTermination(120)
+    got = {r.id: (r.payload, r.hard_deleted) for r in sink.read("db.t").collect()}
+    assert got == {1: ("a0", False), 2: ("b0", True)}
+
+    # second batch merges against the created schema without drift
+    _write_batch(spark, input_dir, [(1, 20, "a1", "D"), (3, 20, "c0", "I")])
+    q = stream_cdc_merge(spark, input_dir, schema, sink, "db.t", SPEC,
+                         TablePolicy(), checkpoint_dir=ckpt, keep_deletes=True)
+    q.awaitTermination(120)
+    got = {r.id: (r.payload, r.hard_deleted) for r in sink.read("db.t").collect()}
+    assert got == {1: ("a1", True), 2: ("b0", True), 3: ("c0", False)}
