@@ -42,11 +42,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: Names promoted to the front of ``queries()``. The driver checks entries in
-#: insertion order (round 1 recorded rows for exactly the first 50), so order
-#: by verification value: the SURVEY §2 ingest calculus, then every
-#: LLM-pipeline extension operator (unchecked in round 1), then the
-#: distinctive analytics operators. The TPC-H shape variants (q2-q22) trail —
-#: they exercise join/agg shapes already verified by the front of the list.
+#: insertion order (it records rows for exactly the first 50), so rotate the
+#: window each round toward the entries whose evidence would otherwise go
+#: stale: (a) everything whose code path changed THIS round — the sketch and
+#: ANN bound-check rewrites, the ngram hot-set short-circuit, the
+#: cosine-guard signature, the cached exact-quantiles — plus the ingest
+#: calculus (cheap, always re-verified); (b) the 19 TPC-H tail queries whose
+#: green rows date from round 1 (flagged in VERDICT r2 as silently stale on
+#: any future edit). The 19 entries left OUT of the window (text_quality/
+#: lang/fingerprint/pii/repetition, exact/fingerprint/simhash/cluster dedup,
+#: knn vote, sessionize/funnel/cohort/splits, multimodal) are byte-unchanged
+#: since their green round-2 rows.
 _PRIORITY = [
     # SURVEY §2 core calculus + validation (13)
     "ingest_detect_inserts",
@@ -62,49 +68,46 @@ _PRIORITY = [
     "ingest_first_load_cdc",
     "validate_bag_diff_strictness",
     "validate_bag_diff_identity",
-    # text analysis (6)
-    "text_token_counts",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_pii_scrub",
-    "text_repetition",
-    # dedup family (7)
-    "dedup_exact",
-    "dedup_fingerprint_groups",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_clusters",
-    # similarity search (5)
-    "dedup_embedding_cosine",
+    # round-3 touched extension paths (10)
+    "text_token_counts",          # bench-flagged in r2 — fresh timing + row
+    "dedup_ngram_jaccard",        # hot-set short-circuit rewrite
+    "dedup_minhash_lsh",          # same file; shares shingle machinery
+    "dedup_embedding_cosine",     # cosine_pairs_blocked signature change
     "sim_ann_topk_bruteforce",
-    "sim_ann_topk_lsh",
-    "sim_ann_topk_ivf",
-    "sim_knn_label_vote",
-    # event analytics (5)
-    "sessionize_stats",
-    "sessionize_user_summary",
-    "funnel_conversion",
-    "cohort_retention",
-    "data_split_counts",
-    # sketches (2, rows-only)
-    "sketch_approx_distinct",
-    "sketch_approx_quantiles",
-    # multimodal plumbing (3)
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "multimodal_resize_plan",
-    # distinctive analytics operators (8)
-    "q12_return_class_priority",  # round-1 hash FAIL, fixed — re-verify early
-    "analytics_exact_quantiles",  # rewritten two-phase selection — re-verify
+    "sim_ann_topk_lsh",           # new recall bound-check form
+    "sim_ann_topk_ivf",           # new recall bound-check form
+    "sketch_approx_distinct",     # new HLL bound-check form
+    "sketch_approx_quantiles",    # new GK bound-check form (scalar rows)
+    "analytics_exact_quantiles",  # cached range exchange
+    # distinctive analytics (6)
+    "q12_return_class_priority",
     "analytics_tfidf_top_terms",
     "analytics_running_totals",
     "rollup_revenue",
     "topn_orders_per_segment",
     "asof_last_click_before_purchase",
+    # TPC-H suite — q2,q4-q11,q13-q22 rotate back in (r1-era rows) (22)
     "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_late_shipment_priority",
+    "q5_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_bracketed_revenue",
+    "q20_part_share_suppliers",
+    "q21_single_late_supplier",
+    "q22_inactive_balance",
 ]
 
 

@@ -444,10 +444,11 @@ def test_approx_quantiles_rank_error(spark):
     from iceberg_ingestion_spark.operators import sketches
 
     df = spark.range(10_000).select(F.lit("a").alias("g"), F.col("id").alias("v"))
-    [row] = sketches.approx_quantiles_by(df, ["g"], "v", [0.5, 0.9], 0.01).collect()
-    p50, p90 = row.approx_quantiles
-    assert abs(p50 - 5_000) <= 150   # rank error <= 1% of n, with slack
-    assert abs(p90 - 9_000) <= 150
+    rows = sketches.approx_quantiles_by(df, ["g"], "v", [0.5, 0.9], 0.01).collect()
+    got = {(r.g, r.probability): r.value for r in rows}  # scalar rows, no arrays
+    assert set(got) == {("a", 0.5), ("a", 0.9)}
+    assert abs(got[("a", 0.5)] - 5_000) <= 150   # rank error <= 1% of n, with slack
+    assert abs(got[("a", 0.9)] - 9_000) <= 150
 
 
 def test_funnel_order_matters(spark):
