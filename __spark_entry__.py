@@ -50,9 +50,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: calculus (cheap, always re-verified); (b) the 19 TPC-H tail queries whose
 #: green rows date from round 1 (flagged in VERDICT r2 as silently stale on
 #: any future edit). The 19 entries left OUT of the window (text_quality/
-#: lang/fingerprint/pii/repetition, exact/fingerprint/simhash/cluster dedup,
-#: knn vote, sessionize/funnel/cohort/splits, multimodal) are byte-unchanged
-#: since their green round-2 rows.
+#: lang/fingerprint/pii/repetition, exact/fingerprint/simhash dedup, knn
+#: vote, sessionize/funnel/cohort/splits, multimodal, rollup_revenue,
+#: topn_orders_per_segment) are byte-unchanged since their green round-2
+#: rows — including every operator
+#: function they call (dedup_clusters is IN the window precisely because it
+#: consumes the round-3-rewritten minhash_lsh_pairs).
 _PRIORITY = [
     # SURVEY §2 core calculus + validation (13)
     "ingest_detect_inserts",
@@ -72,6 +75,7 @@ _PRIORITY = [
     "text_token_counts",          # bench-flagged in r2 — fresh timing + row
     "dedup_ngram_jaccard",        # hot-set short-circuit rewrite
     "dedup_minhash_lsh",          # same file; shares shingle machinery
+    "dedup_clusters",             # consumes minhash_lsh_pairs (cap rewrite)
     "dedup_embedding_cosine",     # cosine_pairs_blocked signature change
     "sim_ann_topk_bruteforce",
     "sim_ann_topk_lsh",           # new recall bound-check form
@@ -83,9 +87,8 @@ _PRIORITY = [
     "q12_return_class_priority",
     "analytics_tfidf_top_terms",
     "analytics_running_totals",
-    "rollup_revenue",
-    "topn_orders_per_segment",
     "asof_last_click_before_purchase",
+    "events_interval_join",       # NEW in r3 — needs its first green row
     # TPC-H suite — q2,q4-q11,q13-q22 rotate back in (r1-era rows) (22)
     "q1_pricing_summary",
     "q2_min_cost_supplier",

