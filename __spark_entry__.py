@@ -55,7 +55,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: topn_orders_per_segment) are byte-unchanged since their green round-2
 #: rows — including every operator
 #: function they call (dedup_clusters is IN the window precisely because it
-#: consumes the round-3-rewritten minhash_lsh_pairs).
+#: consumes the round-3-rewritten minhash_lsh_pairs). Late-r3 rotation: the
+#: four NEW corpus-prep queries (decon/mix/pack/chunk-dedup) take the window
+#: slots of q12_return_class_priority / analytics_tfidf_top_terms /
+#: analytics_running_totals / asof_last_click_before_purchase, which are
+#: byte-unchanged since their green round-2 hash rows (verified: git diff
+#: 1804af9..HEAD touches queries_analytics.py only at exact_quantiles).
 _PRIORITY = [
     # SURVEY §2 core calculus + validation (13)
     "ingest_detect_inserts",
@@ -83,12 +88,12 @@ _PRIORITY = [
     "sketch_approx_distinct",     # new HLL bound-check form
     "sketch_approx_quantiles",    # new GK bound-check form (scalar rows)
     "analytics_exact_quantiles",  # cached range exchange
-    # distinctive analytics (6)
-    "q12_return_class_priority",
-    "analytics_tfidf_top_terms",
-    "analytics_running_totals",
-    "asof_last_click_before_purchase",
-    "events_interval_join",       # NEW in r3 — needs its first green row
+    # new-in-r3 corpus prep + interval join — need their first green rows (5)
+    "decon_benchmark_overlap",
+    "mix_weighted_sample",
+    "pack_token_budget",
+    "dedup_exact_chunks",
+    "events_interval_join",
     # TPC-H suite — q2,q4-q11,q13-q22 rotate back in (r1-era rows) (22)
     "q1_pricing_summary",
     "q2_min_cost_supplier",

@@ -1,0 +1,186 @@
+"""Corpus-preparation operators for large-scale training-data pipelines:
+benchmark decontamination, deterministic data mixing, fixed-token-budget
+sequence packing, and chunk-level exact dedup.
+
+These extend the engine beyond the reference's ingestion surface (the
+reference — datamindedbe/iceberg-ingestion, src/iceberg.py — has no corpus
+tooling at all); they are the operations a 100 TB pretraining pipeline runs
+between ingestion and tokenization.
+
+Scale notes (local[32] tests verify correctness; the plans are written for a
+1000-executor cluster):
+
+- :func:`contamination_counts` — eval benchmarks are tiny (MBs) next to the
+  corpus (TBs), so the benchmark n-gram set is broadcast: the corpus side
+  stays a map-only scan + broadcast-hash semi-join, no shuffle of corpus
+  n-grams. The only shuffle is the final per-doc count, keyed by doc_id
+  (uniform).
+- :func:`weighted_mix` — pure map-side filter on an md5-derived bucket: no
+  shuffle, no RNG state, linear at any scale, and a document's keep/drop
+  decision never changes as the corpus grows (same stability argument as
+  ``sampling.hash_split``).
+- :func:`pack_sequences` — GPT-style concat-and-chunk packing. A single global
+  document order would serialize on one partition, so the corpus is sharded by
+  an md5 bucket of the doc id and packing runs per (group, shard): shard count
+  scales parallelism independently of group cardinality (5 langs would
+  otherwise cap the cluster at 5 tasks). Within a shard the order is the
+  deterministic (doc_id) sort — reproducible across runs and engines.
+- :func:`chunk_duplicate_counts` — non-overlapping chunks mean the exploded
+  relation is ~|corpus tokens| / chunk_words rows (vs ×k for overlapping
+  shingles); one hash-partitioned count by chunk digest, uniform by
+  construction (md5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from iceberg_ingestion_spark.operators.sampling import hash_split_bucket
+
+
+def ngram_table(df: DataFrame, id_col: str, text_col: str = "text", n: int = 5) -> DataFrame:
+    """Exploded (id, ngram) relation of distinct word n-grams. Word n-grams ARE
+    k-word shingles, so this reuses the Arrow-batched shingle kernel
+    (``dedup.shingle_sets``) — the Catalyst higher-order-lambda form is ~10×
+    slower on this hot leaf (see that function's docstring)."""
+    from iceberg_ingestion_spark.operators.dedup import shingle_sets
+
+    sets = shingle_sets(df, id_col, text_col, k=n)
+    return sets.select(F.col(id_col), F.explode("ss").alias("ngram"))
+
+
+def contamination_counts(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus doc, the number of distinct word
+    n-grams it shares with ANY benchmark doc — the standard n-gram-overlap
+    test-set contamination check. Returns (id, n_hit_ngrams) for contaminated
+    docs only; anti-join the result against the corpus to scrub.
+
+    Plan: the benchmark n-gram set is deduped and **broadcast** (eval suites
+    are small by definition), so corpus n-grams never shuffle — the join is a
+    broadcast-hash inner join evaluated map-side, then one aggregation keyed
+    by doc id.
+    """
+    corpus_grams = ngram_table(corpus, id_col, text_col, n)
+    bench_grams = ngram_table(benchmark, id_col, text_col, n).select("ngram").distinct()
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "ngram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_ngrams"))
+    )
+
+
+def weighted_mix(
+    df: DataFrame,
+    stratum_col: str,
+    weights: dict[str, float],
+    key: str = "doc_id",
+    resolution: int = 10_000,
+) -> DataFrame:
+    """Deterministic data mixing: keep each row with per-stratum probability
+    ``weights[stratum]`` (0..1), decided by an md5 bucket of ``key`` — no RNG,
+    so the mix is reproducible across runs, engines, and cluster sizes, and a
+    document's fate never flips when the corpus grows. Map-only (no shuffle).
+
+    Strata absent from ``weights`` are dropped (weight 0).
+    """
+    bucket = hash_split_bucket(key, resolution)
+    thresh = None
+    for name, w in weights.items():
+        lim = F.lit(int(round(w * resolution)))
+        cond = F.col(stratum_col) == name
+        thresh = F.when(cond, lim) if thresh is None else thresh.when(cond, lim)
+    thresh = thresh.otherwise(F.lit(0)) if thresh is not None else F.lit(0)
+    return df.where(bucket < thresh)
+
+
+def pack_sequences(
+    df: DataFrame,
+    group_col: str,
+    size_col: Column,
+    budget: int,
+    key: str = "doc_id",
+    shards: int = 8,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: within each (group, shard), documents
+    are laid out in deterministic (key) order and the token stream is cut into
+    ``budget``-sized training sequences; each doc is assigned the sequence its
+    first token lands in (``seq_index``). Adds ``shard``, ``n_tokens``,
+    ``seq_index`` columns.
+
+    ``shards`` (md5-bucket of ``key``) decouples parallelism from group
+    cardinality: packing 5 languages on a 1000-executor cluster needs
+    5 × shards independent sort groups, not 5. One shuffle (the window's
+    partition-by), bounded per-task state (running sum only).
+    """
+    sharded = df.withColumn("shard", hash_split_bucket(key, shards)).withColumn(
+        "n_tokens", size_col
+    )
+    w = (
+        Window.partitionBy(group_col, "shard")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return sharded.withColumn(
+        "seq_index", F.floor(before / F.lit(budget)).cast("long")
+    )
+
+
+def chunk_table(
+    df: DataFrame, id_col: str, text_col: str = "text", chunk_words: int = 10
+) -> DataFrame:
+    """Exploded (id, chunk_md5) over NON-overlapping ``chunk_words``-word
+    chunks (trailing partial chunk dropped). Duplicates within a doc kept —
+    occurrence counts are corpus-wide. Arrow-batched kernel (same tokenizer as
+    ``dedup.shingle_sets``: ``\\s+`` split of trimmed lower-cased text); md5 of
+    the UTF-8 space-joined chunk is bit-identical to Spark's/DuckDB's ``md5``.
+    """
+    import hashlib
+    import re
+
+    ws = re.compile(r"\s+")
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, digests = [], []
+            for doc_id, t in zip(pdf[id_col], pdf[text_col]):
+                toks = ws.split(t.strip().lower())
+                for i in range(0, len(toks) - chunk_words + 1, chunk_words):
+                    chunk = " ".join(toks[i : i + chunk_words])
+                    ids.append(doc_id)
+                    digests.append(hashlib.md5(chunk.encode("utf-8")).hexdigest())
+            yield pd.DataFrame({id_col: ids, "chunk_md5": digests})
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, schema=f"{id_col} {id_type}, chunk_md5 string"
+    )
+
+
+def chunk_duplicate_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", chunk_words: int = 10
+) -> DataFrame:
+    """Chunk-level exact dedup: corpus-wide occurrence counts of non-overlapping
+    ``chunk_words``-word chunks, returning chunks seen more than once —
+    (chunk_md5, n_occurrences, n_docs). The scrub pass is then a broadcast
+    anti-join of flagged digests (duplicate sets are tiny next to the corpus).
+    """
+    ch = chunk_table(df, id_col, text_col, chunk_words)
+    return (
+        ch.groupBy("chunk_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+        .where(F.col("n_occurrences") > 1)
+    )

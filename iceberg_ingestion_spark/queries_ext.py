@@ -13,7 +13,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from iceberg_ingestion_spark.operators import dedup, multimodal, sessionize, similarity, text
+from iceberg_ingestion_spark.operators import (
+    corpus,
+    dedup,
+    multimodal,
+    sessionize,
+    similarity,
+    text,
+)
 from iceberg_ingestion_spark.queries import TS_FMT_SPARK, read_table
 
 EMBED_DIM = 64
@@ -362,6 +369,65 @@ def q_data_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus preparation (decontamination / mixing / packing / chunk dedup)
+# ---------------------------------------------------------------------------
+
+#: Benchmark membership predicate for the decontamination query: a small
+#: deterministic subset standing in for an eval suite (~1% of docs).
+DECON_BENCH_MOD = 97
+# n=4: at the corpus' ~50-word vocabulary, 5-grams almost never collide
+# (1 contaminated doc at sf0.01 — too thin a hash row) and 3-grams flag a
+# third of the corpus (noise); 4 flags a realistic ~1.5%.
+DECON_NGRAM = 4
+#: Target mixing weights per language (en kept whole, zh/es downweighted) —
+#: an arbitrary-but-pinned pretraining mix.
+MIX_WEIGHTS = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.25}
+PACK_BUDGET = 2048
+PACK_SHARDS = 8
+CHUNK_WORDS = 10
+
+
+def q_decon_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: corpus docs sharing ≥1 distinct word 5-gram
+    with the (broadcast) benchmark subset, with overlap counts."""
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    bench = d.where(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    rest = d.where(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    return corpus.contamination_counts(rest, bench, n=DECON_NGRAM)
+
+
+def q_mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pretraining mix: per-(lang, source) kept counts under the
+    pinned language weights — md5-bucket thresholding, no RNG."""
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    return (
+        corpus.weighted_mix(d, "lang", MIX_WEIGHTS)
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+def q_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing summary: docs and token mass per
+    (lang, shard, seq_index) at a 2048-token budget."""
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    packed = corpus.pack_sequences(
+        d, "lang", text.token_count_ws("text"), PACK_BUDGET, shards=PACK_SHARDS
+    )
+    return packed.groupBy("lang", "shard", "seq_index").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
+
+
+def q_dedup_exact_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup: corpus-wide duplicate counts of non-overlapping
+    10-word chunks (the scrub input)."""
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    return corpus.chunk_duplicate_counts(d, chunk_words=CHUNK_WORDS)
+
+
+# ---------------------------------------------------------------------------
 # Sketches (approximate, but hash-verifiable: sketch VALUES are engine-
 # specific, so each query emits exact-side columns plus an error-bound boolean
 # computed in-query against the exact counterpart — Spark's HLL++/GK are
@@ -490,6 +556,10 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
     "data_split_counts": q_data_split_counts,
+    "decon_benchmark_overlap": q_decon_benchmark_overlap,
+    "mix_weighted_sample": q_mix_weighted_sample,
+    "pack_token_budget": q_pack_token_budget,
+    "dedup_exact_chunks": q_dedup_exact_chunks,
     "sessionize_stats": q_sessionize_stats,
     "sessionize_user_summary": q_sessionize_user_summary,
     "sketch_approx_distinct": q_sketch_approx_distinct,  # HLL error bound-check
@@ -803,6 +873,74 @@ WHERE p.event_type = 'click'
                     ELSE 'test' END AS split,
                lang, count(*) AS n_docs
         FROM b GROUP BY 1, 2
+    """,
+    "decon_benchmark_overlap": f"""
+        WITH words AS (
+            SELECT doc_id, {_TOKS} AS w FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(w, i, i + {DECON_NGRAM - 1}), ' ') AS ngram
+            FROM words, UNNEST(range(1, len(w) - {DECON_NGRAM - 2})) AS t(i)
+            WHERE len(w) >= {DECON_NGRAM}
+        ),
+        bench AS (
+            SELECT DISTINCT ngram FROM grams WHERE doc_id % {DECON_BENCH_MOD} = 0
+        )
+        SELECT g.doc_id, count(*) AS n_hit_ngrams
+        FROM grams g JOIN bench USING (ngram)
+        WHERE g.doc_id % {DECON_BENCH_MOD} <> 0
+        GROUP BY 1
+    """,
+    "mix_weighted_sample": f"""
+        WITH t AS (
+            SELECT lang, source,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                       % 10000 AS bucket
+            FROM documents
+        )
+        SELECT lang, source, count(*) AS n_kept FROM t
+        WHERE bucket < CASE lang {" ".join(
+            f"WHEN '{k}' THEN {int(round(v * 10000))}" for k, v in MIX_WEIGHTS.items()
+        )} ELSE 0 END
+        GROUP BY 1, 2
+    """,
+    "pack_token_budget": f"""
+        WITH t AS (
+            SELECT doc_id, lang, len({_TOKS}) AS n_tokens,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                       % {PACK_SHARDS} AS shard
+            FROM documents
+        ),
+        c AS (
+            SELECT lang, shard, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, shard
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS before_tokens
+            FROM t
+        )
+        SELECT lang, shard,
+               CAST(FLOOR(before_tokens / {PACK_BUDGET}) AS BIGINT) AS seq_index,
+               count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        FROM c GROUP BY 1, 2, 3
+    """,
+    "dedup_exact_chunks": f"""
+        WITH words AS (
+            SELECT doc_id, {_TOKS} AS w FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id,
+                   md5(array_to_string(
+                       list_slice(w, (i - 1) * {CHUNK_WORDS} + 1, i * {CHUNK_WORDS}),
+                       ' ')) AS chunk_md5
+            FROM words,
+                 UNNEST(range(1, 1 + CAST(FLOOR(len(w) / {CHUNK_WORDS}) AS BIGINT)))
+                     AS t(i)
+        )
+        SELECT chunk_md5, count(*) AS n_occurrences,
+               count(DISTINCT doc_id) AS n_docs
+        FROM chunks GROUP BY 1 HAVING count(*) > 1
     """,
     "sessionize_stats": _SESSION_CTE + """
         SELECT user_id, session_index, count(*) AS n_events,

@@ -1,0 +1,116 @@
+"""Corpus-preparation operators: decontamination, mixing, packing, chunk dedup.
+
+Cross-engine value exactness is pinned by the DuckDB oracles
+(queries_ext: decon_benchmark_overlap / mix_weighted_sample /
+pack_token_budget / dedup_exact_chunks); these tests pin the semantic
+contracts and the plan shapes that matter at scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from iceberg_ingestion_spark.operators import corpus
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in rows])
+
+
+def test_contamination_counts_flags_overlap_only(spark):
+    bench = _docs(spark, [(0, "alpha beta gamma delta epsilon zeta")])
+    cor = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon"),  # shares 4-grams
+            (2, "one two three four five six"),  # disjoint
+            (3, "x y alpha beta gamma delta z"),  # shares one 4-gram
+        ],
+    )
+    got = {
+        r["doc_id"]: r["n_hit_ngrams"]
+        for r in corpus.contamination_counts(cor, bench, n=4).collect()
+    }
+    assert got == {1: 2, 3: 1}  # doc 2 absent: clean docs never surface
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    bench = _docs(spark, [(0, "a b c d e")])
+    cor = _docs(spark, [(1, "a b c d e f")])
+    plan = corpus.contamination_counts(cor, bench, n=4)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_weighted_mix_deterministic_and_drops_unknown_strata(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, lang="en" if i % 2 else "xx") for i in range(200)]
+    )
+    kept = corpus.weighted_mix(df, "lang", {"en": 0.5}, key="doc_id")
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(r["doc_id"] for r in kept.collect())
+    assert a == b  # no RNG: identical across evaluations
+    assert all(i % 2 == 1 for i in a)  # unknown stratum 'xx' dropped entirely
+    assert 20 <= len(a) <= 80  # ~half of the 100 'en' docs
+
+
+def test_weighted_mix_weight_one_keeps_everything(spark):
+    df = spark.createDataFrame([Row(doc_id=i, lang="en") for i in range(50)])
+    assert corpus.weighted_mix(df, "lang", {"en": 1.0}).count() == 50
+
+
+def test_pack_sequences_bin_assignment(spark):
+    # single group/shard: doc sizes 60,60,60 at budget 100 -> seqs 0,0,1
+    df = spark.createDataFrame(
+        [Row(doc_id=i, lang="en", n=60) for i in range(3)]
+    )
+    packed = corpus.pack_sequences(df, "lang", F.col("n"), budget=100, shards=1)
+    got = {r["doc_id"]: r["seq_index"] for r in packed.collect()}
+    assert got == {0: 0, 1: 0, 2: 1}  # doc 2 starts at token 120 -> seq 1
+
+
+def test_pack_sequences_sharding_bounds_sort_groups(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, lang="en", n=10) for i in range(100)]
+    )
+    packed = corpus.pack_sequences(df, "lang", F.col("n"), budget=50, shards=4)
+    per_shard = packed.groupBy("shard").count().collect()
+    assert {r["shard"] for r in per_shard} == {0, 1, 2, 3}
+    # within every (lang, shard), seq_index is non-decreasing in doc_id order
+    rows = packed.orderBy("shard", "doc_id").collect()
+    last = {}
+    for r in rows:
+        key = (r["lang"], r["shard"])
+        assert r["seq_index"] >= last.get(key, 0)
+        last[key] = r["seq_index"]
+
+
+def test_chunk_table_drops_trailing_partial(spark):
+    df = _docs(spark, [(1, " ".join(f"w{i}" for i in range(25)))])
+    # 25 words at chunk_words=10 -> exactly 2 full chunks
+    assert corpus.chunk_table(df, "doc_id", chunk_words=10).count() == 2
+
+
+def test_chunk_duplicate_counts_cross_doc(spark):
+    shared = " ".join(f"tok{i}" for i in range(10))
+    df = _docs(
+        spark,
+        [
+            (1, shared + " filler one two three four five six seven eight nine"),
+            (2, shared + " other pad a b c d e f g h"),
+            (3, "totally different words " + " ".join(f"u{i}" for i in range(10))),
+        ],
+    )
+    dups = corpus.chunk_duplicate_counts(df, chunk_words=10).collect()
+    assert len(dups) == 1
+    assert dups[0]["n_occurrences"] == 2 and dups[0]["n_docs"] == 2
+
+
+def test_chunk_duplicate_counts_within_doc_repeat(spark):
+    block = " ".join(f"r{i}" for i in range(10))
+    df = _docs(spark, [(1, block + " " + block)])
+    dups = corpus.chunk_duplicate_counts(df, chunk_words=10).collect()
+    assert len(dups) == 1
+    assert dups[0]["n_occurrences"] == 2 and dups[0]["n_docs"] == 1
