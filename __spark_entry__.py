@@ -76,8 +76,9 @@ _PRIORITY = [
     "ingest_first_load_cdc",
     "validate_bag_diff_strictness",
     "validate_bag_diff_identity",
-    # round-3 touched extension paths (10)
-    "text_token_counts",          # bench-flagged in r2 — fresh timing + row
+    "ingest_changelog_versions",  # NEW in r3 — Iceberg changelog-scan analogue
+    # round-3 touched extension paths (10; text_token_counts rotated out —
+    # its implementation + oracle are byte-unchanged since the green r2 row)
     "dedup_ngram_jaccard",        # hot-set short-circuit rewrite
     "dedup_minhash_lsh",          # same file; shares shingle machinery
     "dedup_clusters",             # consumes minhash_lsh_pairs (cap rewrite)

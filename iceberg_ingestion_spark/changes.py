@@ -185,3 +185,57 @@ def build_changeset(
     if ingestion_ts is not None:
         changes = stamp_audit(changes, ingestion_ts)
     return changes
+
+
+# ---------------------------------------------------------------------------
+# Version-to-version changelog (Iceberg incremental-consumption parity)
+# ---------------------------------------------------------------------------
+
+#: Iceberg changelog-scan change types (spark ``table_changes`` naming).
+CHANGE_TYPE_COL = "_change_type"
+CT_INSERT = "INSERT"
+CT_DELETE = "DELETE"
+CT_UPDATE_BEFORE = "UPDATE_BEFORE"
+CT_UPDATE_AFTER = "UPDATE_AFTER"
+
+
+def build_changelog(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
+    """Net row-level changes turning committed snapshot ``old`` into ``new``:
+    the batch analogue of Iceberg's changelog scan / ``table_changes``, with
+    its change-type vocabulary (INSERT / DELETE / UPDATE_BEFORE /
+    UPDATE_AFTER — updates emit pre- AND post-image rows).
+
+    Unlike :func:`detect_updates` (ingest-time, trusts the source's
+    ``updated_at`` ordering), a changelog between two already-committed
+    versions needs no timestamp contract: an update is a key present in both
+    versions whose non-key payload differs (null-safe column compare).
+
+    Scale: all four legs are equi-joins/anti-joins on the natural keys — the
+    same shuffle key, so the exchange of each version is reused across legs;
+    AQE broadcast-converts the smaller version side. No driver collects.
+    """
+    non_keys = [c for c in new.columns if c not in keys]
+    ct = F.lit  # brevity
+
+    inserts = new.join(old.select(*keys), on=keys, how="left_anti").withColumn(
+        CHANGE_TYPE_COL, ct(CT_INSERT)
+    )
+    deletes = old.join(new.select(*keys), on=keys, how="left_anti").withColumn(
+        CHANGE_TYPE_COL, ct(CT_DELETE)
+    )
+
+    o, n = old.alias("o"), new.alias("n")
+    key_cond = F.lit(True)
+    for k in keys:
+        key_cond = key_cond & (F.col(f"o.{k}") == F.col(f"n.{k}"))
+    differs = F.lit(False)
+    for c in non_keys:
+        differs = differs | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    changed_pairs = o.join(n, on=key_cond & differs, how="inner")
+    before = changed_pairs.select([F.col(f"o.{c}").alias(c) for c in old.columns]).withColumn(
+        CHANGE_TYPE_COL, ct(CT_UPDATE_BEFORE)
+    )
+    after = changed_pairs.select([F.col(f"n.{c}").alias(c) for c in new.columns]).withColumn(
+        CHANGE_TYPE_COL, ct(CT_UPDATE_AFTER)
+    )
+    return inserts.unionByName(after).unionByName(before).unionByName(deletes)

@@ -217,6 +217,23 @@ def q_bag_diff_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_changelog_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg changelog-scan analogue: net row-level changes between two
+    committed table versions (v1 = day1 first load, v2 = merged-full), typed
+    INSERT / DELETE / UPDATE_BEFORE / UPDATE_AFTER. Unlike the ingest-time
+    update leg, no ``updated_at`` contract — an update is a key in both
+    versions whose payload differs (null-safe). The sink-backed path
+    (``ParquetVersionedSink.read_changes``) commits real versions and is
+    pinned by tests/test_sinks.py."""
+    from iceberg_ingestion_spark.changes import build_changelog
+
+    orders = read_table(spark, sf_dir, "orders")
+    day1 = fixtures.orders_day1(orders)
+    merged = _merged_full(orders)
+    ch = build_changelog(day1, merged, list(ORDERS_SPEC.natural_keys))
+    return _orders_out(ch)
+
+
 # ---------------------------------------------------------------------------
 # Analytics (engine breadth + bench anchors; decimal-exact aggregation)
 # ---------------------------------------------------------------------------
@@ -315,6 +332,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ingest_first_load_cdc": q_first_load_cdc,
     "validate_bag_diff_strictness": q_bag_diff_clean,
     "validate_bag_diff_identity": q_bag_diff_identity,
+    "ingest_changelog_versions": q_changelog_versions,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_supplier_volume": q5_supplier_volume,
@@ -438,6 +456,45 @@ ORACLES: dict[str, str] = {
             UNION ALL
             (SELECT * FROM day2 EXCEPT ALL SELECT * FROM day2)
         )
+        """
+    ),
+    # changelog: v1 = day1, v2 = merged-full; update = key in both versions
+    # with any payload column IS DISTINCT FROM its counterpart.
+    "ingest_changelog_versions": fixtures.with_ctes(
+        f"""
+        , merged AS (
+            SELECT * FROM day1 t
+            WHERE EXISTS (SELECT 1 FROM day2 s WHERE s.o_orderkey = t.o_orderkey)
+              AND NOT EXISTS (SELECT 1 FROM day2 s WHERE s.o_orderkey = t.o_orderkey
+                              AND s.o_orderdate > t.o_orderdate)
+            UNION ALL
+            SELECT * FROM day2 s
+            WHERE EXISTS (SELECT 1 FROM day1 t WHERE t.o_orderkey = s.o_orderkey
+                          AND s.o_orderdate > t.o_orderdate)
+            UNION ALL
+            SELECT * FROM day2 s
+            WHERE NOT EXISTS (SELECT 1 FROM day1 t WHERE t.o_orderkey = s.o_orderkey)
+        ),
+        pairs AS (
+            SELECT t.o_orderkey AS k FROM day1 t JOIN merged m
+                ON t.o_orderkey = m.o_orderkey
+            WHERE t.o_custkey IS DISTINCT FROM m.o_custkey
+               OR t.o_orderstatus IS DISTINCT FROM m.o_orderstatus
+               OR t.o_totalprice IS DISTINCT FROM m.o_totalprice
+               OR t.o_orderdate IS DISTINCT FROM m.o_orderdate
+               OR t.o_orderpriority IS DISTINCT FROM m.o_orderpriority
+        )
+        SELECT {_ORDERS_OUT_SQL}, 'INSERT' AS _change_type FROM merged m
+        WHERE NOT EXISTS (SELECT 1 FROM day1 t WHERE t.o_orderkey = m.o_orderkey)
+        UNION ALL
+        SELECT {_ORDERS_OUT_SQL}, 'UPDATE_AFTER' AS _change_type FROM merged m
+        WHERE EXISTS (SELECT 1 FROM pairs p WHERE p.k = m.o_orderkey)
+        UNION ALL
+        SELECT {_ORDERS_OUT_SQL}, 'UPDATE_BEFORE' AS _change_type FROM day1 t
+        WHERE EXISTS (SELECT 1 FROM pairs p WHERE p.k = t.o_orderkey)
+        UNION ALL
+        SELECT {_ORDERS_OUT_SQL}, 'DELETE' AS _change_type FROM day1 t
+        WHERE NOT EXISTS (SELECT 1 FROM merged m WHERE m.o_orderkey = t.o_orderkey)
         """
     ),
     "q1_pricing_summary": """

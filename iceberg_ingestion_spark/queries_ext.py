@@ -37,14 +37,21 @@ SIMHASH_MAX_HAMMING = 4
 def read_events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts`` as exact microseconds (bigint).
 
-    The driver's parquet stores TIMESTAMP(NANOS), which Spark rejects; read the
-    raw int64 via nanosAsLong and integer-divide to µs (never through double —
-    ns values exceed 2^53). DuckDB side: ``epoch_us(ts)``.
+    Handles both timestamp encodings the driver has generated across rounds:
+    TIMESTAMP(NANOS) (rounds 1-2), which Spark only reads via the
+    ``nanosAsLong`` legacy flag as a raw int64 (integer-divide to µs — never
+    through double, ns values exceed 2^53), and TIMESTAMP(MICROS) (round 3+),
+    which arrives as a timestamp column converted exactly with
+    ``unix_micros`` (session tz is UTC, so NTZ→LTZ cast is identity).
+    DuckDB side: ``epoch_us(ts)`` — identical under both encodings.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return read_table(spark, sf_dir, "events").withColumn(
-        "ts_us", F.expr("ts div 1000")
-    ).drop("ts")
+    df = read_table(spark, sf_dir, "events")
+    if dict(df.dtypes)["ts"] == "bigint":
+        ts_us = F.expr("ts div 1000")
+    else:
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return df.withColumn("ts_us", ts_us).drop("ts")
 
 
 # ---------------------------------------------------------------------------

@@ -35,6 +35,7 @@ from typing import Protocol
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from iceberg_ingestion_spark.changes import build_changelog
 from iceberg_ingestion_spark.merge import merge_dataframes, merge_into_sql
 from iceberg_ingestion_spark.model import ChangeSpec, TablePolicy
 
@@ -184,6 +185,23 @@ class ParquetVersionedSink:
     def read_version(self, name: str, version: int) -> DataFrame:
         """Time travel (Iceberg ``VERSION AS OF`` analogue)."""
         return self.spark.read.parquet(self._version_dir(name, version))
+
+    def read_changes(
+        self, name: str, from_version: int, to_version: int, keys: list[str]
+    ) -> DataFrame:
+        """Incremental consumption (Iceberg changelog scan / ``table_changes``
+        analogue): NET row-level changes between two committed versions, typed
+        INSERT / DELETE / UPDATE_BEFORE / UPDATE_AFTER in ``_change_type``.
+
+        "Net" because a versioned-parquet sink stores full snapshots, not
+        per-commit manifest diffs: a row inserted at v+1 and deleted at v+2
+        never appears in ``read_changes(v, v+2)``. Computed distributively by
+        the key-equi changelog calculus (``changes.build_changelog``) — no
+        driver collects, AQE broadcasts the smaller version.
+        """
+        old = self.read_version(name, from_version)
+        new = self.read_version(name, to_version)
+        return build_changelog(old, new, keys)
 
     def create(self, name: str, df: DataFrame, policy: TablePolicy) -> None:
         # reference iceberg.py:122-149 CREATE TABLE IF NOT EXISTS ... AS SELECT

@@ -173,3 +173,45 @@ def test_bucket_partition_ordering_clusters_rows(spark):
         yield vals == sorted(vals)
 
     assert all(buckets.select("b").rdd.mapPartitions(_is_sorted).collect())
+
+
+def test_read_changes_between_versions(sink, spark):
+    from pyspark.sql import Row
+
+    from iceberg_ingestion_spark.changes import (
+        CT_DELETE,
+        CT_INSERT,
+        CT_UPDATE_AFTER,
+        CT_UPDATE_BEFORE,
+    )
+
+    v1 = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")]
+    )
+    v2 = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="B"), Row(k=4, v="d")]
+    )
+    sink.create(NAME, v1, POLICY)
+    sink.replace(NAME, v2, POLICY)
+
+    rows = sink.read_changes(NAME, 1, 2, keys=["k"]).collect()
+    got = sorted((r["k"], r["v"], r["_change_type"]) for r in rows)
+    assert got == [
+        (2, "B", CT_UPDATE_AFTER),
+        (2, "b", CT_UPDATE_BEFORE),
+        (3, "c", CT_DELETE),
+        (4, "d", CT_INSERT),
+    ]  # k=1 unchanged: never surfaces
+
+
+def test_read_changes_net_semantics_skips_transient_rows(sink, spark):
+    from pyspark.sql import Row
+
+    v1 = spark.createDataFrame([Row(k=1, v="a")])
+    v2 = spark.createDataFrame([Row(k=1, v="a"), Row(k=9, v="transient")])
+    v3 = spark.createDataFrame([Row(k=1, v="a")])
+    sink.create(NAME, v1, POLICY)
+    sink.replace(NAME, v2, POLICY)
+    sink.replace(NAME, v3, POLICY)
+
+    assert sink.read_changes(NAME, 1, 3, keys=["k"]).count() == 0
