@@ -75,7 +75,10 @@ _PRIORITY = [
     "ingest_replace",
     "ingest_first_load_cdc",
     "validate_bag_diff_strictness",
-    "validate_bag_diff_identity",
+    # (validate_bag_diff_identity rotated out — byte-unchanged since its
+    # green r2 row; funnel_conversion takes the slot after its single-shuffle
+    # rewrite this round)
+    "funnel_conversion",
     "ingest_changelog_versions",  # NEW in r3 — Iceberg changelog-scan analogue
     # round-3 touched extension paths (10; text_token_counts rotated out —
     # its implementation + oracle are byte-unchanged since the green r2 row)

@@ -55,6 +55,10 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
+        # Drop caches a query left behind (exact-quantiles' range exchange,
+        # signature caches): per-query timings must not depend on suite
+        # position via accumulated storage memory.
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(

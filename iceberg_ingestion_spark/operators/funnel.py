@@ -2,10 +2,19 @@
 
 For a stage sequence (e.g. view -> click -> purchase), a user converts to
 stage k when an event of type k occurs AT OR AFTER their earliest conversion
-to stage k-1. One aggregation pass per stage, each a conditional min on the
-user key (same shuffle partitioning reused across passes — Catalyst plans a
-single exchange chain). Timestamps are integers, so min() is exact and the
-operator oracles cleanly across engines.
+to stage k-1. ONE shuffle total: group the (stage-relevant) events per user,
+then each stage time is a conditional ``array_min`` expression over the
+per-user event array referencing the previous stage's column — the sequential
+dependency between stages becomes expression chaining on one row instead of a
+join chain (the previous implementation's k-stage plan was ~2k shuffles on
+the user key; at suite scale the per-stage exchange overhead dominated the
+actual work). Timestamps are integers, so min() is exact and the operator
+oracles cleanly across engines.
+
+Scale note: per-user state is the user's own stage-relevant events — bounded
+by per-user activity, the same invariant sessionization already relies on; a
+pathological single user with millions of events would need a pre-aggregation
+(per (user, stage) min-candidates) before the group-by.
 """
 
 from __future__ import annotations
@@ -23,29 +32,28 @@ def funnel_stage_times(
 ) -> DataFrame:
     """One row per user: ``t_<stage>`` = earliest timestamp completing each
     stage in order (NULL once the funnel is dropped)."""
-    out = None
+    ev = events.filter(F.col(type_col).isin(list(stages)))
+    out = ev.groupBy(user_col).agg(
+        F.collect_list(
+            F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("et"))
+        ).alias("_evs")
+    )
     prev_t = None
     for i, stage in enumerate(stages):
         tcol = f"t_{stage}"
         if i == 0:
-            stage_min = (
-                events.filter(F.col(type_col) == stage)
-                .groupBy(user_col)
-                .agg(F.min(ts_col).alias(tcol))
-            )
-            out = stage_min
+            matches = F.filter("_evs", lambda e: e["et"] == stage)
         else:
-            joined = events.filter(F.col(type_col) == stage).join(
-                out.select(user_col, F.col(prev_t)), user_col
+            p = F.col(prev_t)
+            matches = F.when(
+                p.isNotNull(),
+                F.filter("_evs", lambda e: (e["et"] == stage) & (e["ts"] >= p)),
             )
-            stage_min = (
-                joined.filter(F.col(ts_col) >= F.col(prev_t))
-                .groupBy(user_col)
-                .agg(F.min(ts_col).alias(tcol))
-            )
-            out = out.join(stage_min, user_col, "left")
+        out = out.withColumn(
+            tcol, F.array_min(F.transform(matches, lambda e: e["ts"]))
+        )
         prev_t = tcol
-    return out
+    return out.drop("_evs")
 
 
 WEEK_US = 7 * 24 * 3600 * 1_000_000

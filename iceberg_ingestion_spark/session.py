@@ -67,7 +67,18 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode "driver" memory IS the whole JVM (driver + all 32
+        # executor threads). 8g starved long suites: by query ~40 of a
+        # 74-query bench the heap was full of retained UI plan strings,
+        # unpersisted caches and localCheckpoint blocks, and GC pauses
+        # inflated ~1s queries to ~26s. On this 128 GiB host, 32g gives the
+        # suite headroom; a real cluster sizes executors separately.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # Bound UI/listener retention: TPC-H-size plan strings x 1000
+        # retained executions is real heap at suite scale.
+        .config("spark.sql.ui.retainedExecutions", "50")
+        .config("spark.ui.retainedJobs", "200")
+        .config("spark.ui.retainedStages", "200")
     )
     if iceberg_catalog:
         # Only meaningful when the iceberg-spark-runtime jar is deployed

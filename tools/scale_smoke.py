@@ -304,6 +304,22 @@ def main() -> int:
     bench("snapshot_merge (half vs full)", merge_dataframes(
         orders, build_changeset(half, orders, spec), spec
     ))
+    # Decontamination: benchmark side is FIXED-size (an eval suite doesn't
+    # grow with the corpus), so the curve should be ~linear in corpus size —
+    # broadcast join, no corpus-side shuffle of n-grams.
+    from iceberg_ingestion_spark.operators import corpus as corpus_ops
+
+    bench_df = spark.read.parquet(f"{sf}/documents.parquet").filter(
+        F.col("doc_id") % 97 == 0
+    )
+    bench(
+        "decontaminate (fixed benchmark)",
+        corpus_ops.contamination_counts(docs, bench_df, n=4),
+    )
+    bench(
+        "chunk_duplicate_counts",
+        corpus_ops.chunk_duplicate_counts(docs, chunk_words=10),
+    )
     spark.stop()
     return 0
 
