@@ -114,3 +114,33 @@ def test_chunk_duplicate_counts_within_doc_repeat(spark):
     dups = corpus.chunk_duplicate_counts(df, chunk_words=10).collect()
     assert len(dups) == 1
     assert dups[0]["n_occurrences"] == 2 and dups[0]["n_docs"] == 1
+
+
+def _n_exchanges(df) -> int:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return sum(
+        1 for ln in plan.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+    )
+
+
+def test_pack_sequences_single_shuffle(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(doc_id=i, lang="en", n=10) for i in range(50)])
+    packed = corpus.pack_sequences(df, "lang", F.col("n"), budget=100, shards=4)
+    assert _n_exchanges(packed) == 1  # exactly the window's partition-by
+
+
+def test_funnel_single_shuffle(spark):
+    from pyspark.sql import Row
+
+    from iceberg_ingestion_spark.operators.funnel import funnel_stage_times
+
+    ev = spark.createDataFrame(
+        [Row(user_id=1, event_type="view", ts_us=10),
+         Row(user_id=1, event_type="click", ts_us=20)]
+    )
+    times = funnel_stage_times(ev, ["view", "click"])
+    # one exchange for the groupBy; stage chaining is pure expressions
+    assert _n_exchanges(times) == 1

@@ -215,3 +215,44 @@ def test_read_changes_net_semantics_skips_transient_rows(sink, spark):
     sink.replace(NAME, v3, POLICY)
 
     assert sink.read_changes(NAME, 1, 3, keys=["k"]).count() == 0
+
+
+def test_read_changes_consistent_with_snapshot_diff(sink, spark):
+    """Changelog-vs-snapshots invariant over a 3-version lineage: applying
+    read_changes(1, 3) to v1 reproduces v3 exactly (inserts+update-afters
+    added, deletes+update-befores removed) — the consumer contract an
+    incremental pipeline relies on."""
+    from pyspark.sql import Row, functions as F
+
+    from iceberg_ingestion_spark.changes import (
+        CHANGE_TYPE_COL,
+        CT_DELETE,
+        CT_INSERT,
+        CT_UPDATE_AFTER,
+    )
+
+    v1 = spark.createDataFrame([Row(k=i, v=f"a{i}") for i in range(20)])
+    v2 = spark.createDataFrame(
+        [Row(k=i, v=("B" if i % 3 == 0 else f"a{i}")) for i in range(2, 22)]
+    )
+    v3 = spark.createDataFrame(
+        [Row(k=i, v=("C" if i % 5 == 0 else ("B" if i % 3 == 0 else f"a{i}")))
+         for i in range(4, 24)]
+    )
+    sink.create(NAME, v1, POLICY)
+    sink.replace(NAME, v2, POLICY)
+    sink.replace(NAME, v3, POLICY)
+
+    ch = sink.read_changes(NAME, 1, 3, keys=["k"])
+    apply_side = ch.filter(
+        F.col(CHANGE_TYPE_COL).isin([CT_INSERT, CT_UPDATE_AFTER])
+    ).select("k", "v")
+    removed_keys = {
+        r["k"]
+        for r in ch.filter(~F.col(CHANGE_TYPE_COL).isin([CT_INSERT, CT_UPDATE_AFTER]))
+        .select("k").collect()
+    }
+    kept = sink.read_version(NAME, 1).filter(~F.col("k").isin(list(removed_keys)))
+    rebuilt = sorted((r["k"], r["v"]) for r in kept.unionByName(apply_side).collect())
+    expected = sorted((r["k"], r["v"]) for r in sink.read_version(NAME, 3).collect())
+    assert rebuilt == expected
