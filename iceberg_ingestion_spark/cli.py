@@ -4,6 +4,7 @@
         -t <table> [--type full|incremental|cdc|replace]
         [--no-insert] [--no-update] [--no-delete] [--keep-deletes]
         [--optimize storage|speed] [--test] [--warehouse DIR] [--input PATH]
+        [--changes FROM TO]
 
 The reference dispatches on hard-coded source names to subclasses
 (``app.py:92-141``); here sources are data (``SourceConfig``) and the job is
@@ -56,7 +57,15 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--test", action="store_true")  # app.py:54-56
     # engine-specific (replaces SSM bucket lookup)
     p.add_argument("--warehouse", default="spark-warehouse")
-    p.add_argument("--input", required=True, help="raw parquet path for this run")
+    p.add_argument("--input", help="raw parquet path for this run")
+    p.add_argument(
+        "--changes",
+        nargs=2,
+        type=int,
+        metavar=("FROM", "TO"),
+        help="print per-type counts of the changelog between two committed "
+        "versions (Iceberg table_changes analogue) instead of ingesting",
+    )
     p.add_argument("--keys", required=True, help="comma-separated natural keys")
     p.add_argument("--updated-at", required=True, help="comma-separated updated-at fields")
     p.add_argument("--lowercase-columns", action="store_true")
@@ -79,8 +88,25 @@ def main(argv: list[str] | None = None) -> int:
     policy = TablePolicy(optimize=OptimizeMode(args.optimize))
     name = table_name(args.env, args.source, args.table)
 
+    if args.changes is None and args.input is None:
+        print("error: --input is required unless --changes is given", file=sys.stderr)
+        return 2
+
     with session(app_name=f"ingest-{args.source}-{args.table}") as spark:
         sink = ParquetVersionedSink(spark, args.warehouse)
+        if args.changes is not None:
+            from pyspark.sql import functions as F
+
+            from iceberg_ingestion_spark.changes import CHANGE_TYPE_COL
+
+            ch = sink.read_changes(
+                name, args.changes[0], args.changes[1], list(spec.natural_keys)
+            )
+            for r in sorted(
+                ch.groupBy(CHANGE_TYPE_COL).agg(F.count(F.lit(1)).alias("n")).collect()
+            ):
+                print(f"{r[CHANGE_TYPE_COL]}={r['n']}")
+            return 0
         job = IngestionJob(sink, spec, policy, options)
         source = read_snapshot(spark, args.input, lowercase_columns=args.lowercase_columns)
         if args.test:

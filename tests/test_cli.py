@@ -72,3 +72,21 @@ def test_cli_incremental_keeps_unmatched_target_rows(spark, staged):
     ids = {r.id for r in sink.read("dev_clean_src.tbl").select("id").collect()}
     assert {1, 2} <= ids            # no delete leg: day1-only rows survive
     assert 99 in ids                # inserts still applied
+
+
+def test_cli_changes_reports_changelog_counts(spark, staged, capsys):
+    assert _run(staged, "day1", "--type", "full") == 0
+    assert _run(staged, "day2", "--type", "full") == 0
+    argv = [
+        "-d", "2026-08-13T02:00:00", "-e", "dev", "-s", "src", "-t", "tbl",
+        "--keys", "id", "--updated-at", "ts",
+        "--warehouse", staged["wh"], "--changes", "1", "2",
+    ]
+    assert main(argv) == 0
+    out = dict(
+        line.split("=") for line in capsys.readouterr().out.strip().splitlines()
+    )
+    # day1 has keys 1..50; day2 has 3..50 + 99 -> 2 deletes, 1 insert;
+    # k%5==0 rows have newer ts -> merged as updates (before+after rows)
+    assert out["DELETE"] == "2" and out["INSERT"] == "1"
+    assert out["UPDATE_BEFORE"] == out["UPDATE_AFTER"] == "10"

@@ -1,0 +1,95 @@
+"""Streaming corpus prep must equal the batch composition on the same data —
+the invariant that lets one pipeline serve both the backfill and the live
+feed."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+from iceberg_ingestion_spark.operators import corpus, text
+from iceberg_ingestion_spark.streaming.corpus_stream import (
+    stream_corpus_prep,
+    with_contamination_flag,
+)
+
+SCHEMA_DDL = "doc_id long, text string, lang string, ts timestamp"
+WEIGHTS = {"en": 1.0, "de": 0.5}
+
+
+def _rows():
+    t0 = datetime(2026, 1, 1)
+    bench_text = "alpha beta gamma delta epsilon"
+    return [
+        (0, bench_text, "en", t0),                              # benchmark doc
+        (1, "alpha beta gamma delta poisoned tail", "en", t0),  # contaminated
+        (2, "clean document with many unique tokens here", "en", t0),
+        (3, "clean document with many unique tokens here", "en", t0),  # dup of 2
+        (4, "short", "en", t0),                                 # quality-gated
+        (5, "ein sauberes deutsches dokument mit tokens", "de", t0),
+        (6, "another perfectly clean english document sample", "en", t0),
+    ]
+
+
+def _bench_ngrams(spark, docs_df, n=4):
+    bench = docs_df.where("doc_id = 0")
+    return {r["ngram"] for r in corpus.ngram_table(bench, "doc_id", n=n).collect()}
+
+
+def test_contamination_flag_matches_batch_operator(spark):
+    docs = spark.createDataFrame(_rows(), SCHEMA_DDL)
+    bench = _bench_ngrams(spark, docs)
+    flagged = with_contamination_flag(docs.where("doc_id != 0"), bench, n=4)
+    got = {r["doc_id"]: r["contaminated"] for r in flagged.collect()}
+    batch = corpus.contamination_counts(
+        docs.where("doc_id != 0"), docs.where("doc_id = 0"), n=4
+    )
+    batch_hits = {r["doc_id"] for r in batch.collect()}
+    assert {k for k, v in got.items() if v} == batch_hits == {1}
+
+
+def test_stream_corpus_prep_equals_batch(spark, tmp_path):
+    input_dir = str(tmp_path / "docs_in")
+    out_dir = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir)
+
+    docs = spark.createDataFrame(_rows(), SCHEMA_DDL)
+    docs.coalesce(1).write.mode("append").parquet(input_dir)
+    bench = _bench_ngrams(spark, docs)
+
+    stream = spark.readStream.schema(docs.schema).parquet(input_dir)
+    kept = stream_corpus_prep(
+        stream, bench, mix_weights=WEIGHTS, min_tokens=5
+    )
+    q = (
+        kept.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointPath", ckpt)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+
+    # batch composition of the same stages on the same data
+    b = docs.dropDuplicates(["text"])
+    b = b.withColumn("n_tokens", text.token_count_ws("text")).where("n_tokens >= 5")
+    contaminated = {1, 0} | {
+        r["doc_id"]
+        for r in corpus.contamination_counts(b, docs.where("doc_id = 0"), n=4).collect()
+    }
+    b = b.where(~b.doc_id.isin(list(contaminated)))
+    b = corpus.weighted_mix(b, "lang", WEIGHTS, key="doc_id")
+    expected = {r["doc_id"] for r in b.collect()}
+
+    # doc 0 is the benchmark doc itself: the streaming pipeline sees it in the
+    # feed and drops it as contaminated (it IS benchmark text); mirror that.
+    # Docs 2/3 are content-identical, and WHICH survives dedup is
+    # engine-arbitrary — normalize the pair to its min id before comparing.
+    norm = lambda s: {2 if d == 3 else d for d in s}  # noqa: E731
+    assert norm(got) == norm(expected)
+    assert 1 not in got and 4 not in got  # decon + quality gates held
+    assert got & {2, 3} != {2, 3}  # dup pair collapsed to one survivor
