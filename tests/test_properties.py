@@ -84,3 +84,35 @@ def test_cdc_dedup_latest_is_maximal_per_key(spark, batch):
     assert len(got) == len(maxts)            # exactly one row per key
     for r in got:
         assert r.ts == maxts[r.k]            # and it carries the max timestamp
+
+
+@PROP_SETTINGS
+@given(old=snapshot, new=snapshot)
+def test_changelog_applied_to_old_reproduces_new(spark, old, new):
+    """4. For ANY two table states, applying build_changelog(old, new) to old
+    yields exactly new: old minus (DELETE ∪ UPDATE_BEFORE) keys plus
+    (INSERT ∪ UPDATE_AFTER) rows — and unchanged rows never appear in the
+    changelog (minimality)."""
+    from iceberg_ingestion_spark.changes import (
+        CHANGE_TYPE_COL,
+        CT_INSERT,
+        CT_UPDATE_AFTER,
+        build_changelog,
+    )
+
+    o, n = _df(spark, old), _df(spark, new)
+    ch = build_changelog(o, n, ["k"]).collect()
+
+    adds = {(r["k"], r["ts"], r["payload"]) for r in ch
+            if r[CHANGE_TYPE_COL] in (CT_INSERT, CT_UPDATE_AFTER)}
+    removed_keys = {r["k"] for r in ch
+                    if r[CHANGE_TYPE_COL] not in (CT_INSERT, CT_UPDATE_AFTER)}
+    old_rows = {(r["k"], r["ts"], r["payload"]) for r in o.collect()}
+    new_rows = {(r["k"], r["ts"], r["payload"]) for r in n.collect()}
+
+    rebuilt = {r for r in old_rows if r[0] not in removed_keys} | adds
+    assert rebuilt == new_rows
+    # minimality: rows identical in both states never surface
+    unchanged = old_rows & new_rows
+    surfaced = adds | {(r["k"], r["ts"], r["payload"]) for r in ch}
+    assert not (unchanged & surfaced)
