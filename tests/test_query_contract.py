@@ -37,3 +37,32 @@ def test_no_query_emits_non_scalar_columns(spark):
             if t.startswith(("array", "map", "struct")):
                 violations.append((name, f.name, t))
     assert violations == []
+
+
+def test_no_unbounded_nested_loop_joins(spark):
+    """Suite-wide plan audit: CartesianProduct never appears; a
+    BroadcastNestedLoopJoin appears ONLY in the brute-force ANN legs, where
+    the broadcast side is the bounded query subset (~0.1% of vectors) — the
+    designed exact-scoring plan — and in nothing else. Every other operator
+    must candidate-generate via hash-partitionable equi-joins."""
+    ALLOWED_BNLJ = {
+        "sim_ann_topk_bruteforce",  # brute force IS broadcast queries x corpus
+        "sim_ann_topk_lsh",  # carries its exact counterpart for the recall bound
+        "sim_ann_topk_ivf",
+        "sim_knn_label_vote",  # top-k consumer of the brute-force leg
+        # the explicitly-labeled O(n^2) exact oracle baseline: block-pair
+        # generation is a (tiny) block-id cross product; the operator's size
+        # guard raises above the corpus threshold unless exact=True
+        "dedup_embedding_cosine",
+        # TPC-H Q22: the global-avg scalar subquery joins as a broadcast of
+        # a literal 1-row relation — bounded by construction
+        "q22_inactive_balance",
+    }
+    offenders = []
+    for name, fn in entry_mod.queries().items():
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in ALLOWED_BNLJ:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert offenders == []
