@@ -144,3 +144,76 @@ def test_funnel_single_shuffle(spark):
     times = funnel_stage_times(ev, ["view", "click"])
     # one exchange for the groupBy; stage chaining is pure expressions
     assert _n_exchanges(times) == 1
+
+
+def test_batch_pipeline_end_to_end(spark):
+    """The full corpus-prep chain on real testdata: exact dedup -> decon ->
+    quality gate -> mix -> pack. Pins stage composability and row
+    conservation (each stage only removes rows; packing only adds columns)."""
+    from iceberg_ingestion_spark.operators import text
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n0 = docs.count()
+
+    deduped = docs.dropDuplicates(["text"])
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    hits = corpus.contamination_counts(
+        deduped.where(F.col("doc_id") % 97 != 0), bench, n=4
+    )
+    clean = deduped.join(hits.select("doc_id"), "doc_id", "left_anti").where(
+        F.col("doc_id") % 97 != 0
+    )
+    gated = clean.withColumn("n_tokens", text.token_count_ws("text")).where(
+        "n_tokens >= 5"
+    )
+    mixed = corpus.weighted_mix(gated, "lang", {"en": 1.0, "de": 0.5, "fr": 0.5})
+    packed = corpus.pack_sequences(
+        mixed.drop("n_tokens"), "lang", text.token_count_ws("text"), budget=512
+    )
+
+    n_packed = packed.count()
+    assert 0 < n_packed <= n0
+    assert set(packed.columns) >= set(docs.columns) | {"shard", "n_tokens", "seq_index"}
+    # token conservation through packing: packing never drops or alters rows
+    assert n_packed == mixed.count()
+    # langs outside the mix weights are gone
+    assert {r["lang"] for r in packed.select("lang").distinct().collect()} <= {
+        "en", "de", "fr"
+    }
+
+
+def test_pack_sequences_token_conservation_and_bin_coherence(spark):
+    """Property-style invariants over a deterministic irregular corpus:
+    (a) packing preserves rows and total token mass per (group, shard);
+    (b) within a shard, consecutive docs' seq_index never decreases and
+        every bin index is exactly floor(cumulative-before / budget)."""
+    from pyspark.sql import Row
+
+    rows = [
+        Row(doc_id=i, lang=("en" if i % 3 else "de"), n=(i * 37) % 190 + 10)
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows)
+    budget = 256
+    packed = corpus.pack_sequences(df, "lang", F.col("n"), budget=budget, shards=4)
+
+    assert packed.count() == 120
+    per_group_in = {
+        (r["lang"],): r["s"] for r in df.groupBy("lang").agg(F.sum("n").alias("s")).collect()
+    }
+    per_group_out = {
+        (r["lang"],): r["s"]
+        for r in packed.groupBy("lang").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    assert per_group_in == per_group_out
+
+    local = sorted(
+        packed.select("lang", "shard", "doc_id", "n_tokens", "seq_index").collect(),
+        key=lambda r: (r["lang"], r["shard"], r["doc_id"]),
+    )
+    running: dict = {}
+    for r in local:
+        key = (r["lang"], r["shard"])
+        before = running.get(key, 0)
+        assert r["seq_index"] == before // budget
+        running[key] = before + r["n_tokens"]
