@@ -37,6 +37,8 @@ def main() -> int:
         F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), 0)).alias("n")
     ).write.format("noop").mode("overwrite").save()
     spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).count()
+    spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).count()
+    spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
     spark.range(10_000).repartition(64).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
