@@ -428,6 +428,13 @@ def connected_components(
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "component", F.col("id")
     ).localCheckpoint()
+    # Convergence signal: labels are monotonically non-increasing (min of self
+    # and neighbors), so sum(component) strictly decreases on any change and
+    # is equal iff NO label moved — one scalar aggregate per round instead of
+    # a self-join + count (2 jobs -> 1 job per round).
+    _label_sum = F.sum(F.col("component").cast("decimal(38,0)"))  # overflow-proof
+    prev_sum = labels.agg(_label_sum).first()[0]
+    changed = -1
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -444,13 +451,9 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        new_sum = new_labels.agg(_label_sum).first()[0]
+        changed = int(new_sum != prev_sum)
+        labels, prev_sum = new_labels, new_sum
         if changed == 0:
             break
     else:
@@ -460,8 +463,8 @@ def connected_components(
         # keep rows that should have been dropped — fail loudly instead.
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} rounds "
-            f"({changed} labels still changing); raise max_iterations — rounds "
-            "needed equal the pair graph's diameter"
+            "(labels still changing); raise max_iterations — rounds needed "
+            "equal the pair graph's diameter"
         )
     return labels
 
