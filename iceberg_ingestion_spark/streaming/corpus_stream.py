@@ -95,3 +95,53 @@ def stream_corpus_prep(
     if mix_weights is not None:
         clean = corpus.weighted_mix(clean, lang_col, mix_weights, key=key_col)
     return clean
+
+
+def corpus_feed_health(
+    stream: DataFrame,
+    bench_ngrams: set[str],
+    text_col: str = "text",
+    ts_col: str = "ts",
+    n: int = 4,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Per-window corpus-feed health metrics: doc volume, contamination rate,
+    and exact-duplicate rate — the monitoring signals a live pretraining feed
+    alarms on (a contamination spike means an eval suite leaked into a
+    source; a dup-rate spike means an upstream replay).
+
+    Duplicate rate is within-window (count minus distinct fingerprints over
+    the window) — a bounded-state approximation of corpus-wide dup tracking,
+    which is exactly what a monitoring signal wants. Exact ``count_distinct``
+    is not allowed in streaming aggregations (it would need unbounded
+    per-group distinct state), so the fingerprint cardinality is HLL++
+    (``approx_count_distinct``, ~2% rsd) — constant state per window, the
+    right trade for an alarm threshold. Map-only flagging + one windowed
+    aggregate; append-mode emits each window exactly once.
+    """
+    flagged = with_contamination_flag(
+        stream.withColumn("_fp", text.fingerprint_md5(text_col)),
+        bench_ngrams,
+        text_col,
+        n,
+    )
+    return (
+        flagged.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg(F.col("contaminated").cast("int")).alias("contamination_rate"),
+            F.greatest(
+                F.lit(0.0),
+                (F.count(F.lit(1)) - F.approx_count_distinct("_fp"))
+                / F.count(F.lit(1)),
+            ).alias("dup_rate"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "n_docs",
+            "contamination_rate",
+            "dup_rate",
+        )
+    )

@@ -93,3 +93,33 @@ def test_stream_corpus_prep_equals_batch(spark, tmp_path):
     assert norm(got) == norm(expected)
     assert 1 not in got and 4 not in got  # decon + quality gates held
     assert got & {2, 3} != {2, 3}  # dup pair collapsed to one survivor
+
+
+def test_corpus_feed_health_metrics(spark, tmp_path):
+    from iceberg_ingestion_spark.streaming.corpus_stream import corpus_feed_health
+
+    input_dir = str(tmp_path / "health_in")
+    os.makedirs(input_dir)
+    docs = spark.createDataFrame(_rows(), SCHEMA_DDL)
+    docs.coalesce(1).write.mode("append").parquet(input_dir)
+    bench = _bench_ngrams(spark, docs)
+
+    stream = spark.readStream.schema(docs.schema).parquet(input_dir)
+    health = corpus_feed_health(stream, bench, window_duration="1 hour")
+    q = (
+        health.writeStream.format("memory")
+        .queryName("health")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.sql("select * from health").collect()
+    assert len(rows) == 1  # all fixture docs share one event-time hour
+    r = rows[0]
+    assert r["n_docs"] == 7
+    # docs 0 (benchmark itself) and 1 are contaminated -> 2/7
+    assert abs(r["contamination_rate"] - 2 / 7) < 1e-9
+    # docs 2 and 3 are content-identical; HLL at 7 keys is exact in practice
+    assert abs(r["dup_rate"] - 1 / 7) < 0.05
