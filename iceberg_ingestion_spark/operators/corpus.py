@@ -154,7 +154,9 @@ def chunk_table(
         for pdf in batches:
             ids, digests = [], []
             for doc_id, t in zip(pdf[id_col], pdf[text_col]):
-                toks = ws.split(t.strip().lower())
+                # NULL text -> no chunks, matching the SQL side where regexp
+                # functions return NULL and the doc simply contributes nothing.
+                toks = ws.split((t if isinstance(t, str) else "").strip().lower())
                 for i in range(0, len(toks) - chunk_words + 1, chunk_words):
                     chunk = " ".join(toks[i : i + chunk_words])
                     ids.append(doc_id)

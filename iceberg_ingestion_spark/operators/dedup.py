@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from iceberg_ingestion_spark.operators.text import hex_to_long, tokens
 
@@ -428,12 +429,21 @@ def connected_components(
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "component", F.col("id")
     ).localCheckpoint()
-    # Convergence signal: labels are monotonically non-increasing (min of self
-    # and neighbors), so sum(component) strictly decreases on any change and
-    # is equal iff NO label moved — one scalar aggregate per round instead of
-    # a self-join + count (2 jobs -> 1 job per round).
+    if not labels.take(1):
+        return labels
+    # Convergence signal, integral ids only: labels are monotonically
+    # non-increasing (min of self and neighbors), so sum(component) strictly
+    # decreases on any change and is equal iff NO label moved — one scalar
+    # aggregate per round instead of a self-join + count (2 jobs -> 1 job per
+    # round). For any other id type the decimal cast would yield NULL and the
+    # sums would compare equal on round one (silently wrong components), so
+    # non-integral ids take a changed-count comparison instead.
+    integral_ids = isinstance(
+        labels.schema["component"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType),
+    )
     _label_sum = F.sum(F.col("component").cast("decimal(38,0)"))  # overflow-proof
-    prev_sum = labels.agg(_label_sum).first()[0]
+    prev_sum = labels.agg(_label_sum).first()[0] if integral_ids else None
     changed = -1
     for _ in range(max_iterations):
         neighbor_min = (
@@ -441,19 +451,29 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
+                F.col("component").alias("_prev"),
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint()
         )
-        new_sum = new_labels.agg(_label_sum).first()[0]
-        changed = int(new_sum != prev_sum)
-        labels, prev_sum = new_labels, new_sum
+        new_labels = stepped.select("id", "component")
+        if integral_ids:
+            new_sum = new_labels.agg(_label_sum).first()[0]
+            # NULL sum can only mean the cast went lossy after all — treat as
+            # non-converged rather than silently returning wrong components.
+            changed = 1 if new_sum is None or prev_sum is None else int(new_sum != prev_sum)
+            prev_sum = new_sum
+        else:
+            changed = int(
+                stepped.filter(F.col("component") != F.col("_prev")).limit(1).count()
+            )
+        labels = new_labels
         if changed == 0:
             break
     else:

@@ -30,8 +30,11 @@ def funnel_stage_times(
     type_col: str = "event_type",
     ts_col: str = "ts_us",
 ) -> DataFrame:
-    """One row per user: ``t_<stage>`` = earliest timestamp completing each
-    stage in order (NULL once the funnel is dropped)."""
+    """One row per user WHO ENTERED THE FUNNEL (has a stage-0 event):
+    ``t_<stage>`` = earliest timestamp completing each stage in order (NULL
+    once the funnel is dropped). Users with only later-stage events (e.g. a
+    click but never a view) emit no row — pinned so the single-shuffle
+    rewrite keeps the original join-chain row contract."""
     ev = events.filter(F.col(type_col).isin(list(stages)))
     out = ev.groupBy(user_col).agg(
         F.collect_list(
@@ -53,7 +56,7 @@ def funnel_stage_times(
             tcol, F.array_min(F.transform(matches, lambda e: e["ts"]))
         )
         prev_t = tcol
-    return out.drop("_evs")
+    return out.drop("_evs").filter(F.col(f"t_{stages[0]}").isNotNull())
 
 
 WEEK_US = 7 * 24 * 3600 * 1_000_000

@@ -23,6 +23,27 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def default_driver_memory() -> str:
+    """Driver-JVM heap default, derived from host RAM (quarter of physical,
+    clamped to [2g, 32g]) so fresh environments still start — a fixed 32g
+    fails JVM startup (or OOM-kills) on smaller hosts. On the 128 GiB bench
+    host this resolves to the measured-good 32g. ``SPARK_GRAFT_DRIVER_MEM``
+    overrides."""
+    override = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if override:
+        return override
+    total_gib = 16.0
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gib = int(line.split()[1]) / (1024 * 1024)
+                    break
+    except (OSError, ValueError, IndexError):
+        pass
+    return f"{max(2, min(32, int(total_gib // 4)))}g"
+
+
 def build_session(
     app_name: str = "iceberg-ingestion-spark",
     master: str | None = None,
@@ -71,9 +92,10 @@ def build_session(
         # executor threads). 8g starved long suites: by query ~40 of a
         # 74-query bench the heap was full of retained UI plan strings,
         # unpersisted caches and localCheckpoint blocks, and GC pauses
-        # inflated ~1s queries to ~26s. On this 128 GiB host, 32g gives the
-        # suite headroom; a real cluster sizes executors separately.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # inflated ~1s queries to ~26s. Default scales with host RAM
+        # (quarter, clamped 2g-32g) so small hosts still boot; a real
+        # cluster sizes executors separately.
+        .config("spark.driver.memory", default_driver_memory())
         # Bound UI/listener retention: TPC-H-size plan strings x 1000
         # retained executions is real heap at suite scale.
         .config("spark.sql.ui.retainedExecutions", "50")

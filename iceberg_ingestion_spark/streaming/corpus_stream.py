@@ -53,7 +53,9 @@ def with_contamination_flag(
         for pdf in batches:
             flags = []
             for t in pdf[text_col]:
-                toks = ws.split(t.strip().lower())
+                # NULL text -> empty token list -> contaminated=false, matching
+                # the batch SQL side's NULL-propagating regexp behavior.
+                toks = ws.split((t if isinstance(t, str) else "").strip().lower())
                 hit = False
                 for i in range(len(toks) - n + 1):
                     if " ".join(toks[i : i + n]) in bench:

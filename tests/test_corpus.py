@@ -93,6 +93,17 @@ def test_chunk_table_drops_trailing_partial(spark):
     assert corpus.chunk_table(df, "doc_id", chunk_words=10).count() == 2
 
 
+def test_chunk_table_null_text_yields_no_chunks(spark):
+    """NULL text must produce zero chunks, not crash the Arrow kernel
+    (ADVICE r3) — matching the SQL side where regexp functions return NULL."""
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, None)],
+        "doc_id long, text string",
+    )
+    rows = corpus.chunk_table(df, "doc_id", chunk_words=10).collect()
+    assert [r.doc_id for r in rows] == [1]
+
+
 def test_chunk_duplicate_counts_cross_doc(spark):
     shared = " ".join(f"tok{i}" for i in range(10))
     df = _docs(

@@ -522,6 +522,45 @@ def test_connected_components_raises_on_non_convergence(spark):
     assert {r.component for r in labels.collect()} == {0}
 
 
+def test_connected_components_string_ids(spark):
+    """Non-integral ids must take the changed-count convergence path: the
+    decimal-cast sum would be NULL for strings, the sums would compare equal
+    after round one, and a long chain would silently return over-split
+    components (ADVICE r3, medium)."""
+    pairs = spark.createDataFrame(
+        # chain a-b-c-d-e needs >1 round to converge; plus an isolated pair
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")],
+        "id_1 string, id_2 string",
+    )
+    got = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "a", "x": "x", "y": "x"}
+    # and the non-convergence guard still fires for string chains
+    chain = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(12)], "id_1 string, id_2 string"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iterations=3)
+
+
+def test_connected_components_empty_input(spark):
+    empty = spark.createDataFrame([], "id_1 long, id_2 long")
+    assert dedup.connected_components(empty).count() == 0
+
+
+def test_funnel_requires_stage0_entry(spark):
+    """A user with only later-stage events (click but never view) emits NO
+    row — the single-shuffle rewrite keeps the join-chain row contract
+    (ADVICE r3)."""
+    from iceberg_ingestion_spark.operators.funnel import funnel_stage_times
+
+    ev = spark.createDataFrame(
+        [(1, "view", 10), (1, "click", 20), (2, "click", 5)],
+        "user_id long, event_type string, ts_us long",
+    )
+    rows = funnel_stage_times(ev, ["view", "click"]).collect()
+    assert {r.user_id for r in rows} == {1}
+
+
 def test_interval_join_matches_bruteforce_and_halfopen(spark):
     """Binned equi-join output == brute-force theta join, including points on
     bin boundaries; [start, end) half-open at both edges; multi-bin intervals
