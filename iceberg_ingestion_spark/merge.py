@@ -199,6 +199,14 @@ def merge_into_sql(
 ) -> str:
     """Build the Iceberg ``MERGE INTO`` statement (reference ``iceberg.py:235-244``).
 
+    EXECUTION-PINNED: ``tests/test_merge_sql_semantics.py`` parses this
+    statement with Spark's own SQL parser, executes the parsed clauses through
+    a generic MERGE interpreter (conditions evaluated by DuckDB), and asserts
+    bag-identity with :func:`merge_dataframes` across the full toggle matrix —
+    including a tripwire showing the reference's unconditional INSERT * would
+    fail the suite. Editing this SQL in a way that diverges semantically from
+    the DataFrame merge breaks those tests.
+
     NOT MATCHED clause, by mode — chosen so this SQL path and
     :func:`merge_dataframes` resolve every case identically:
 

@@ -1,0 +1,305 @@
+"""Execution pin for the Iceberg-SQL merge leg.
+
+``merge_into_sql`` (merge.py:194-232) mirrors the reference's MERGE INTO
+(reference ``src/data_ingestion/common/iceberg.py:233-244``) but no Iceberg
+runtime jar exists in this sandbox and the baked-in DuckDB (1.0) predates
+MERGE support — so until r3 its equivalence with ``merge_dataframes`` was a
+docstring argument only. This module makes the SQL text EXECUTABLE:
+
+1. The statement is parsed by SPARK'S OWN SQL PARSER (the exact dialect the
+   Iceberg path executes) into a ``MergeIntoTable`` logical plan; the ON
+   condition and every WHEN clause (kind + condition) are extracted from the
+   parsed plan — nothing is regexed out of the string, so any syntax error or
+   structural drift in ``merge_into_sql`` fails here first.
+2. The parsed clauses are executed by a generic MERGE interpreter implementing
+   the public Spark/Iceberg MERGE contract (clause order, first-true-wins,
+   at-most-one-source-row-per-target, UPDATE SET * / INSERT * by-name star
+   expansion): ON and clause conditions are evaluated by DuckDB over relations
+   registered as ``target``/``source`` — the interpreter knows nothing about
+   merge.py's internals.
+3. The interpreted result is asserted bag-identical to ``merge_dataframes``
+   across the toggle matrix (keep_deletes x change-set shapes incl. the
+   absent-key CDC delete where merge_into_sql deliberately diverges from the
+   reference), with the soft-delete pre-rewrite applied exactly as
+   ``IcebergSink.merge`` does (sinks.py:375-391).
+
+A final tripwire proves the harness has teeth: the reference's ORIGINAL
+unconditional ``WHEN NOT MATCHED THEN INSERT *`` (iceberg.py:243), run through
+the same interpreter, resurrects absent-key deletes and is asserted to
+DIFFER from ``merge_dataframes`` — i.e. this suite fails if the SQL and the
+DataFrame merge ever diverge semantically, and would have caught the very
+divergence the docstring used to argue away.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from iceberg_ingestion_spark.changes import with_soft_delete_flag
+from iceberg_ingestion_spark.merge import merge_dataframes, merge_into_sql
+from iceberg_ingestion_spark.model import ChangeSpec
+
+SPEC = ChangeSpec(natural_keys=("k",), updated_at_fields=("ts",))
+SPEC2 = ChangeSpec(natural_keys=("k1", "k2"), updated_at_fields=("ts",))
+
+
+# ---------------------------------------------------------------------------
+# 1. Spark-parser extraction
+# ---------------------------------------------------------------------------
+
+def parse_merge_plan(spark, sql: str) -> dict:
+    """Parse ``sql`` with Spark's sessionState sqlParser and pull the MERGE
+    structure out of the ``MergeIntoTable`` logical plan."""
+    plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+    assert plan.getClass().getSimpleName() == "MergeIntoTable", plan.getClass()
+
+    def actions(seq) -> list[tuple[str, str | None]]:
+        out = []
+        for i in range(seq.size()):
+            a = seq.apply(i)
+            cond = a.condition()
+            out.append(
+                (
+                    a.getClass().getSimpleName(),
+                    cond.get().sql() if cond.isDefined() else None,
+                )
+            )
+        return out
+
+    parsed = {
+        "on": plan.mergeCondition().sql(),
+        "matched": actions(plan.matchedActions()),
+        "not_matched": actions(plan.notMatchedActions()),
+        "not_matched_by_source": actions(plan.notMatchedBySourceActions()),
+    }
+    for kind, _ in parsed["matched"]:
+        if kind not in ("DeleteAction", "UpdateStarAction"):
+            raise NotImplementedError(f"unsupported matched action {kind}")
+    for kind, _ in parsed["not_matched"]:
+        if kind != "InsertStarAction":
+            raise NotImplementedError(f"unsupported not-matched action {kind}")
+    if parsed["not_matched_by_source"]:
+        raise NotImplementedError("NOT MATCHED BY SOURCE not interpreted")
+    return parsed
+
+
+# ---------------------------------------------------------------------------
+# 2. Generic MERGE interpreter (public MERGE contract; DuckDB evaluates
+#    every condition — the assembly below never looks at clause text)
+# ---------------------------------------------------------------------------
+
+def execute_merge(target_pdf: pd.DataFrame, source_pdf: pd.DataFrame, parsed: dict) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("target_v", target_pdf)
+    con.register("source_v", source_pdf)
+    con.sql("CREATE TABLE target AS SELECT * FROM target_v")
+    con.sql("CREATE TABLE source AS SELECT * FROM source_v")
+    on = parsed["on"]
+    tcols = list(target_pdf.columns)
+    scols = list(source_pdf.columns)
+
+    # Iceberg/Spark MERGE errors on >1 source row matching one target row.
+    amb = con.sql(
+        f"SELECT count(*) FROM (SELECT target.rowid, count(*) c FROM target "
+        f"JOIN source ON {on} GROUP BY 1 HAVING count(*) > 1)"
+    ).fetchone()[0]
+    if amb:
+        raise ValueError("MERGE: multiple source rows match a single target row")
+
+    def first_true_case(clauses: list[tuple[str, str | None]]) -> str:
+        whens = " ".join(
+            f"WHEN {cond if cond is not None else 'TRUE'} THEN {i}"
+            for i, (_, cond) in enumerate(clauses)
+        )
+        return f"CASE {whens} ELSE -1 END"
+
+    # Target rows with no matching source row are untouched.
+    kept = con.sql(
+        f"SELECT target.* FROM target WHERE NOT EXISTS "
+        f"(SELECT 1 FROM source WHERE {on})"
+    ).df()
+
+    # Matched pairs: DuckDB evaluates the clause conditions in-order.
+    tsel = ", ".join(f'target."{c}" AS "t__{c}"' for c in tcols)
+    ssel = ", ".join(f'source."{c}" AS "s__{c}"' for c in scols)
+    matched = con.sql(
+        f"SELECT {first_true_case(parsed['matched'])} AS _act, {tsel}, {ssel} "
+        f"FROM target JOIN source ON {on}"
+    ).df()
+    out_rows: list[dict] = []
+    for _, row in matched.iterrows():
+        act = int(row["_act"])
+        if act == -1:  # no clause matched: row untouched
+            out_rows.append({c: row[f"t__{c}"] for c in tcols})
+            continue
+        kind = parsed["matched"][act][0]
+        if kind == "DeleteAction":
+            continue
+        # UpdateStarAction: target.c = source.c for every target column by
+        # name; a target column absent from source is an analysis error.
+        for c in tcols:
+            if c not in scols:
+                raise ValueError(f"UPDATE SET *: source lacks target column {c}")
+        out_rows.append({c: row[f"s__{c}"] for c in tcols})
+
+    # Source rows with no matching target row: not-matched clauses.
+    unmatched_src = con.sql(
+        f"SELECT {first_true_case(parsed['not_matched'])} AS _act, source.* "
+        f"FROM source WHERE NOT EXISTS (SELECT 1 FROM target WHERE {on})"
+    ).df()
+    for _, row in unmatched_src.iterrows():
+        act = int(row["_act"])
+        if act == -1:
+            continue
+        # InsertStarAction: by-name star expansion over the target schema.
+        for c in tcols:
+            if c not in scols:
+                raise ValueError(f"INSERT *: source lacks target column {c}")
+        out_rows.append({c: row[c] for c in tcols})
+
+    con.close()
+    extra = pd.DataFrame(out_rows, columns=tcols)
+    return pd.concat([kept, extra], ignore_index=True)
+
+
+def _norm(v):
+    """None/NaN -> None; numpy scalars -> python scalars, so bags built from
+    Spark-toPandas and DuckDB-df sources sort and compare identically."""
+    if v is None or (not isinstance(v, str) and pd.isna(v)):
+        return None
+    return v.item() if hasattr(v, "item") else v
+
+
+def as_bag(pdf: pd.DataFrame) -> list[tuple]:
+    cols = sorted(pdf.columns)
+    rows = []
+    for _, r in pdf.iterrows():
+        rows.append(tuple(_norm(r[c]) for c in cols))
+    return sorted(rows, key=repr)
+
+
+# ---------------------------------------------------------------------------
+# 3. The equivalence matrix
+# ---------------------------------------------------------------------------
+
+TARGET_ROWS = [
+    (1, "one", 10),
+    (2, "two", 10),
+    (3, "three", 10),
+    (4, "four", 10),
+]
+TARGET_SCHEMA = "k long, v string, ts long"
+CHANGE_SCHEMA = "k long, v string, ts long, op string"
+
+CHANGE_SETS = {
+    "mixed": [
+        (2, "two-v2", 20, "U"),
+        (5, "five", 20, "I"),
+        (3, None, 20, "D"),     # matched delete
+        (9, None, 20, "D"),     # ABSENT-key delete: the divergence case
+    ],
+    "inserts_only": [(6, "six", 20, "I"), (7, "seven", 20, "I")],
+    "updates_only": [(1, "one-v2", 20, "U"), (4, "four-v2", 20, "U")],
+    "deletes_incl_absent": [(1, None, 20, "D"), (42, None, 20, "D")],
+    "empty": [],
+}
+
+
+def _run_both(spark, target_rows, change_rows, keep_deletes, spec=SPEC):
+    target = spark.createDataFrame(target_rows, TARGET_SCHEMA)
+    changes = spark.createDataFrame(change_rows, CHANGE_SCHEMA)
+
+    # DataFrame leg (takes the raw change-set; does its own soft-delete rewrite)
+    df_result = merge_dataframes(target, changes, spec, keep_deletes=keep_deletes)
+
+    # SQL leg: pre-process exactly as IcebergSink.merge does (sinks.py:379-391)
+    # before registering the changes view, then parse + interpret the statement.
+    sql_changes = (
+        with_soft_delete_flag(changes, spec.op_col) if keep_deletes else changes
+    )
+    target_pdf = target.toPandas()
+    if keep_deletes:
+        # job contract: a soft-delete table carries hard_deleted from first
+        # load (jobs.py:76-77), so the MERGE target always has the column.
+        target_pdf["hard_deleted"] = False
+    sql = merge_into_sql("target", "source", spec, keep_deletes=keep_deletes)
+    parsed = parse_merge_plan(spark, sql)
+    sql_result = execute_merge(target_pdf, sql_changes.toPandas(), parsed)
+    return df_result.toPandas(), sql_result
+
+
+@pytest.mark.parametrize("keep_deletes", [False, True])
+@pytest.mark.parametrize("change_set", sorted(CHANGE_SETS))
+def test_sql_and_dataframe_merge_identical(spark, keep_deletes, change_set):
+    df_result, sql_result = _run_both(
+        spark, TARGET_ROWS, CHANGE_SETS[change_set], keep_deletes
+    )
+    assert as_bag(df_result) == as_bag(sql_result), (
+        f"merge_into_sql diverged from merge_dataframes "
+        f"(keep_deletes={keep_deletes}, change_set={change_set})"
+    )
+
+
+@pytest.mark.parametrize("keep_deletes", [False, True])
+def test_sql_merge_empty_target(spark, keep_deletes):
+    df_result, sql_result = _run_both(
+        spark, [], CHANGE_SETS["mixed"], keep_deletes
+    )
+    assert as_bag(df_result) == as_bag(sql_result)
+
+
+def test_sql_merge_composite_keys(spark):
+    target = spark.createDataFrame(
+        [(1, "a", "x", 10), (1, "b", "y", 10), (2, "a", "z", 10)],
+        "k1 long, k2 string, v string, ts long",
+    )
+    changes = spark.createDataFrame(
+        [(1, "a", "x2", 20, "U"), (2, "b", "w", 20, "I"), (1, "b", None, 20, "D")],
+        "k1 long, k2 string, v string, ts long, op string",
+    )
+    df_result = merge_dataframes(target, changes, SPEC2, keep_deletes=False)
+    parsed = parse_merge_plan(spark, merge_into_sql("target", "source", SPEC2))
+    sql_result = execute_merge(target.toPandas(), changes.toPandas(), parsed)
+    assert as_bag(df_result.toPandas()) == as_bag(sql_result)
+
+
+def test_sql_merge_rejects_ambiguous_source(spark):
+    """Two change rows for one key: Iceberg raises; the interpreter pins the
+    same contract (upstream the CDC window dedup guarantees one row per key,
+    reference iceberg.py:203-216)."""
+    target = spark.createDataFrame(TARGET_ROWS, TARGET_SCHEMA)
+    changes = spark.createDataFrame(
+        [(2, "a", 20, "U"), (2, "b", 21, "U")], CHANGE_SCHEMA
+    )
+    parsed = parse_merge_plan(spark, merge_into_sql("target", "source", SPEC))
+    with pytest.raises(ValueError, match="multiple source rows"):
+        execute_merge(target.toPandas(), changes.toPandas(), parsed)
+
+
+def test_reference_unconditional_insert_would_diverge(spark):
+    """Teeth check: the reference's literal NOT MATCHED clause (unconditional
+    INSERT *, iceberg.py:243) run through the SAME parser + interpreter
+    resurrects the absent-key delete — asserting it DIFFERS from
+    merge_dataframes proves this suite detects semantic drift between the SQL
+    text and the DataFrame merge."""
+    sql = merge_into_sql("target", "source", SPEC, keep_deletes=False)
+    guarded = f"WHEN NOT MATCHED AND source.{SPEC.op_col} != 'D' THEN INSERT *"
+    assert guarded in " ".join(sql.split()), "statement text changed; update test"
+    reference_sql = " ".join(sql.split()).replace(
+        guarded, "WHEN NOT MATCHED THEN INSERT *"
+    )
+    target = spark.createDataFrame(TARGET_ROWS, TARGET_SCHEMA)
+    changes = spark.createDataFrame(CHANGE_SETS["mixed"], CHANGE_SCHEMA)
+    df_result = merge_dataframes(target, changes, SPEC, keep_deletes=False)
+
+    parsed_ref = parse_merge_plan(spark, reference_sql)
+    ref_result = execute_merge(target.toPandas(), changes.toPandas(), parsed_ref)
+    assert as_bag(df_result.toPandas()) != as_bag(ref_result)
+
+    # and the row it resurrects is exactly the absent-key delete (k=9)
+    parsed_ours = parse_merge_plan(spark, sql)
+    ours = execute_merge(target.toPandas(), changes.toPandas(), parsed_ours)
+    extra = set(as_bag(ref_result)) - set(as_bag(ours))
+    assert {r[0] for r in extra} == {9}
