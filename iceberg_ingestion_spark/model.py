@@ -100,6 +100,13 @@ class TablePolicy:
     min_snapshots_to_keep: int = 90
     target_file_size_bytes: int = 64 * 1024 * 1024
     partition_by: tuple[str, ...] = field(default_factory=tuple)
+    #: D1 write clustering (reference declares the bucket hook at
+    #: ``iceberg.py:332-338``): rows are clustered so each data file covers a
+    #: single ``pmod(hash(bucket_by), n_buckets)`` bucket — the parquet sink
+    #: applies ``bucket_partition_ordering`` at commit, the Iceberg sink adds a
+    #: ``bucket(n, col)`` transform to the partition spec.
+    bucket_by: tuple[str, ...] = field(default_factory=tuple)
+    n_buckets: int = 8
 
     @property
     def compression_codec(self) -> str:

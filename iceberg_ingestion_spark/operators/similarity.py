@@ -392,8 +392,16 @@ def topk_ivf(
     """
 
     def _centroids(packed: DataFrame) -> list[tuple[int, list[float]]]:
-        # deterministic: the n_cells smallest ids (a fixed, reproducible draw)
-        rows = packed.orderBy(F.col(id_col)).limit(n_cells).collect()
+        # deterministic AND hash-spread: rank by md5(id), so the draw is a
+        # fixed pseudo-random sample of the corpus. Taking the n_cells
+        # smallest ids (the previous draw) would hand id-correlated
+        # embeddings badly unbalanced cells; md5 rank decorrelates at zero
+        # cost. Bounded collect: exactly n_cells rows.
+        rows = (
+            packed.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(n_cells)
+            .collect()
+        )
         return [(i, list(r["v"])) for i, r in enumerate(rows)]
 
     def _assign(packed: DataFrame, cents, take: int, out_col: str) -> DataFrame:

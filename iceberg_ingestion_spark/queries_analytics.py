@@ -481,15 +481,22 @@ def exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sort_cols = ["l_extendedprice", "l_orderkey", "l_linenumber"]
     l = read_table(spark, sf_dir, "lineitem").select("l_returnflag", *sort_cols)
-    # cache(): `ranged` feeds TWO plan subtrees (offsets and ranked) whose
-    # correctness requires IDENTICAL pid assignment in both. Without the
-    # cache that held only via Spark's exchange reuse + deterministic range
-    # sampling — an implicit dependency a refactor could silently break;
-    # the cache makes the single evaluation explicit (and at scale you want
-    # the range exchange computed once anyway).
-    ranged = l.repartitionByRange(
-        default_parallelism(), "l_returnflag", *[F.col(c) for c in sort_cols]
-    ).withColumn("pid", F.spark_partition_id()).cache()
+    # `ranged` feeds TWO plan subtrees (offsets and ranked) whose correctness
+    # requires IDENTICAL pid assignment in both — one materialized evaluation.
+    # localCheckpoint (eager) pins that: pids are frozen in the materialized
+    # blocks (executor memory spilling to local disk) and the lineage is
+    # truncated, so neither subtree can re-run the range exchange. Unlike the
+    # previous cache(), the blocks don't live in the unified cache region
+    # competing with the rest of a 100 TB job's working set, and an evicted
+    # block can't be recomputed down a different sampling path — pid
+    # consistency is structural, not an artifact of exchange reuse.
+    ranged = (
+        l.repartitionByRange(
+            default_parallelism(), "l_returnflag", *[F.col(c) for c in sort_cols]
+        )
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
 
     seg = ranged.groupBy("pid", "l_returnflag").agg(F.count(F.lit(1)).alias("cnt"))
     w_off = Window.partitionBy("l_returnflag").orderBy("pid")
@@ -522,7 +529,6 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; the ranking is identical). Shape: explode -> (doc, term) counts
     -> term document-frequency join -> per-doc window top-k."""
     d = read_table(spark, sf_dir, "documents", spread=True)
-    n_docs = d.count()
     toks = d.select(
         "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
     )
@@ -530,8 +536,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = toks.select("doc_id", "term").distinct().groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
     )
-    scored = tf.join(df_, "term").withColumn(
-        "score", F.col("tf") * F.lit(float(n_docs)) / F.col("df")
+    # N folded into the plan as a broadcast 1-row aggregate — a separate
+    # d.count() action was an extra full corpus scan before the main job.
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * F.col("_n_docs") / F.col("df"))
+        .drop("_n_docs")
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
     return (

@@ -47,12 +47,19 @@ def bucket_partition_ordering(
 ) -> DataFrame:
     """D1: bucket-partitioned write ordering (reference declares the hook at
     ``iceberg.py:332-338`` and implements it — commented out — via a JVM
-    ``iceberg_bucket_bigint`` UDF, ``dmsdatabase1.py:79-93``). Here the bucket
-    is plain ``pmod(hash(cols), n)`` — no py4j UDF registration needed — and
-    rows are clustered so each output file covers one bucket: fewer, larger,
-    cluster-aligned files at write time."""
-    b = F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(n_buckets))
-    return df.repartition(n_buckets, b).sortWithinPartitions(b)
+    ``iceberg_bucket_bigint`` UDF, ``dmsdatabase1.py:79-93``). The bucket id is
+    ``pmod(hash(cols), n)`` — no py4j UDF registration needed — realized by
+    hash-repartitioning DIRECTLY on the key columns with ``n_buckets``
+    partitions: Spark's HashPartitioning assigns partition =
+    ``pmod(murmur3(cols), n)``, i.e. the partition id IS the bucket id, so
+    every task (and therefore every output file, per dir-partition) holds
+    exactly one bucket. Repartitioning on a precomputed bucket COLUMN would
+    re-hash it and collide several buckets into one task — per-file purity
+    would silently fail (caught by the end-to-end layout test). Rows are
+    additionally sorted by the key within each bucket for tight parquet
+    min/max stats."""
+    key = [F.col(c) for c in cols]
+    return df.repartition(n_buckets, *key).sortWithinPartitions(*key)
 
 
 class TableSink(Protocol):
@@ -138,6 +145,11 @@ class ParquetVersionedSink:
         # reference delegates this to Iceberg's catalog CAS); a lost race is
         # DETECTED below and raised, never silently absorbed.
         tmp = f"{vdir}.inflight-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        if policy.bucket_by:
+            # D1 end-to-end: cluster rows so each output file covers exactly
+            # one hash bucket (with partition_by, one file per (dir-partition,
+            # bucket) pair) — co-located scans and merge joins downstream.
+            df = bucket_partition_ordering(df, list(policy.bucket_by), policy.n_buckets)
         writer = df.write.mode("errorifexists").option("compression", policy.compression_codec)
         if policy.partition_by:
             writer = writer.partitionBy(*policy.partition_by)
@@ -354,9 +366,13 @@ class IcebergSink:
 
     def create(self, name: str, df: DataFrame, policy: TablePolicy) -> None:
         df.createOrReplaceTempView("__ingest_source")
-        partition = (
-            f"PARTITIONED BY ({', '.join(policy.partition_by)})" if policy.partition_by else ""
-        )
+        # Iceberg expresses bucketing as a partition transform, so
+        # policy.bucket_by becomes bucket(n, col) in the spec (the parquet
+        # sink realizes the same clustering via bucket_partition_ordering).
+        transforms = list(policy.partition_by) + [
+            f"bucket({policy.n_buckets}, {c})" for c in policy.bucket_by
+        ]
+        partition = f"PARTITIONED BY ({', '.join(transforms)})" if transforms else ""
         self.spark.sql(
             f"CREATE TABLE IF NOT EXISTS {self._fq(name)} USING iceberg {partition} "
             f"TBLPROPERTIES ({self._props_clause(policy)}) AS SELECT * FROM __ingest_source"

@@ -175,6 +175,64 @@ def test_bucket_partition_ordering_clusters_rows(spark):
     assert all(buckets.select("b").rdd.mapPartitions(_is_sorted).collect())
 
 
+def test_partitioned_bucketed_ingest_end_to_end(spark, warehouse):
+    """D1 wired through IngestionJob.run (VERDICT r3 #7): a partitioned +
+    bucketed policy must produce, across BOTH the first load and a subsequent
+    snapshot merge, a file layout where (a) directories are partitioned by the
+    partition column and (b) every data file contains exactly one
+    pmod(hash(bucket_by), n_buckets) bucket."""
+    from pyspark.sql import functions as F
+
+    from iceberg_ingestion_spark.jobs import IngestionJob
+    from iceberg_ingestion_spark.model import ChangeSpec, IngestionType
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    policy = TablePolicy(partition_by=("o_orderstatus",), bucket_by=("o_orderkey",), n_buckets=4)
+    job = IngestionJob(
+        ParquetVersionedSink(spark, warehouse),
+        ChangeSpec(("o_orderkey",), ("o_orderdate",)),
+        policy=policy,
+    )
+    ts = datetime(2026, 8, 13, 2, 0, 0)
+    name = "dev_clean_tpch.orders_part"
+    job.run(orders, name, IngestionType.FULL, ts)              # first load
+    day2 = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 2)
+        .otherwise(F.col("o_totalprice")),
+    ).withColumn(
+        "o_orderdate",
+        F.when(F.col("o_orderkey") % 7 == 0, F.date_add("o_orderdate", 1))
+        .otherwise(F.col("o_orderdate")),
+    )
+    job.run(day2, name, IngestionType.FULL, ts)                # merge commit
+
+    sink = job.sink
+    assert sink.current_version(name) == 2
+    vdir = sink._version_dir(name, 2)
+    # (a) hive-style partition dirs by o_orderstatus
+    parts = sorted(d for d in os.listdir(vdir) if d.startswith("o_orderstatus="))
+    assert parts, os.listdir(vdir)
+    # (b) per-file bucket purity, checked through the actual file layout
+    per_file = (
+        spark.read.parquet(vdir)
+        .select(
+            F.input_file_name().alias("file"),
+            F.pmod(F.hash("o_orderkey"), F.lit(policy.n_buckets)).alias("b"),
+        )
+        .groupBy("file")
+        .agg(F.countDistinct("b").alias("nb"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert per_file and all(r.nb == 1 for r in per_file), per_file
+    # every (partition, bucket) combination still reads back complete
+    assert spark.read.parquet(vdir).count() == orders.count()
+    # merged values survived the clustered rewrite
+    merged = sink.read(name)
+    touched = merged.filter(F.col("o_orderkey") % 7 == 0).count()
+    assert touched == orders.filter(F.col("o_orderkey") % 7 == 0).count()
+
+
 def test_read_changes_between_versions(sink, spark):
     from pyspark.sql import Row
 

@@ -257,9 +257,71 @@ def caps_ab(mults: list[int]) -> int:
     return 0
 
 
+def ann_curve(mults: list[int]) -> int:
+    """ANN-family scale curves: brute / LSH / IVF top-k at growing corpus
+    multipliers with a FIXED query fraction (0.1%), plus LSH/IVF recall vs the
+    exact brute-force baseline wherever brute completes in the budget.
+
+    Expected shapes: brute is queries x corpus = O(n^2) overall (it exists as
+    the exactness baseline, not the scale path); LSH cost tracks bucket
+    collision mass, IVF cost tracks nprobe/n_cells of the corpus — both
+    near-linear with fixed parameters. Recall must hold at every multiplier:
+    a draw- or bucketing-scheme that only works at base scale shows up here.
+    """
+    from iceberg_ingestion_spark.operators import similarity
+    from iceberg_ingestion_spark.session import build_session
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = build_session(app_name="scale-smoke-ann")
+    spark.range(10_000).repartition(64).mapInPandas(lambda it: it, "id long").count()
+    base = spark.read.parquet(f"{sf}/embeddings.parquet").repartition(32)
+
+    for mult in mults:
+        vecs = (base if mult == 1 else blow_up(base, ["vec_id"], mult)).cache()
+        n = vecs.count()
+        qf = F.col("vec_id") % 1000 == 0
+        print(f"\n== ANN {mult}x: {n} vectors, {n // 1000} queries ==", flush=True)
+        results = {}
+        for name, fn in [
+            ("brute", lambda: similarity.topk_bruteforce(
+                vecs, "vec_id", "embedding", 64, 5, qf)),
+            ("lsh", lambda: similarity.topk_lsh(
+                vecs, "vec_id", "embedding", 64, 5, qf)),
+            ("ivf", lambda: similarity.topk_ivf(
+                vecs, "vec_id", "embedding", 64, 5, qf, n_cells=16, nprobe=4)),
+        ]:
+            t0 = time.time()
+            try:
+                df = fn().cache()
+                df.write.format("noop").mode("overwrite").save()
+                results[name] = df
+                print(f"topk_{name:12s} {mult}x {time.time()-t0:7.1f}s", flush=True)
+            except Exception as exc:  # noqa: BLE001
+                print(f"topk_{name:12s} {mult}x FAILED {exc}", flush=True)
+        if "brute" in results:
+            exact_pairs = results["brute"].select("query_id", "neighbor_id")
+            n_exact = exact_pairs.count()
+            for name in ("lsh", "ivf"):
+                if name not in results:
+                    continue
+                hits = exact_pairs.join(
+                    results[name].select("query_id", "neighbor_id"),
+                    ["query_id", "neighbor_id"], "left_semi",
+                ).count()
+                print(f"recall_{name}   {mult}x {hits}/{n_exact} = {hits/n_exact:.3f}",
+                      flush=True)
+        for df in results.values():
+            df.unpersist()
+        vecs.unpersist()
+    spark.stop()
+    return 0
+
+
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--caps-ab":
         return caps_ab([int(a) for a in sys.argv[2:]] or [5, 20])
+    if len(sys.argv) > 1 and sys.argv[1] == "--ann":
+        return ann_curve([int(a) for a in sys.argv[2:]] or [1, 5, 20])
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
