@@ -42,25 +42,35 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 #: Names promoted to the front of ``queries()``. The driver checks entries in
-#: insertion order (it records rows for exactly the first 50), so rotate the
-#: window each round toward the entries whose evidence would otherwise go
-#: stale: (a) everything whose code path changed THIS round — the sketch and
-#: ANN bound-check rewrites, the ngram hot-set short-circuit, the
-#: cosine-guard signature, the cached exact-quantiles — plus the ingest
-#: calculus (cheap, always re-verified); (b) the 19 TPC-H tail queries whose
-#: green rows date from round 1 (flagged in VERDICT r2 as silently stale on
-#: any future edit). The 19 entries left OUT of the window (text_quality/
-#: lang/fingerprint/pii/repetition, exact/fingerprint/simhash dedup, knn
-#: vote, sessionize/funnel/cohort/splits, multimodal, rollup_revenue,
-#: topn_orders_per_segment) are byte-unchanged since their green round-2
-#: rows — including every operator
-#: function they call (dedup_clusters is IN the window precisely because it
-#: consumes the round-3-rewritten minhash_lsh_pairs). Late-r3 rotation: the
-#: four NEW corpus-prep queries (decon/mix/pack/chunk-dedup) take the window
-#: slots of q12_return_class_priority / analytics_tfidf_top_terms /
-#: analytics_running_totals / asof_last_click_before_purchase, which are
-#: byte-unchanged since their green round-2 hash rows (verified: git diff
-#: 1804af9..HEAD touches queries_analytics.py only at exact_quantiles).
+#: insertion order (it records rows for exactly the first 50), so the window
+#: rotates each round under two rules: (1) every entry whose code path changed
+#: or was created THIS round must be in; (2) entries displaced must be
+#: function-level byte-unchanged (implementation + oracle + every operator
+#: function they call) since their latest green row.
+#:
+#: Round-4 window (VERDICT r3 #3 executed): the 25 entries whose newest rows
+#: were r2-era all rotate back in (text_*, dedup_exact/fingerprint/simhash*,
+#: knn vote, sessionize*, cohort, splits, multimodal_*, rollup, topn, q12,
+#: tfidf, running_totals, asof, bag_diff_identity) — after this round every
+#: entry has an r3-or-r4 green row. Also in: the seven r4-touched entries
+#: (corpus_feed_health NEW; funnel_conversion — funnel row-contract fix;
+#: dedup_clusters — convergence-check fix; analytics_exact_quantiles —
+#: localCheckpoint; analytics_tfidf_top_terms — folded count;
+#: sim_ann_topk_ivf — hash-spread centroids; dedup_exact_chunks — NULL-text
+#: kernel fix), the ingest calculus (13, cheap, always re-verified), and —
+#: conservatively — the six entries whose FILES changed this round even
+#: though their functions did not (ngram/minhash/embedding-cosine dedup in
+#: dedup.py+similarity.py, brute/LSH ANN in similarity.py, decon in
+#: corpus.py).
+#:
+#: Rotated OUT (26, all r3-green and function-level byte-unchanged in r4):
+#: mix_weighted_sample / pack_token_budget (corpus.py changed only in
+#: chunk_table's NULL-text guard — weighted_mix / pack_sequences and their
+#: oracles untouched), events_interval_join (interval.py untouched),
+#: sketch_approx_distinct / sketch_approx_quantiles (sketches.py untouched),
+#: and q1-q22 minus q12 (21 — queries.py untouched; queries_analytics.py
+#: changed only inside exact_quantiles and tfidf_top_terms, both of which
+#: are IN the window).
 _PRIORITY = [
     # SURVEY §2 core calculus + validation (13)
     "ingest_detect_inserts",
@@ -75,51 +85,48 @@ _PRIORITY = [
     "ingest_replace",
     "ingest_first_load_cdc",
     "validate_bag_diff_strictness",
-    # (validate_bag_diff_identity rotated out — byte-unchanged since its
-    # green r2 row; funnel_conversion takes the slot after its single-shuffle
-    # rewrite this round)
-    "funnel_conversion",
-    "ingest_changelog_versions",  # NEW in r3 — Iceberg changelog-scan analogue
-    # round-3 touched extension paths (10; text_token_counts rotated out —
-    # its implementation + oracle are byte-unchanged since the green r2 row)
-    "dedup_ngram_jaccard",        # hot-set short-circuit rewrite
-    "dedup_minhash_lsh",          # same file; shares shingle machinery
-    "dedup_clusters",             # consumes minhash_lsh_pairs (cap rewrite)
-    "dedup_embedding_cosine",     # cosine_pairs_blocked signature change
+    "ingest_changelog_versions",
+    # r4-changed entries (7)
+    "corpus_feed_health",         # NEW: batch analogue of the streaming feed metrics
+    "funnel_conversion",          # funnel_stage_times row-contract fix
+    "dedup_clusters",             # connected_components convergence-check fix
+    "analytics_exact_quantiles",  # cache -> localCheckpoint
+    "analytics_tfidf_top_terms",  # N folded into the plan
+    "sim_ann_topk_ivf",           # md5 hash-spread centroid draw
+    "dedup_exact_chunks",         # chunk_table NULL-text guard
+    # same-file-conservative (6): functions unchanged, files changed in r4
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "sim_ann_topk_bruteforce",
-    "sim_ann_topk_lsh",           # new recall bound-check form
-    "sim_ann_topk_ivf",           # new recall bound-check form
-    "sketch_approx_distinct",     # new HLL bound-check form
-    "sketch_approx_quantiles",    # new GK bound-check form (scalar rows)
-    "analytics_exact_quantiles",  # cached range exchange
-    # new-in-r3 corpus prep + interval join — need their first green rows (5)
+    "sim_ann_topk_lsh",
     "decon_benchmark_overlap",
-    "mix_weighted_sample",
-    "pack_token_budget",
-    "dedup_exact_chunks",
-    "events_interval_join",
-    # TPC-H suite — q2,q4-q11,q13-q22 rotate back in (r1-era rows) (22)
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_late_shipment_priority",
-    "q5_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_bracketed_revenue",
-    "q20_part_share_suppliers",
-    "q21_single_late_supplier",
-    "q22_inactive_balance",
+    # r2-era evidence refresh (24 more; analytics_tfidf_top_terms above is
+    # the 25th of VERDICT r3's list)
+    "text_token_counts",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_pii_scrub",
+    "text_repetition",
+    "dedup_exact",
+    "dedup_fingerprint_groups",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "sim_knn_label_vote",
+    "sessionize_stats",
+    "sessionize_user_summary",
+    "cohort_retention",
+    "data_split_counts",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "multimodal_resize_plan",
+    "validate_bag_diff_identity",
+    "q12_return_class_priority",
+    "analytics_running_totals",
+    "asof_last_click_before_purchase",
+    "rollup_revenue",
+    "topn_orders_per_segment",
 ]
 
 

@@ -434,6 +434,55 @@ def q_dedup_exact_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.chunk_duplicate_counts(d, chunk_words=CHUNK_WORDS)
 
 
+#: Simulated arrival windows for the batch feed-health analogue (documents
+#: carry no event time; the metric shape is what's under test).
+FEED_WINDOWS = 8
+
+
+def q_corpus_feed_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch analogue of ``streaming.corpus_stream.corpus_feed_health`` —
+    driver-green evidence for the streaming subsystem's newest metrics
+    (VERDICT r3 #8). Runs the SAME Arrow-batched contamination kernel the
+    stream runs (``with_contamination_flag``) plus the same per-window
+    volume / contamination-rate / duplicate-rate aggregate, with two
+    batch-mode substitutions, each pinned elsewhere:
+
+    - event-time windows -> ``doc_id % 8`` arrival windows (documents carry
+      no timestamp; window-assignment mechanics are pinned by
+      tests/test_streaming_windowed_stateful.py);
+    - HLL fingerprint cardinality -> exact ``count_distinct`` (batch has no
+      bounded-state constraint; the HLL error bound is pinned by
+      ``sketch_approx_distinct``).
+
+    The benchmark n-gram set is driver-collected and broadcast — bounded by
+    the eval-suite size, the same contract the streaming pipeline relies on.
+    """
+    from iceberg_ingestion_spark.streaming.corpus_stream import with_contamination_flag
+
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    bench_df = d.where(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    bench = {
+        r.ngram
+        for r in corpus.ngram_table(bench_df, "doc_id", "text", DECON_NGRAM)
+        .select("ngram")
+        .distinct()
+        .collect()
+    }
+    feed = d.where(F.col("doc_id") % DECON_BENCH_MOD != 0).select(
+        "doc_id", "text", text.fingerprint_md5("text").alias("_fp")
+    )
+    flagged = with_contamination_flag(feed, bench, "text", DECON_NGRAM)
+    n = F.count(F.lit(1))
+    return (
+        flagged.groupBy((F.col("doc_id") % FEED_WINDOWS).alias("window_id"))
+        .agg(
+            n.alias("n_docs"),
+            F.avg(F.col("contaminated").cast("int")).alias("contamination_rate"),
+            ((n - F.countDistinct("_fp")) / n).alias("dup_rate"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sketches (approximate, but hash-verifiable: sketch VALUES are engine-
 # specific, so each query emits exact-side columns plus an error-bound boolean
@@ -564,6 +613,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention": q_cohort_retention,
     "data_split_counts": q_data_split_counts,
     "decon_benchmark_overlap": q_decon_benchmark_overlap,
+    "corpus_feed_health": q_corpus_feed_health,
     "mix_weighted_sample": q_mix_weighted_sample,
     "pack_token_budget": q_pack_token_budget,
     "dedup_exact_chunks": q_dedup_exact_chunks,
@@ -897,6 +947,34 @@ WHERE p.event_type = 'click'
         SELECT g.doc_id, count(*) AS n_hit_ngrams
         FROM grams g JOIN bench USING (ngram)
         WHERE g.doc_id % {DECON_BENCH_MOD} <> 0
+        GROUP BY 1
+    """,
+    "corpus_feed_health": f"""
+        WITH words AS (
+            SELECT doc_id, {_TOKS} AS w FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(w, i, i + {DECON_NGRAM - 1}), ' ') AS ngram
+            FROM words, UNNEST(range(1, len(w) - {DECON_NGRAM - 2})) AS t(i)
+            WHERE len(w) >= {DECON_NGRAM}
+        ),
+        bench AS (
+            SELECT DISTINCT ngram FROM grams WHERE doc_id % {DECON_BENCH_MOD} = 0
+        ),
+        hits AS (
+            SELECT DISTINCT g.doc_id FROM grams g JOIN bench USING (ngram)
+            WHERE g.doc_id % {DECON_BENCH_MOD} <> 0
+        ),
+        feed AS (
+            SELECT doc_id, md5({_NORM}) AS fp FROM documents
+            WHERE doc_id % {DECON_BENCH_MOD} <> 0
+        )
+        SELECT f.doc_id % {FEED_WINDOWS} AS window_id,
+               count(*) AS n_docs,
+               avg(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END) AS contamination_rate,
+               (count(*) - count(DISTINCT f.fp)) / count(*) AS dup_rate
+        FROM feed f LEFT JOIN hits h USING (doc_id)
         GROUP BY 1
     """,
     "mix_weighted_sample": f"""

@@ -57,6 +57,10 @@ def test_no_unbounded_nested_loop_joins(spark):
         # TPC-H Q22: the global-avg scalar subquery joins as a broadcast of
         # a literal 1-row relation — bounded by construction
         "q22_inactive_balance",
+        # r4: corpus size N folded into the plan as a broadcast 1-row
+        # aggregate (replacing a separate d.count() driver action — an extra
+        # full corpus scan); the BNLJ side is exactly one row
+        "analytics_tfidf_top_terms",
     }
     offenders = []
     for name, fn in entry_mod.queries().items():
