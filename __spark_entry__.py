@@ -94,13 +94,18 @@ _PRIORITY = [
     "analytics_tfidf_top_terms",  # N folded into the plan
     "sim_ann_topk_ivf",           # md5 hash-spread centroid draw
     "dedup_exact_chunks",         # chunk_table NULL-text guard
-    # same-file-conservative (6): functions unchanged, files changed in r4
+    # NEW in r4: driver evidence for the skew family (operators/skew.py was
+    # pytest-only); takes the slot decon_benchmark_overlap would have held —
+    # decon's function + oracle are byte-unchanged since its r3 green row,
+    # and the r4-changed parts of corpus.py are covered in-window by
+    # dedup_exact_chunks (chunk_table) and corpus_feed_health (contamination)
+    "skew_salted_agg",
+    # same-file-conservative (5): functions unchanged, files changed in r4
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "sim_ann_topk_bruteforce",
     "sim_ann_topk_lsh",
-    "decon_benchmark_overlap",
     # r2-era evidence refresh (24 more; analytics_tfidf_top_terms above is
     # the 25th of VERDICT r3's list)
     "text_token_counts",

@@ -279,6 +279,33 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sessionization
 # ---------------------------------------------------------------------------
 
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation (``operators/skew.py``) over events,
+    grouped on the LOW-CARDINALITY event_type key — exactly the shape where
+    one hot key would funnel a 100 TB scan through a handful of reducers.
+    The oracle is the PLAIN single-phase GROUP BY: salting must be
+    result-invisible (decomposable aggregates re-combined exactly), which is
+    the whole contract of the operator. Money sums go through decimal so the
+    salted re-combination order cannot perturb a float total."""
+    from iceberg_ingestion_spark.operators.skew import salted_sum_count
+
+    ev = read_events_us(spark, sf_dir)
+    out = salted_sum_count(
+        ev,
+        ["event_type"],
+        {
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.sum(F.col("value").cast("decimal(18,2)")),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
 def q_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_us(spark, sf_dir)
     s = sessionize.sessionize(
@@ -617,6 +644,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix_weighted_sample": q_mix_weighted_sample,
     "pack_token_budget": q_pack_token_budget,
     "dedup_exact_chunks": q_dedup_exact_chunks,
+    "skew_salted_agg": q_skew_salted_agg,
     "sessionize_stats": q_sessionize_stats,
     "sessionize_user_summary": q_sessionize_user_summary,
     "sketch_approx_distinct": q_sketch_approx_distinct,  # HLL error bound-check
@@ -1026,6 +1054,13 @@ WHERE p.event_type = 'click'
         SELECT chunk_md5, count(*) AS n_occurrences,
                count(DISTINCT doc_id) AS n_docs
         FROM chunks GROUP BY 1 HAVING count(*) > 1
+    """,
+    "skew_salted_agg": """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1
     """,
     "sessionize_stats": _SESSION_CTE + """
         SELECT user_id, session_index, count(*) AS n_events,
