@@ -135,6 +135,44 @@ def test_merge_soft_delete_flags_view_rows(spark, recording_sink):
     assert "WHEN NOT MATCHED THEN INSERT *" in sql
 
 
+def test_every_emitted_statement_parses_in_spark_dialect(spark, recording_sink):
+    """Syntax pin for the WHOLE IcebergSink statement surface (r4, extending
+    the MERGE execution pin of test_merge_sql_semantics.py): every statement
+    the sink emits across a full lifecycle — partitioned + bucketed CTAS,
+    CREATE OR REPLACE, both MERGE modes, the three maintenance CALLs, the
+    metadata relations — must parse through Spark's own sqlParser (Spark 4
+    parses CALL and bucket() partition transforms natively). A typo or
+    grammar drift in any emitted string fails here without needing an
+    Iceberg catalog."""
+    sink, rec = recording_sink
+    df = spark.range(3).withColumnRenamed("id", "k1").withColumn("dt", F.lit("d"))
+    policy = TablePolicy(partition_by=("dt",), bucket_by=("k1",), n_buckets=4)
+    sink.create("db.t", df, policy)
+    sink.replace("db.t", df, TablePolicy())
+    changes = spark.createDataFrame(
+        [(1, 10, "2026-01-02", "U")], "k1 long, k2 long, updated_at string, op string"
+    )
+    sink.merge("db.t", changes, SPEC, TablePolicy())
+    sink.merge("db.t", changes, SPEC, TablePolicy(), keep_deletes=True)
+    sink.expire_snapshots("db.t", TablePolicy())
+    sink.remove_orphan_files("db.t")
+    sink.rewrite_data_files("db.t", TablePolicy())
+    rec.calls.append(norm("SELECT file_path FROM iceberg.db.t.files"))
+    rec.calls.append(
+        norm(
+            "SELECT file FROM iceberg.db.t.metadata_log_entries "
+            "ORDER BY timestamp DESC LIMIT 1"
+        )
+    )
+    assert len(rec.calls) == 9
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    for stmt in rec.calls:
+        parser.parsePlan(stmt)  # raises ParseException on any syntax drift
+    # and the bucket transform reached the partition spec
+    ctas = rec.calls[0]
+    assert "PARTITIONED BY (dt, bucket(4, k1))" in ctas
+
+
 def test_maintenance_emits_call_procedures(recording_sink):
     sink, rec = recording_sink
     sink.expire_snapshots("db.t", TablePolicy())
