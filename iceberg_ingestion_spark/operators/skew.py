@@ -16,7 +16,7 @@ with AQE and whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 SALT_COL = "_salt"
@@ -44,6 +44,47 @@ def salted_sum_count(
     )
     return phase1.groupBy(*key_cols).agg(
         *[F.sum(name).alias(name) for name in agg_cols]
+    )
+
+
+def low_cardinality_top_n(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    n: int,
+    salt_on: str | None = None,
+    fanout: int = 64,
+) -> DataFrame:
+    """Exact top-``n`` rows per group when the group key is LOW-CARDINALITY —
+    the shape where a plain ``Window.partitionBy(group)`` funnels the whole
+    relation through #groups tasks (5 market segments = 5 tasks for 100 TB).
+
+    Two-phase distributed selection, same stance as ``exact_quantiles``:
+
+    1. rank within (group, salt) — ``fanout`` x #groups window partitions,
+       spread across the cluster; keep each partition's local top-``n``;
+    2. re-rank the surviving ``#groups * fanout * n`` candidate rows (driver-
+       scale, not data-scale) within the group alone.
+
+    Exactness: every global top-``n`` row is its (group, salt) partition's
+    local top-``n``, so phase 1 never discards a winner. ``order_cols`` must
+    be a TOTAL order (include a key column) for deterministic results. The
+    salt is a deterministic row hash (``salt_on`` names a single column to
+    hash instead, e.g. the key) so re-runs rank identically. Adds one extra
+    (tiny) shuffle over the naive window — the price of not serializing on
+    #groups at scale.
+    """
+    salt_inputs = [F.col(salt_on)] if salt_on else [F.col(c) for c in df.columns]
+    salt = F.pmod(F.hash(*salt_inputs), F.lit(fanout))
+    w_local = Window.partitionBy(*group_cols, SALT_COL).orderBy(*order_cols)
+    w_final = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(SALT_COL, salt)
+        .withColumn("_local_rank", F.row_number().over(w_local))
+        .filter(F.col("_local_rank") <= n)
+        .withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= n)
+        .drop(SALT_COL, "_local_rank")
     )
 
 

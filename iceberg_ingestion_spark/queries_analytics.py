@@ -600,20 +600,27 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def topn_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 orders by price per market segment — the windowed top-N pattern
-    (rank inside partition, no global sort)."""
+    """Top-3 orders by price per market segment — windowed top-N over a
+    LOW-cardinality group key, via two-phase distributed selection
+    (``low_cardinality_top_n``): a plain ``Window.partitionBy(segment)``
+    would funnel every joined row through 5 tasks at any data size; phase 1
+    ranks within (segment, 64-way salt) spread across the cluster and keeps
+    local top-3s, phase 2 re-ranks the ≤ 5*64*3 candidates. Result identical
+    (exactness argued in the operator docstring), pinned by the oracle's
+    naive single-window SQL."""
+    from iceberg_ingestion_spark.operators.skew import low_cardinality_top_n
+
     c = read_table(spark, sf_dir, "customer")
     o = read_table(spark, sf_dir, "orders")
     j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    out = low_cardinality_top_n(
+        j,
+        ["c_mktsegment"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        n=3,
+        salt_on="o_orderkey",
     )
-    out = (
-        j.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("c_mktsegment", "rank", "o_orderkey", "o_totalprice", "c_name")
-    )
-    return out
+    return out.select("c_mktsegment", "rank", "o_orderkey", "o_totalprice", "c_name")
 
 
 def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:

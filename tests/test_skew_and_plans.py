@@ -46,6 +46,37 @@ def _formatted(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
 
 
+def test_low_cardinality_top_n_matches_naive_window(spark):
+    """Two-phase top-N over 3 groups == the naive single-window rank, on a
+    skewed input (one group holds ~80% of rows) — every global winner
+    survives its (group, salt) local cut, for n spanning the tie spectrum."""
+    from pyspark.sql import Window
+
+    from iceberg_ingestion_spark.operators.skew import low_cardinality_top_n
+
+    df = spark.range(0, 5000).select(
+        F.when(F.col("id") % 5 != 0, "hot").otherwise(
+            F.when(F.col("id") % 2 == 0, "a").otherwise("b")
+        ).alias("g"),
+        (F.col("id") * 37 % 1000).alias("score"),  # heavy ties
+        F.col("id"),
+    )
+    order = [F.col("score").desc(), F.col("id")]
+    for n in (1, 3, 10):
+        got = low_cardinality_top_n(df, ["g"], order, n=n, salt_on="id")
+        w = Window.partitionBy("g").orderBy(*order)
+        want = (
+            df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= n)
+        )
+        assert sorted(map(tuple, got.select("g", "rank", "id").collect())) == sorted(
+            map(tuple, want.select("g", "rank", "id").collect())
+        )
+    # deterministic across runs (salt is a content hash, not RNG)
+    a = low_cardinality_top_n(df, ["g"], order, n=5, salt_on="id").collect()
+    b = low_cardinality_top_n(df, ["g"], order, n=5, salt_on="id").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 def test_q1_pushes_filter_and_prunes_columns(spark):
     from iceberg_ingestion_spark.queries import q1_pricing_summary
 
