@@ -100,12 +100,18 @@ _PRIORITY = [
     # and the r4-changed parts of corpus.py are covered in-window by
     # dedup_exact_chunks (chunk_table) and corpus_feed_health (contamination)
     "skew_salted_agg",
-    # same-file-conservative (5): functions unchanged, files changed in r4
+    # r4 scale rewrites: empty-partitionBy global windows replaced by
+    # broadcast 1-row aggregates — changed this round, so in-window
+    "q15_top_supplier",
+    "q11_important_parts",
+    # same-file-conservative (3): functions unchanged, files changed in r4.
+    # (sim_ann_topk_bruteforce / sim_ann_topk_lsh displaced for the two q*
+    # rewrites above: both functions byte-unchanged since their r3 green
+    # rows — similarity.py's only r4 change is inside topk_ivf, which IS
+    # in-window)
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
-    "sim_ann_topk_bruteforce",
-    "sim_ann_topk_lsh",
     # r2-era evidence refresh (24 more; analytics_tfidf_top_terms above is
     # the 25th of VERDICT r3's list)
     "text_token_counts",

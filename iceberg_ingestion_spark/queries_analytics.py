@@ -170,16 +170,20 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15: suppliers whose quarterly revenue equals the maximum (global
-    window max over the per-supplier aggregate — no second scan)."""
+    """TPC-H Q15: suppliers whose quarterly revenue equals the maximum (the
+    max joins back as a broadcast 1-row aggregate — no second scan, no
+    single-task global window)."""
     s = read_table(spark, sf_dir, "supplier")
     l = read_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     rev = l.groupBy("l_suppkey").agg(F.sum(_disc_price()).cast("double").alias("total_revenue"))
-    w = Window.partitionBy()
-    top = rev.withColumn("max_rev", F.max("total_revenue").over(w)).filter(
+    # global max as a broadcast 1-row aggregate: an empty-partitionBy window
+    # would drag every per-supplier row through ONE task at any scale (r4 —
+    # same fix class as q11/tfidf; bounded BNLJ, allow-listed in the audit)
+    max_rev = rev.agg(F.max("total_revenue").alias("max_rev"))
+    top = rev.crossJoin(F.broadcast(max_rev)).filter(
         F.col("total_revenue") == F.col("max_rev")
     )
     return top.join(F.broadcast(s), top.l_suppkey == s.s_suppkey).select(
@@ -304,7 +308,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: parts whose share of total inventory value exceeds a
-    threshold — group + global-window share, HAVING-style filter. (Adapted:
+    threshold — group + broadcast-total share, HAVING-style filter. (Adapted:
     value = retailprice * shipped quantity via lineitem; no partsupp.)"""
     p = read_table(spark, sf_dir, "part")
     l = read_table(spark, sf_dir, "lineitem")
@@ -317,9 +321,11 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("part_value")
         )
     )
-    w = Window.partitionBy()
+    # global share denominator as a broadcast 1-row aggregate — the empty
+    # partitionBy window funneled every per-part row through one task (r4)
+    total = val.agg(F.sum("part_value").alias("total_value"))
     return (
-        val.withColumn("total_value", F.sum("part_value").over(w))
+        val.crossJoin(F.broadcast(total))
         .filter(F.col("part_value") > F.lit(0.0005) * F.col("total_value"))
         .select("l_partkey", "part_value")
     )

@@ -61,6 +61,11 @@ def test_no_unbounded_nested_loop_joins(spark):
         # aggregate (replacing a separate d.count() driver action — an extra
         # full corpus scan); the BNLJ side is exactly one row
         "analytics_tfidf_top_terms",
+        # r4: global max / global total join back as broadcast 1-row
+        # aggregates, replacing empty-partitionBy windows that dragged the
+        # whole per-key aggregate through one task
+        "q15_top_supplier",
+        "q11_important_parts",
     }
     offenders = []
     for name, fn in entry_mod.queries().items():
