@@ -4,7 +4,8 @@
         -t <table> [--type full|incremental|cdc|replace]
         [--no-insert] [--no-update] [--no-delete] [--keep-deletes]
         [--optimize storage|speed] [--test] [--warehouse DIR] [--input PATH]
-        [--changes FROM TO]
+        [--changes FROM TO] [--partition-by COLS] [--bucket-by COLS]
+        [--n-buckets N]
 
 The reference dispatches on hard-coded source names to subclasses
 (``app.py:92-141``); here sources are data (``SourceConfig``) and the job is
@@ -57,6 +58,17 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--test", action="store_true")  # app.py:54-56
     # engine-specific (replaces SSM bucket lookup)
     p.add_argument("--warehouse", default="spark-warehouse")
+    # D1 layout controls: hive-style directory partitioning and hash-bucket
+    # write clustering (reference declares the bucket hook, iceberg.py:332-338)
+    p.add_argument(
+        "--partition-by", help="comma-separated partition columns", default=None
+    )
+    p.add_argument(
+        "--bucket-by",
+        help="comma-separated bucket-clustering columns (one file per bucket)",
+        default=None,
+    )
+    p.add_argument("--n-buckets", type=int, default=8)
     p.add_argument("--input", help="raw parquet path for this run")
     p.add_argument(
         "--changes",
@@ -85,7 +97,12 @@ def main(argv: list[str] | None = None) -> int:
         delete=not args.no_delete,
         keep_deletes=args.keep_deletes,
     )
-    policy = TablePolicy(optimize=OptimizeMode(args.optimize))
+    policy = TablePolicy(
+        optimize=OptimizeMode(args.optimize),
+        partition_by=tuple(args.partition_by.split(",")) if args.partition_by else (),
+        bucket_by=tuple(args.bucket_by.split(",")) if args.bucket_by else (),
+        n_buckets=args.n_buckets,
+    )
     name = table_name(args.env, args.source, args.table)
 
     if args.changes is None and args.input is None:

@@ -74,6 +74,28 @@ def test_cli_incremental_keeps_unmatched_target_rows(spark, staged):
     assert 99 in ids                # inserts still applied
 
 
+def test_cli_partitioned_bucketed_layout(spark, staged):
+    """--partition-by/--bucket-by reach the commit: hive partition dirs plus
+    per-file bucket purity, through the real spark-submit surface."""
+    assert _run(
+        staged, "day1", "--type", "full",
+        "--partition-by", "payload", "--bucket-by", "id", "--n-buckets", "4",
+    ) == 0
+    vdir = os.path.join(staged["wh"], "dev_clean_src", "tbl", "v_00001")
+    assert any(d.startswith("payload=") for d in os.listdir(vdir))
+    per_file = (
+        spark.read.parquet(vdir)
+        .select(
+            F.input_file_name().alias("f"),
+            F.pmod(F.hash("id"), F.lit(4)).alias("b"),
+        )
+        .groupBy("f")
+        .agg(F.countDistinct("b").alias("nb"))
+        .collect()
+    )
+    assert per_file and all(r.nb == 1 for r in per_file)
+
+
 def test_cli_changes_reports_changelog_counts(spark, staged, capsys):
     assert _run(staged, "day1", "--type", "full") == 0
     assert _run(staged, "day2", "--type", "full") == 0
