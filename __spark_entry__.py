@@ -104,14 +104,16 @@ _PRIORITY = [
     # broadcast 1-row aggregates — changed this round, so in-window
     "q15_top_supplier",
     "q11_important_parts",
-    # same-file-conservative (3): functions unchanged, files changed in r4.
-    # (sim_ann_topk_bruteforce / sim_ann_topk_lsh displaced for the two q*
-    # rewrites above: both functions byte-unchanged since their r3 green
-    # rows — similarity.py's only r4 change is inside topk_ivf, which IS
-    # in-window)
+    # NEW in r4: incremental view maintenance — the changelog-maintained v2
+    # rollup vs the oracle's from-scratch recompute
+    "ingest_incremental_agg",
+    # same-file-conservative (2): functions unchanged, files changed in r4.
+    # (sim_ann_topk_bruteforce / sim_ann_topk_lsh / dedup_embedding_cosine
+    # displaced across the r4 additions: all three functions byte-unchanged
+    # since their r3 green rows — similarity.py's only r4 change is inside
+    # topk_ivf, which IS in-window)
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
     # r2-era evidence refresh (24 more; analytics_tfidf_top_terms above is
     # the 25th of VERDICT r3's list)
     "text_token_counts",

@@ -234,6 +234,34 @@ def q_changelog_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _orders_out(ch)
 
 
+def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the per-customer order rollup of table
+    version v1 (= day1 first load), maintained to v2 (= merged-full) by
+    applying ONLY the v1→v2 changelog (``operators/incremental.py``) — never
+    rescanning the base. The oracle recomputes the v2 rollup from scratch,
+    so a green row IS the IVM correctness theorem (maintained == recomputed,
+    bag-equal) on the driver's data. Cost at scale: O(|changelog|) + one
+    key-equi join against the rollup, vs O(|base|) for the rescan."""
+    from iceberg_ingestion_spark.changes import build_changelog
+    from iceberg_ingestion_spark.operators.incremental import apply_changelog_to_agg
+
+    orders = read_table(spark, sf_dir, "orders")
+    day1 = fixtures.orders_day1(orders)
+    merged = _merged_full(orders)
+    ch = build_changelog(day1, merged, list(ORDERS_SPEC.natural_keys))
+    money = F.col("o_totalprice").cast("decimal(18,2)")
+    agg_v1 = day1.groupBy("o_custkey").agg(
+        F.sum(money).alias("total_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    out = apply_changelog_to_agg(agg_v1, ch, ["o_custkey"], {"total_price": money})
+    return out.select(
+        "o_custkey",
+        F.col("total_price").cast("double").alias("total_price"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Analytics (engine breadth + bench anchors; decimal-exact aggregation)
 # ---------------------------------------------------------------------------
@@ -333,6 +361,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "validate_bag_diff_strictness": q_bag_diff_clean,
     "validate_bag_diff_identity": q_bag_diff_identity,
     "ingest_changelog_versions": q_changelog_versions,
+    "ingest_incremental_agg": q_incremental_agg_maintenance,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_supplier_volume": q5_supplier_volume,
@@ -495,6 +524,29 @@ ORACLES: dict[str, str] = {
         UNION ALL
         SELECT {_ORDERS_OUT_SQL}, 'DELETE' AS _change_type FROM day1 t
         WHERE NOT EXISTS (SELECT 1 FROM merged m WHERE m.o_orderkey = t.o_orderkey)
+        """
+    ),
+    # IVM oracle: recompute the v2 rollup FROM SCRATCH — equality with the
+    # changelog-maintained Spark result is the maintenance-correctness proof.
+    "ingest_incremental_agg": fixtures.with_ctes(
+        """
+        , merged AS (
+            SELECT * FROM day1 t
+            WHERE EXISTS (SELECT 1 FROM day2 s WHERE s.o_orderkey = t.o_orderkey)
+              AND NOT EXISTS (SELECT 1 FROM day2 s WHERE s.o_orderkey = t.o_orderkey
+                              AND s.o_orderdate > t.o_orderdate)
+            UNION ALL
+            SELECT * FROM day2 s
+            WHERE EXISTS (SELECT 1 FROM day1 t WHERE t.o_orderkey = s.o_orderkey
+                          AND s.o_orderdate > t.o_orderdate)
+            UNION ALL
+            SELECT * FROM day2 s
+            WHERE NOT EXISTS (SELECT 1 FROM day1 t WHERE t.o_orderkey = s.o_orderkey)
+        )
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+               COUNT(*) AS n_rows
+        FROM merged GROUP BY 1
         """
     ),
     "q1_pricing_summary": """

@@ -136,3 +136,41 @@ def test_empty_like_preserves_schema(spark, source):
     e = empty_like(source)
     assert e.schema == source.schema
     assert e.count() == 0
+
+
+def test_incremental_agg_maintenance_matches_recompute(spark):
+    """IVM theorem on a hand-built changelog: maintained(agg(v1), changelog)
+    == agg(v2) recomputed, covering an untouched key, a pure update, a
+    vanishing key (count drops to 0) and a brand-new key."""
+    from pyspark.sql import functions as F
+
+    from iceberg_ingestion_spark.changes import build_changelog
+    from iceberg_ingestion_spark.operators.incremental import apply_changelog_to_agg
+
+    v1 = spark.createDataFrame(
+        # key 1: untouched; key 2: one row updated; key 3: vanishes;
+        # key 4: appears in v2 only
+        [(10, 1, 5.00), (11, 1, 7.00), (20, 2, 3.00), (30, 3, 9.00)],
+        "order_id long, cust long, price double",
+    )
+    v2 = spark.createDataFrame(
+        [(10, 1, 5.00), (11, 1, 7.00), (20, 2, 4.50), (40, 4, 1.25)],
+        "order_id long, cust long, price double",
+    )
+    ch = build_changelog(v1, v2, ["order_id"])
+    money = F.col("price").cast("decimal(18,2)")
+    agg_v1 = v1.groupBy("cust").agg(
+        F.sum(money).alias("total"), F.count(F.lit(1)).alias("n_rows")
+    )
+    got = {
+        r.cust: (float(r.total), r.n_rows)
+        for r in apply_changelog_to_agg(agg_v1, ch, ["cust"], {"total": money}).collect()
+    }
+    want = {
+        r.cust: (float(r.total), r.n_rows)
+        for r in v2.groupBy("cust")
+        .agg(F.sum(money).alias("total"), F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    }
+    assert got == want
+    assert 3 not in got and 4 in got  # vanished / appeared
