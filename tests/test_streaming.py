@@ -83,3 +83,63 @@ def test_stream_cdc_first_batch_create_keeps_soft_delete_flag(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.id: (r.payload, r.hard_deleted) for r in sink.read("db.t").collect()}
     assert got == {1: ("a1", True), 2: ("b0", True), 3: ("c0", False)}
+
+
+def test_stream_rollup_maintenance_split_changelog(spark, tmp_path):
+    """Streaming IVM: a changelog split across drops — deliberately
+    separating one key's UPDATE_BEFORE from its UPDATE_AFTER — folds to the
+    same rollup as the from-scratch recompute of the final state."""
+    from pyspark.sql import functions as F
+
+    from iceberg_ingestion_spark.changes import CHANGE_TYPE_COL, build_changelog
+    from iceberg_ingestion_spark.streaming.rollup_stream import stream_rollup_maintenance
+
+    v1 = spark.createDataFrame(
+        [(10, 1, 5.00), (11, 1, 7.00), (20, 2, 3.00), (30, 3, 9.00)],
+        "order_id long, cust long, price double",
+    )
+    v2 = spark.createDataFrame(
+        [(10, 1, 5.00), (11, 1, 7.25), (20, 2, 4.50), (40, 4, 1.25)],
+        "order_id long, cust long, price double",
+    )
+    in_dir, ckpt, wh = (str(tmp_path / d) for d in ("chg_in", "ckpt", "wh"))
+    os.makedirs(in_dir)
+    sink = ParquetVersionedSink(spark, wh)
+    # drop 1: bootstrap changelog (empty -> v1 = all INSERTs) plus the
+    # UPDATE_BEFORE halves of the v1 -> v2 changelog
+    ch12 = build_changelog(v1, v2, ["order_id"]).cache()
+    bootstrap = v1.withColumn(CHANGE_TYPE_COL, F.lit("INSERT"))
+    bootstrap.unionByName(
+        ch12.filter(F.col(CHANGE_TYPE_COL) == "UPDATE_BEFORE")
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    schema = spark.read.parquet(in_dir).schema
+    money = F.col("price").cast("decimal(18,2)")
+
+    def run():
+        q = stream_rollup_maintenance(
+            spark, in_dir, schema, sink, "db.rollup", ["cust"],
+            {"total": money}, checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(120)
+
+    run()
+    # drop 2: everything else (UPDATE_AFTER halves, inserts, deletes)
+    ch12.filter(F.col(CHANGE_TYPE_COL) != "UPDATE_BEFORE").coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run()
+
+    got = {
+        r.cust: (float(r.total), r.n_rows)
+        for r in sink.read("db.rollup").collect()
+    }
+    want = {
+        r.cust: (float(r.total), r.n_rows)
+        for r in v2.groupBy("cust")
+        .agg(F.sum(money).alias("total"), F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    }
+    assert got == want
+    assert 3 not in got and got[4] == (1.25, 1)
+    # two micro-batch commits -> two rollup versions (snapshot-versioned)
+    assert sink.current_version("db.rollup") == 2
