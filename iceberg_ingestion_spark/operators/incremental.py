@@ -44,7 +44,16 @@ def changelog_deltas(
     sign = (
         F.when(F.col(CHANGE_TYPE_COL).isin(CT_INSERT, CT_UPDATE_AFTER), F.lit(1))
         .when(F.col(CHANGE_TYPE_COL).isin(CT_DELETE, CT_UPDATE_BEFORE), F.lit(-1))
-        .otherwise(F.lit(0))
+        # an unrecognized change type silently contributing 0 would corrupt
+        # the rollup without a trace — fail the task loudly instead
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("changelog_deltas: unknown change type "),
+                    F.col(CHANGE_TYPE_COL),
+                )
+            )
+        )
     )
     return changelog.groupBy(*keys).agg(
         *[F.sum(sign * col).alias(name) for name, col in sum_cols.items()],

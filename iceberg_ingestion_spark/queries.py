@@ -241,7 +241,11 @@ def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
     rescanning the base. The oracle recomputes the v2 rollup from scratch,
     so a green row IS the IVM correctness theorem (maintained == recomputed,
     bag-equal) on the driver's data. Cost at scale: O(|changelog|) + one
-    key-equi join against the rollup, vs O(|base|) for the rescan."""
+    key-equi join against the rollup, vs O(|base|) for the rescan. (This
+    entry CONSTRUCTS the changelog inline from the deterministic fixtures so
+    the oracle can mirror it; in production the changelog comes pre-computed
+    from the sink — ``ParquetVersionedSink.read_changes`` / Iceberg's
+    changelog scan — and the base is never touched.)"""
     from iceberg_ingestion_spark.changes import build_changelog
     from iceberg_ingestion_spark.operators.incremental import apply_changelog_to_agg
 

@@ -174,3 +174,18 @@ def test_incremental_agg_maintenance_matches_recompute(spark):
     }
     assert got == want
     assert 3 not in got and 4 in got  # vanished / appeared
+
+
+def test_changelog_deltas_rejects_unknown_change_type(spark):
+    """An unrecognized _change_type must fail loudly, not contribute 0."""
+    from pyspark.sql import functions as F
+
+    from iceberg_ingestion_spark.operators.incremental import changelog_deltas
+
+    bad = spark.createDataFrame(
+        [(1, 1, 5.0, "TRUNCATE")], "order_id long, cust long, price double, _change_type string"
+    )
+    with pytest.raises(Exception, match="unknown change type"):
+        changelog_deltas(
+            bad, ["cust"], {"total": F.col("price").cast("decimal(18,2)")}
+        ).collect()
