@@ -82,10 +82,12 @@ _PRIORITY = [
     "ingest_snapshot_merge_soft_delete",
     "ingest_snapshot_merge_fused",
     "ingest_cdc_merge",
-    "ingest_replace",
     "ingest_first_load_cdc",
     "validate_bag_diff_strictness",
     "ingest_changelog_versions",
+    # NEW in r4 (late additions this session; each displaces one r3-green,
+    # function-level-unchanged entry listed in the rotation note above)
+    "decon_bloom_prefilter",
     # r4-changed entries (7)
     "corpus_feed_health",         # NEW: batch analogue of the streaming feed metrics
     "funnel_conversion",          # funnel_stage_times row-contract fix

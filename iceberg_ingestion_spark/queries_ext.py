@@ -430,6 +430,29 @@ def q_decon_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.contamination_counts(rest, bench, n=DECON_NGRAM)
 
 
+#: Bloom-prefilter decontamination: a DIFFERENT benchmark subset than
+#: ``decon_benchmark_overlap`` (mod 89 vs 97) so the two entries pin two
+#: distinct result sets. m/k sized for ~10 bits per benchmark n-gram at sf1.
+BLOOM_BENCH_MOD = 89
+BLOOM_M_BITS = 1 << 20
+BLOOM_K = 3
+
+
+def q_decon_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination for benchmarks too big to broadcast raw: Bloom-prune
+    the corpus n-grams map-side (no false negatives), then exact-confirm the
+    survivors. Result identical to the direct overlap; the oracle is the
+    exact SQL — a green row proves the Bloom path loses nothing."""
+    from iceberg_ingestion_spark.operators.bloom import contamination_counts_bloom
+
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    bench = d.where(F.col("doc_id") % BLOOM_BENCH_MOD == 0)
+    rest = d.where(F.col("doc_id") % BLOOM_BENCH_MOD != 0)
+    return contamination_counts_bloom(
+        rest, bench, n=DECON_NGRAM, m_bits=BLOOM_M_BITS, k=BLOOM_K
+    )
+
+
 def q_mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic pretraining mix: per-(lang, source) kept counts under the
     pinned language weights — md5-bucket thresholding, no RNG."""
@@ -640,6 +663,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention": q_cohort_retention,
     "data_split_counts": q_data_split_counts,
     "decon_benchmark_overlap": q_decon_benchmark_overlap,
+    "decon_bloom_prefilter": q_decon_bloom_prefilter,
     "corpus_feed_health": q_corpus_feed_health,
     "mix_weighted_sample": q_mix_weighted_sample,
     "pack_token_budget": q_pack_token_budget,
@@ -959,6 +983,30 @@ WHERE p.event_type = 'click'
                lang, count(*) AS n_docs
         FROM b GROUP BY 1, 2
     """,
+    # Bloom path is exact (no false negatives + confirm join), so its oracle
+    # is the plain overlap SQL — only the benchmark predicate differs from
+    # decon_benchmark_overlap.
+    "decon_bloom_prefilter": f"""
+        WITH words AS (
+            SELECT doc_id, {{_TOKS}} AS w FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(w, i, i + {{DECON_NGRAM_M1}}), ' ') AS ngram
+            FROM words, UNNEST(range(1, len(w) - {{DECON_NGRAM_M2}})) AS t(i)
+            WHERE len(w) >= {{DECON_NGRAM}}
+        ),
+        bench AS (
+            SELECT DISTINCT ngram FROM grams WHERE doc_id % {BLOOM_BENCH_MOD} = 0
+        )
+        SELECT g.doc_id, count(*) AS n_hit_ngrams
+        FROM grams g JOIN bench USING (ngram)
+        WHERE g.doc_id % {BLOOM_BENCH_MOD} <> 0
+        GROUP BY 1
+    """.replace("{_TOKS}", _TOKS)
+    .replace("{DECON_NGRAM_M1}", str(DECON_NGRAM - 1))
+    .replace("{DECON_NGRAM_M2}", str(DECON_NGRAM - 2))
+    .replace("{DECON_NGRAM}", str(DECON_NGRAM)),
     "decon_benchmark_overlap": f"""
         WITH words AS (
             SELECT doc_id, {_TOKS} AS w FROM documents

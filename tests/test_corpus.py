@@ -228,3 +228,69 @@ def test_pack_sequences_token_conservation_and_bin_coherence(spark):
         before = running.get(key, 0)
         assert r["seq_index"] == before // budget
         running[key] = before + r["n_tokens"]
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter pruning (operators/bloom.py)
+# ---------------------------------------------------------------------------
+
+def test_bloom_contamination_equals_direct_overlap(spark):
+    """Exactness theorem on real-ish text: the Bloom prune + confirm path
+    returns byte-identical rows to the direct broadcast overlap."""
+    bench = _docs(spark, [(0, "alpha beta gamma delta epsilon zeta"),
+                          (97, "red green blue cyan magenta")])
+    cor = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "one two three four five six"),
+            (3, "x y alpha beta gamma delta z red green blue cyan"),
+        ],
+    )
+    from iceberg_ingestion_spark.operators.bloom import contamination_counts_bloom
+
+    direct = sorted(map(tuple, corpus.contamination_counts(cor, bench, n=4).collect()))
+    bloomy = sorted(
+        map(tuple, contamination_counts_bloom(cor, bench, n=4, m_bits=1 << 16, k=3).collect())
+    )
+    assert direct == bloomy == [(1, 2), (3, 2)]
+
+
+def test_bloom_prune_no_false_negatives_even_when_tiny(spark):
+    """With m_bits absurdly small the filter saturates (every probe passes) —
+    it may keep everything, but it must NEVER drop a true member."""
+    from iceberg_ingestion_spark.operators.bloom import bloom_build, bloom_prune
+
+    members = spark.createDataFrame([Row(v=f"key{i}") for i in range(50)])
+    probe = spark.createDataFrame([Row(v=f"key{i}") for i in range(100)])
+    for m_bits in (8, 1 << 16):
+        bits = bloom_build(members, "v", m_bits, k=3)
+        kept = {r["v"] for r in bloom_prune(probe, "v", bits, m_bits, k=3).collect()}
+        assert {f"key{i}" for i in range(50)} <= kept
+
+
+def test_bloom_prune_filters_and_stays_broadcast(spark):
+    """At a sane m/n ratio the prune visibly shrinks a disjoint probe set, and
+    the probe plan is broadcast-only (no shuffle of the probed side)."""
+    from iceberg_ingestion_spark.operators.bloom import bloom_build, bloom_prune
+
+    members = spark.createDataFrame([Row(v=f"in{i}") for i in range(100)])
+    probe = spark.createDataFrame([Row(v=f"out{i}") for i in range(2000)])
+    m_bits, k = 1 << 16, 3
+    bits = bloom_build(members, "v", m_bits, k)
+    pruned = bloom_prune(probe, "v", bits, m_bits, k)
+    # FPR at 100 elems / 65536 bits / k=3 is ~1e-8: all 2000 non-members drop
+    assert pruned.count() == 0
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_build_bounded_by_m_bits(spark):
+    """The relational filter never exceeds m_bits rows however big the build
+    side is — the broadcast stays bounded by construction."""
+    from iceberg_ingestion_spark.operators.bloom import bloom_build
+
+    m_bits = 64
+    big = spark.createDataFrame([Row(v=f"x{i}") for i in range(5000)])
+    assert bloom_build(big, "v", m_bits, k=3).count() <= m_bits
