@@ -78,7 +78,6 @@ _PRIORITY = [
     "ingest_detect_updates",
     "ingest_cdc_dedup_latest",
     "ingest_snapshot_merge_full",
-    "ingest_snapshot_merge_incremental",
     "ingest_snapshot_merge_soft_delete",
     "ingest_snapshot_merge_fused",
     "ingest_cdc_merge",
@@ -88,6 +87,7 @@ _PRIORITY = [
     # NEW in r4 (late additions this session; each displaces one r3-green,
     # function-level-unchanged entry listed in the rotation note above)
     "decon_bloom_prefilter",
+    "ingest_incremental_join_agg",
     # r4-changed entries (7)
     "corpus_feed_health",         # NEW: batch analogue of the streaming feed metrics
     "funnel_conversion",          # funnel_stage_times row-contract fix

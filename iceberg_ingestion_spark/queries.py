@@ -266,6 +266,40 @@ def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_incremental_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM *through a join*: the per-market-segment rollup of
+    ``orders ⋈ customer``, maintained v1→v2 by the delta rule for a static
+    dimension — Δ(γ(R ⋈ S)) = γ(ΔR ⋈ S) when only the fact side changes.
+    Each changelog row is enriched with its segment via a **broadcast** join
+    against the dimension (the same plan the from-scratch rollup would use,
+    but over O(|changelog|) rows instead of O(|base|)), then applied as
+    signed deltas. The oracle recomputes the v2 joined rollup from scratch —
+    a green row is the join-IVM correctness equality. At 100 TB this is the
+    difference between touching a day's changelog and rescanning the fact
+    table for every dashboard refresh."""
+    from iceberg_ingestion_spark.changes import build_changelog
+    from iceberg_ingestion_spark.operators.incremental import apply_changelog_to_agg
+
+    orders = read_table(spark, sf_dir, "orders")
+    dim = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    day1 = fixtures.orders_day1(orders)
+    merged = _merged_full(orders)
+    ch = build_changelog(day1, merged, list(ORDERS_SPEC.natural_keys))
+    money = F.col("o_totalprice").cast("decimal(18,2)")
+    agg_v1 = (
+        day1.join(F.broadcast(dim), day1["o_custkey"] == dim["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.sum(money).alias("total_price"), F.count(F.lit(1)).alias("n_rows"))
+    )
+    ch_seg = ch.join(F.broadcast(dim), ch["o_custkey"] == dim["c_custkey"])
+    out = apply_changelog_to_agg(agg_v1, ch_seg, ["c_mktsegment"], {"total_price": money})
+    return out.select(
+        "c_mktsegment",
+        F.col("total_price").cast("double").alias("total_price"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Analytics (engine breadth + bench anchors; decimal-exact aggregation)
 # ---------------------------------------------------------------------------
@@ -366,6 +400,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "validate_bag_diff_identity": q_bag_diff_identity,
     "ingest_changelog_versions": q_changelog_versions,
     "ingest_incremental_agg": q_incremental_agg_maintenance,
+    "ingest_incremental_join_agg": q_incremental_join_agg,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_supplier_volume": q5_supplier_volume,
@@ -551,6 +586,30 @@ ORACLES: dict[str, str] = {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
                COUNT(*) AS n_rows
         FROM merged GROUP BY 1
+        """
+    ),
+    # Join-IVM oracle: the v2 JOINED rollup from scratch — equality with the
+    # delta-rule-maintained Spark result is the join-maintenance proof.
+    "ingest_incremental_join_agg": fixtures.with_ctes(
+        """
+        , merged AS (
+            SELECT * FROM day1 t
+            WHERE EXISTS (SELECT 1 FROM day2 s WHERE s.o_orderkey = t.o_orderkey)
+              AND NOT EXISTS (SELECT 1 FROM day2 s WHERE s.o_orderkey = t.o_orderkey
+                              AND s.o_orderdate > t.o_orderdate)
+            UNION ALL
+            SELECT * FROM day2 s
+            WHERE EXISTS (SELECT 1 FROM day1 t WHERE t.o_orderkey = s.o_orderkey
+                          AND s.o_orderdate > t.o_orderdate)
+            UNION ALL
+            SELECT * FROM day2 s
+            WHERE NOT EXISTS (SELECT 1 FROM day1 t WHERE t.o_orderkey = s.o_orderkey)
+        )
+        SELECT c_mktsegment,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+               COUNT(*) AS n_rows
+        FROM merged JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
         """
     ),
     "q1_pricing_summary": """

@@ -189,3 +189,44 @@ def test_changelog_deltas_rejects_unknown_change_type(spark):
         changelog_deltas(
             bad, ["cust"], {"total": F.col("price").cast("decimal(18,2)")}
         ).collect()
+
+
+def test_incremental_join_agg_maintenance_matches_recompute(spark):
+    """Join-IVM theorem (static dimension): maintaining the rollup of
+    fact ⋈ dim by γ(Δfact ⋈ dim) equals recomputing γ(fact_v2 ⋈ dim) —
+    covering an update within a segment, a delete emptying a segment, and
+    an insert creating a new segment's first row."""
+    from pyspark.sql import functions as F
+
+    from iceberg_ingestion_spark.changes import build_changelog
+    from iceberg_ingestion_spark.operators.incremental import apply_changelog_to_agg
+
+    dim = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B"), (4, "C")], "cust long, seg string"
+    )
+    v1 = spark.createDataFrame(
+        [(10, 1, 5.00), (11, 2, 7.00), (30, 3, 9.00)],
+        "order_id long, cust long, price double",
+    )
+    v2 = spark.createDataFrame(
+        # seg A: one row repriced; seg B: vanishes; seg C: appears
+        [(10, 1, 6.00), (11, 2, 7.00), (40, 4, 1.25)],
+        "order_id long, cust long, price double",
+    )
+    ch = build_changelog(v1, v2, ["order_id"])
+    money = F.col("price").cast("decimal(18,2)")
+
+    def rollup(fact):
+        return (
+            fact.join(F.broadcast(dim), "cust")
+            .groupBy("seg")
+            .agg(F.sum(money).alias("total"), F.count(F.lit(1)).alias("n_rows"))
+        )
+
+    maintained = apply_changelog_to_agg(
+        rollup(v1), ch.join(F.broadcast(dim), "cust"), ["seg"], {"total": money}
+    )
+    got = {r.seg: (float(r.total), r.n_rows) for r in maintained.collect()}
+    want = {r.seg: (float(r.total), r.n_rows) for r in rollup(v2).collect()}
+    assert got == want
+    assert "B" not in got and "C" in got
