@@ -78,9 +78,7 @@ _PRIORITY = [
     "ingest_detect_updates",
     "ingest_cdc_dedup_latest",
     "ingest_snapshot_merge_full",
-    "ingest_snapshot_merge_soft_delete",
     "ingest_snapshot_merge_fused",
-    "ingest_cdc_merge",
     "ingest_first_load_cdc",
     "validate_bag_diff_strictness",
     "ingest_changelog_versions",
@@ -88,6 +86,8 @@ _PRIORITY = [
     # function-level-unchanged entry listed in the rotation note above)
     "decon_bloom_prefilter",
     "ingest_incremental_join_agg",
+    "events_gap_fill",
+    "events_anomaly_daily",
     # r4-changed entries (7)
     "corpus_feed_health",         # NEW: batch analogue of the streaming feed metrics
     "funnel_conversion",          # funnel_stage_times row-contract fix

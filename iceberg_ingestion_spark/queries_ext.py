@@ -369,6 +369,35 @@ def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Day buckets for the time-series entries (events span 30 days).
+TS_BUCKET_US = 24 * 3600 * 1_000_000
+ANOMALY_Z = 2.0
+
+
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style resample: per-user daily last-value series over each
+    user's observed span, gaps filled by last-observation-carried-forward
+    (``operators/timeseries.resample_locf``)."""
+    from iceberg_ingestion_spark.operators.timeseries import resample_locf
+
+    ev = read_events_us(spark, sf_dir)
+    return resample_locf(
+        ev, ["user_id"], "ts_us", "value",
+        bucket_us=TS_BUCKET_US, tiebreak_cols=["event_id"],
+    )
+
+
+def q_events_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily volume anomalies: bucket count vs the user's own
+    mean + 2σ (population σ from integer sums — oracle-exact doubles)."""
+    from iceberg_ingestion_spark.operators.timeseries import count_anomaly_flags
+
+    ev = read_events_us(spark, sf_dir)
+    return count_anomaly_flags(
+        ev, ["user_id"], "ts_us", bucket_us=TS_BUCKET_US, z=ANOMALY_Z
+    )
+
+
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view->click->purchase funnel over events (integer-exact mins,
     one conditional aggregation per stage)."""
@@ -659,6 +688,8 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_topk_ivf": q_ann_topk_ivf,  # recall bound-check vs brute force
     "sim_knn_label_vote": q_knn_label_vote,
     "events_interval_join": q_events_interval_join,
+    "events_gap_fill": q_events_gap_fill,
+    "events_anomaly_daily": q_events_anomaly_daily,
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
     "data_split_counts": q_data_split_counts,
@@ -938,6 +969,46 @@ WHERE p.event_type = 'click'
   AND epoch_us(p.ts) >= epoch_us(i.ts)
   AND epoch_us(p.ts) < epoch_us(i.ts) + 7200000000
 """,
+    "events_gap_fill": f"""
+        WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events),
+        pb AS (
+            SELECT user_id, bucket, value FROM (
+                SELECT user_id, ts_us // {TS_BUCKET_US} AS bucket, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, ts_us // {TS_BUCKET_US}
+                                          ORDER BY ts_us DESC, event_id DESC) AS rn
+                FROM e
+            ) WHERE rn = 1
+        ),
+        spans AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM pb GROUP BY 1),
+        grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket FROM spans)
+        SELECT g.user_id, g.bucket,
+               last_value(pb.value IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+               pb.bucket IS NOT NULL AS observed
+        FROM grid g LEFT JOIN pb ON g.user_id = pb.user_id AND g.bucket = pb.bucket
+    """,
+    "events_anomaly_daily": f"""
+        WITH counts AS (
+            SELECT user_id, epoch_us(ts) // {TS_BUCKET_US} AS bucket,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        )
+        SELECT user_id, bucket, n_events,
+               CAST(sum(n_events) OVER w AS DOUBLE) / count(*) OVER w AS mean_events,
+               sqrt((CAST(sum(n_events * n_events) OVER w AS DOUBLE)
+                     - CAST(sum(n_events) OVER w AS DOUBLE)
+                       * CAST(sum(n_events) OVER w AS DOUBLE) / count(*) OVER w)
+                    / count(*) OVER w) AS std_events,
+               CAST(n_events AS DOUBLE) >
+                   CAST(sum(n_events) OVER w AS DOUBLE) / count(*) OVER w
+                   + {ANOMALY_Z} * sqrt((CAST(sum(n_events * n_events) OVER w AS DOUBLE)
+                     - CAST(sum(n_events) OVER w AS DOUBLE)
+                       * CAST(sum(n_events) OVER w AS DOUBLE) / count(*) OVER w)
+                    / count(*) OVER w) AS is_anomaly
+        FROM counts
+        WINDOW w AS (PARTITION BY user_id)
+    """,
     "funnel_conversion": """
         WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
         s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e

@@ -82,3 +82,65 @@ def test_topn_per_segment_rank_bounds(spark):
     assert out.filter(F.col("rank") > 3).count() == 0
     per_seg = out.groupBy("c_mktsegment").count().collect()
     assert all(r["count"] <= 3 for r in per_seg)
+
+
+# ---------------------------------------------------------------------------
+# Time-series resample / anomaly (operators/timeseries.py)
+# ---------------------------------------------------------------------------
+
+def test_resample_locf_fills_gaps_and_marks_observed(spark):
+    from pyspark.sql import Row
+    from iceberg_ingestion_spark.operators.timeseries import resample_locf
+
+    # key a: buckets 0 and 3 observed -> grid 0..3, gaps carry 1.0 forward;
+    # in bucket 3 two observations, later ts wins; key b: single bucket
+    rows = [
+        Row(k="a", ts_us=10, ev=1, v=1.0),
+        Row(k="a", ts_us=310, ev=2, v=9.0),
+        Row(k="a", ts_us=390, ev=3, v=5.0),
+        Row(k="b", ts_us=150, ev=4, v=7.0),
+    ]
+    out = resample_locf(
+        spark.createDataFrame(rows), ["k"], "ts_us", "v",
+        bucket_us=100, tiebreak_cols=["ev"],
+    )
+    got = {(r.k, r.bucket): (r.value, r.observed) for r in out.collect()}
+    assert got == {
+        ("a", 0): (1.0, True),
+        ("a", 1): (1.0, False),
+        ("a", 2): (1.0, False),
+        ("a", 3): (5.0, True),   # ts 390 beats 310
+        ("b", 1): (7.0, True),
+    }
+
+
+def test_resample_locf_tiebreak_is_total(spark):
+    """Same-timestamp observations resolve by the tiebreak column, not
+    partition luck."""
+    from pyspark.sql import Row
+    from iceberg_ingestion_spark.operators.timeseries import resample_locf
+
+    rows = [Row(k="a", ts_us=50, ev=1, v=3.0), Row(k="a", ts_us=50, ev=2, v=8.0)]
+    out = resample_locf(
+        spark.createDataFrame(rows).repartition(4), ["k"], "ts_us", "v",
+        bucket_us=100, tiebreak_cols=["ev"],
+    )
+    assert [(r.value, r.observed) for r in out.collect()] == [(8.0, True)]
+
+
+def test_count_anomaly_flags_spike_only(spark):
+    from pyspark.sql import Row
+    from iceberg_ingestion_spark.operators.timeseries import count_anomaly_flags
+
+    # key a: buckets with counts 1,1,1,1,6 -> mean 2, var (4*1+16)/5=4, std 2
+    # -> threshold 6; 6 > 6 is false at z=2, true at z=1.9
+    rows = []
+    for b, n in enumerate([1, 1, 1, 1, 6]):
+        rows += [Row(k="a", ts_us=b * 100 + i) for i in range(n)]
+    df = spark.createDataFrame(rows)
+    flags2 = {r.bucket: r.is_anomaly for r in
+              count_anomaly_flags(df, ["k"], "ts_us", bucket_us=100, z=2.0).collect()}
+    assert flags2 == {0: False, 1: False, 2: False, 3: False, 4: False}
+    flags19 = {r.bucket: r.is_anomaly for r in
+               count_anomaly_flags(df, ["k"], "ts_us", bucket_us=100, z=1.9).collect()}
+    assert flags19[4] is True and not any(v for b, v in flags19.items() if b != 4)
