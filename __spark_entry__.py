@@ -77,7 +77,6 @@ _PRIORITY = [
     "ingest_detect_deletes",
     "ingest_detect_updates",
     "ingest_cdc_dedup_latest",
-    "ingest_snapshot_merge_full",
     "ingest_snapshot_merge_fused",
     "ingest_first_load_cdc",
     "validate_bag_diff_strictness",
@@ -88,6 +87,7 @@ _PRIORITY = [
     "ingest_incremental_join_agg",
     "events_gap_fill",
     "events_anomaly_daily",
+    "text_bigram_corpus_freq",
     # r4-changed entries (7)
     "corpus_feed_health",         # NEW: batch analogue of the streaming feed metrics
     "funnel_conversion",          # funnel_stage_times row-contract fix

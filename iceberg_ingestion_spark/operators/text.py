@@ -206,3 +206,53 @@ def simhash60(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     return df.select(id_col, text_col).mapInPandas(
         kernel, schema=f"{id_col} {id_type}, simhash long"
     )
+
+
+#: A bigram is "rare" when its corpus frequency is at or below this.
+RARE_BIGRAM_DF = 2
+
+
+def bigram_corpus_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-trained bigram-frequency features — the statistical half of an
+    n-gram LM quality filter (a perplexity proxy without float log-sums):
+    per doc, how common its word bigrams are in the WHOLE corpus and what
+    fraction are corpus-rare. Low mean frequency + high rare rate = the
+    boilerplate/gibberish tail a pretraining pipeline drops.
+
+    Emits (id, n_bigrams, sum_bg_df, n_rare, mean_bg_df, rare_rate); docs
+    with fewer than 2 tokens have no bigrams and no row. All counts are
+    integers and the two ratios are single final long/long divisions, so
+    results are bit-identical across engines and partitionings — the true
+    avg-log-prob variant would hang on float summation order. Plan: one
+    bigram-count aggregation (map-side partials absorb the zipfian head),
+    one equi-join of doc bigrams against the count table (vocab²-bounded;
+    AQE broadcasts it when small), one per-doc aggregation.
+    """
+    toks = tokens(text_col)
+    n_toks = F.size(toks)
+    pair = lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2))  # noqa: E731
+    bgs = F.when(
+        n_toks >= 2,
+        F.transform(F.sequence(F.lit(0), n_toks - 2), pair),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = df.select(F.col(id_col), F.explode(bgs).alias("bg"))
+    dfreq = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("bg_df"))
+    per_doc = (
+        grams.join(dfreq, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("bg_df").alias("sum_bg_df"),
+            F.sum((F.col("bg_df") <= RARE_BIGRAM_DF).cast("long")).alias("n_rare"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_bigrams",
+        "sum_bg_df",
+        "n_rare",
+        (F.col("sum_bg_df") / F.col("n_bigrams")).alias("mean_bg_df"),
+        (F.col("n_rare") / F.col("n_bigrams")).alias("rare_rate"),
+    )

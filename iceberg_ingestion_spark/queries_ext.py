@@ -98,6 +98,13 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", text.scrub_pii(salted).alias("scrubbed"))
 
 
+def q_text_bigram_corpus_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-frequency quality features (perplexity proxy):
+    per doc, mean corpus frequency of its bigrams + corpus-rare rate."""
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    return text.bigram_corpus_features(d)
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", spread=True)
     counts = dedup.shingle_counts(d, "doc_id", "text", k=3)
@@ -675,6 +682,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": q_text_fingerprint,
     "text_pii_scrub": q_text_pii_scrub,
     "text_repetition": q_text_repetition,
+    "text_bigram_corpus_freq": q_text_bigram_corpus_freq,
     "dedup_exact": q_dedup_exact,
     "dedup_fingerprint_groups": q_dedup_fingerprint_groups,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -850,6 +858,22 @@ ORACLES_EXT: dict[str, str] = {
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                    '\\+?\\d[\\d -]{7,}\\d', '<PHONE>', 'g') AS scrubbed
         FROM documents
+    """,
+    "text_bigram_corpus_freq": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        ex AS (
+            SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+            FROM toks WHERE len(t) >= 2
+        ),
+        dfreq AS (SELECT bg, count(*) AS bg_df FROM ex GROUP BY 1)
+        SELECT doc_id,
+               count(*) AS n_bigrams,
+               CAST(sum(bg_df) AS BIGINT) AS sum_bg_df,
+               CAST(count(*) FILTER (bg_df <= 2) AS BIGINT) AS n_rare,
+               CAST(sum(bg_df) AS BIGINT) / count(*) AS mean_bg_df,
+               CAST(count(*) FILTER (bg_df <= 2) AS BIGINT) / count(*) AS rare_rate
+        FROM ex JOIN dfreq USING (bg)
+        GROUP BY doc_id
     """,
     "text_repetition": f"""
         WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),

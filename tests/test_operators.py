@@ -608,3 +608,23 @@ def test_interval_join_plan_has_no_nested_loop(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bigram_corpus_features_counts_and_rare_rate(spark):
+    """Hand-checked corpus df weighting: duplicate bigrams count per
+    occurrence, rare = corpus df <= 2, sub-2-token docs emit no row."""
+    from pyspark.sql import Row
+
+    from iceberg_ingestion_spark.operators.text import bigram_corpus_features
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a b a b"), Row(doc_id=2, text="a b"), Row(doc_id=3, text="solo")]
+    )
+    got = {r.doc_id: r for r in bigram_corpus_features(docs).collect()}
+    assert set(got) == {1, 2}
+    # corpus: "a b" x3 (df 3), "b a" x1 (df 1)
+    r1 = got[1]
+    assert (r1.n_bigrams, r1.sum_bg_df, r1.n_rare) == (3, 7, 1)
+    assert r1.mean_bg_df == 7 / 3 and r1.rare_rate == 1 / 3
+    r2 = got[2]
+    assert (r2.n_bigrams, r2.sum_bg_df, r2.n_rare) == (1, 3, 0)
