@@ -76,10 +76,7 @@ _PRIORITY = [
     "ingest_detect_inserts",
     "ingest_detect_deletes",
     "ingest_detect_updates",
-    "ingest_cdc_dedup_latest",
     "ingest_snapshot_merge_fused",
-    "ingest_first_load_cdc",
-    "validate_bag_diff_strictness",
     "ingest_changelog_versions",
     # NEW in r4 (late additions this session; each displaces one r3-green,
     # function-level-unchanged entry listed in the rotation note above)
@@ -88,6 +85,9 @@ _PRIORITY = [
     "events_gap_fill",
     "events_anomaly_daily",
     "text_bigram_corpus_freq",
+    "cube_flag_status",
+    "skew_salted_join",
+    "sample_fixed_per_lang",
     # r4-changed entries (7)
     "corpus_feed_health",         # NEW: batch analogue of the streaming feed metrics
     "funnel_conversion",          # funnel_stage_times row-contract fix

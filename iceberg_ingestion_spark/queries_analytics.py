@@ -605,6 +605,31 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(returnflag, linestatus) quantity totals — all four grouping-set
+    levels in one pass, with per-column GROUPING flags distinguishing
+    'aggregated over' from a genuine NULL key (the flag is what makes CUBE
+    output joinable/filterable downstream without string sentinels)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_returnflag"),
+            F.grouping("l_linestatus").cast("int").alias("g_linestatus"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "g_returnflag",
+            "g_linestatus",
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
 def topn_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders by price per market segment — windowed top-N over a
     LOW-cardinality group key, via two-phase distributed selection
@@ -679,6 +704,7 @@ QUERIES_ANALYTICS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "analytics_tfidf_top_terms": tfidf_top_terms,
     "analytics_running_totals": running_customer_totals,
     "rollup_revenue": rollup_revenue,
+    "cube_flag_status": cube_flag_status,
     "topn_orders_per_segment": topn_orders_per_segment,
     "asof_last_click_before_purchase": asof_last_click_before_purchase,
 }
@@ -962,6 +988,16 @@ ORACLES_ANALYTICS: dict[str, str] = {
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY ROLLUP(r_name, n_name)
+    """,
+    "cube_flag_status": """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_returnflag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_linestatus,
+               count(*) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE(l_returnflag, l_linestatus)
     """,
     "topn_orders_per_segment": """
         SELECT c_mktsegment, rank, o_orderkey, o_totalprice, c_name FROM (

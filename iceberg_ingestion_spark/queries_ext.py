@@ -313,6 +313,61 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Hot-key set for the salted-join demo: the busiest suppliers by
+#: construction of the generator are uniform, so the set is just pinned.
+SALTED_JOIN_HOT = list(range(1, 21))
+
+
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle join with explicit hot-key salting
+    (``skew.salted_join_hot_keys``): the hot lineitem rows spread over 8
+    salts, the supplier side's hot rows replicate 8x so every salted
+    partition finds its match; cold keys join normally. Salting is
+    result-invisible — the oracle is the plain join + aggregate."""
+    from iceberg_ingestion_spark.operators.skew import salted_join_hot_keys
+
+    l = (
+        read_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("suppkey"), "l_quantity")
+    )
+    s = (
+        read_table(spark, sf_dir, "supplier")
+        .select(F.col("s_suppkey").alias("suppkey"), "s_nationkey")
+    )
+    joined = salted_join_hot_keys(l, s, "suppkey", SALTED_JOIN_HOT, n_salts=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+#: Fixed-size per-stratum sample: n docs per language, chosen by md5 rank —
+#: deterministic, engine-reproducible "reservoir" (same stance as hash_split).
+SAMPLE_PER_STRATUM = 40
+
+
+def q_sample_fixed_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-n-per-stratum deterministic sample: rank docs within each
+    language by md5(doc_id) and keep the first n — an order-statistics
+    reservoir with no RNG, stable as the corpus grows everywhere except at
+    the rank boundary. Runs through the two-phase ``low_cardinality_top_n``
+    so 5 language strata never serialize the corpus through 5 tasks."""
+    from iceberg_ingestion_spark.operators.skew import low_cardinality_top_n
+
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    ranked = d.select(
+        "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("_h")
+    )
+    out = low_cardinality_top_n(
+        ranked,
+        ["lang"],
+        [F.col("_h"), F.col("doc_id")],
+        n=SAMPLE_PER_STRATUM,
+        salt_on="doc_id",
+    )
+    return out.select("lang", "doc_id", F.col("rank").alias("sample_rank"))
+
+
 def q_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_us(spark, sf_dir)
     s = sessionize.sessionize(
@@ -708,6 +763,8 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_token_budget": q_pack_token_budget,
     "dedup_exact_chunks": q_dedup_exact_chunks,
     "skew_salted_agg": q_skew_salted_agg,
+    "skew_salted_join": q_skew_salted_join,
+    "sample_fixed_per_lang": q_sample_fixed_per_lang,
     "sessionize_stats": q_sessionize_stats,
     "sessionize_user_summary": q_sessionize_user_summary,
     "sketch_approx_distinct": q_sketch_approx_distinct,  # HLL error bound-check
@@ -1204,6 +1261,25 @@ WHERE p.event_type = 'click'
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY 1
+    """,
+    # salting is result-invisible: the oracle is the PLAIN join + aggregate
+    "skew_salted_join": """
+        SELECT s_nationkey,
+               count(*) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1
+    """,
+    # two-phase selection is result-invisible: the oracle is the naive
+    # per-stratum window rank over the same md5 order
+    "sample_fixed_per_lang": f"""
+        SELECT lang, doc_id, sample_rank FROM (
+            SELECT lang, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                       AS sample_rank
+            FROM documents
+        ) WHERE sample_rank <= {SAMPLE_PER_STRATUM}
     """,
     "sessionize_stats": _SESSION_CTE + """
         SELECT user_id, session_index, count(*) AS n_events,
