@@ -73,7 +73,6 @@ def entry(spark: SparkSession) -> DataFrame:
 #: are IN the window).
 _PRIORITY = [
     # SURVEY §2 core calculus + validation (13)
-    "ingest_detect_inserts",
     "ingest_detect_deletes",
     "ingest_detect_updates",
     "ingest_snapshot_merge_fused",
@@ -82,6 +81,7 @@ _PRIORITY = [
     # function-level-unchanged entry listed in the rotation note above)
     "decon_bloom_prefilter",
     "ingest_incremental_join_agg",
+    "ingest_incremental_two_sided",
     "events_gap_fill",
     "events_anomaly_daily",
     "text_bigram_corpus_freq",

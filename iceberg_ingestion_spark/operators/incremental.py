@@ -88,3 +88,102 @@ def apply_changelog_to_agg(
         _upd(ROW_COUNT_COL),
     )
     return out.filter(F.col(ROW_COUNT_COL) > 0)
+
+
+# ---------------------------------------------------------------------------
+# Two-sided join maintenance: V = γ(R ⋈ S) when BOTH inputs change
+# ---------------------------------------------------------------------------
+
+SIGN_COL = "_sign"
+
+
+def changelog_sign(changelog: DataFrame) -> DataFrame:
+    """Signed-bag form of a changelog: ``+1`` rows entering (INSERT /
+    UPDATE_AFTER), ``-1`` rows leaving (DELETE / UPDATE_BEFORE), change-type
+    column replaced by ``_sign``. Unknown types fail loudly (same stance as
+    :func:`changelog_deltas`)."""
+    sign = (
+        F.when(F.col(CHANGE_TYPE_COL).isin(CT_INSERT, CT_UPDATE_AFTER), F.lit(1))
+        .when(F.col(CHANGE_TYPE_COL).isin(CT_DELETE, CT_UPDATE_BEFORE), F.lit(-1))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("changelog_sign: unknown change type "),
+                    F.col(CHANGE_TYPE_COL),
+                )
+            )
+        )
+    )
+    return changelog.withColumn(SIGN_COL, sign).drop(CHANGE_TYPE_COL)
+
+
+def join_changelog(
+    r_old: DataFrame,
+    ch_r: DataFrame,
+    s_old: DataFrame,
+    ch_s: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """The signed changelog of ``R ⋈ S`` (equi-join on ``on``) from the two
+    sides' changelogs — the bag-algebra delta rule
+
+        Δ(R ⋈ S) = ΔR ⋈ S_old  ∪  R_old ⋈ ΔS  ∪  ΔR ⋈ ΔS
+
+    with signs multiplying in the cross term (an UPDATE_BEFORE meeting an
+    UPDATE_BEFORE contributes +1: the old-old pairing is removed twice by
+    the first two legs and restored once here). Feed the result to
+    :func:`apply_signed_changelog_to_agg` to maintain any distributive
+    rollup of the join without rescanning either input.
+
+    Cost at scale: three equi-joins whose left/right sizes are
+    |ΔR|·|S|, |R|·|ΔS|, |ΔR|·|ΔS| RELATION-wise — i.e. the big base tables
+    are each touched once as a join PROBE side keyed by the join key, and
+    AQE broadcasts whichever changelog is small (the daily case). No
+    full-table aggregation is recomputed.
+    """
+    dr = changelog_sign(ch_r)
+    ds = changelog_sign(ch_s)
+    dr_s = dr.withColumnRenamed(SIGN_COL, "_sign_r")
+    ds_s = ds.withColumnRenamed(SIGN_COL, "_sign_s")
+    leg_r = dr.join(s_old, on=on, how="inner")
+    leg_s = r_old.join(ds, on=on, how="inner")
+    leg_rs = (
+        dr_s.join(ds_s, on=on, how="inner")
+        .withColumn(SIGN_COL, F.col("_sign_r") * F.col("_sign_s"))
+        .drop("_sign_r", "_sign_s")
+    )
+    return leg_r.unionByName(leg_s).unionByName(leg_rs)
+
+
+def apply_signed_changelog_to_agg(
+    agg: DataFrame,
+    signed: DataFrame,
+    keys: list[str],
+    sum_cols: dict[str, Column],
+) -> DataFrame:
+    """Maintain ``agg`` (keys + ``sum_cols`` names + ``n_rows``) with a
+    SIGNED changelog (rows carrying ``_sign`` ±1, e.g. from
+    :func:`join_changelog`). Same vanish/appear contract as
+    :func:`apply_changelog_to_agg`."""
+    deltas = signed.groupBy(*keys).agg(
+        *[
+            F.sum(F.col(SIGN_COL) * col).alias(name)
+            for name, col in sum_cols.items()
+        ],
+        F.sum(SIGN_COL).alias(ROW_COUNT_COL),
+    )
+    a, d = agg.alias("a"), deltas.alias("d")
+    joined = a.join(d, on=keys, how="full_outer")
+
+    def _upd(name: str) -> Column:
+        return (
+            F.coalesce(F.col(f"a.{name}"), F.lit(0))
+            + F.coalesce(F.col(f"d.{name}"), F.lit(0))
+        ).alias(name)
+
+    out = joined.select(
+        *keys,
+        *[_upd(name) for name in sum_cols],
+        _upd(ROW_COUNT_COL),
+    )
+    return out.filter(F.col(ROW_COUNT_COL) > 0)

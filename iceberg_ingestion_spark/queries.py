@@ -300,6 +300,55 @@ def q_incremental_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_two_sided(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM when BOTH join inputs change in the same tick: the per-segment
+    rollup of orders ⋈ customer maintained through the full bag-algebra
+    delta rule Δ(R⋈S) = ΔR⋈S ∪ R⋈ΔS ∪ ΔR⋈ΔS
+    (``operators/incremental.join_changelog``). The fact side takes the
+    day1→day2 snapshot changelog; the dimension side re-segments every 7th
+    customer — so deltas land in segments whose fact rows ALSO moved. The
+    oracle recomputes γ(orders_v2 ⋈ customer_v2) from scratch; a green row
+    is the two-sided join-maintenance equality on the driver's data."""
+    from iceberg_ingestion_spark.changes import build_changelog
+    from iceberg_ingestion_spark.operators.incremental import (
+        apply_signed_changelog_to_agg,
+        join_changelog,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust_v1 = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cust_v2 = cust_v1.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("MACHINERY")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    day1 = fixtures.orders_day1(orders)
+    merged = _merged_full(orders)
+    ch_o = build_changelog(day1, merged, list(ORDERS_SPEC.natural_keys))
+    ch_c = build_changelog(cust_v1, cust_v2, ["c_custkey"])
+    money = F.col("o_totalprice").cast("decimal(18,2)")
+    fact_cols = ["o_orderkey", "o_totalprice"]
+    fact_v1 = day1.select(F.col("o_custkey").alias("c_custkey"), *fact_cols)
+    ch_o_k = ch_o.select(
+        F.col("o_custkey").alias("c_custkey"), *fact_cols, "_change_type"
+    )
+    agg_v1 = (
+        fact_v1.join(cust_v1, "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.sum(money).alias("total_price"), F.count(F.lit(1)).alias("n_rows"))
+    )
+    signed = join_changelog(fact_v1, ch_o_k, cust_v1, ch_c, on=["c_custkey"])
+    out = apply_signed_changelog_to_agg(
+        agg_v1, signed, ["c_mktsegment"], {"total_price": money}
+    )
+    return out.select(
+        "c_mktsegment",
+        F.col("total_price").cast("double").alias("total_price"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Analytics (engine breadth + bench anchors; decimal-exact aggregation)
 # ---------------------------------------------------------------------------
@@ -401,6 +450,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ingest_changelog_versions": q_changelog_versions,
     "ingest_incremental_agg": q_incremental_agg_maintenance,
     "ingest_incremental_join_agg": q_incremental_join_agg,
+    "ingest_incremental_two_sided": q_incremental_two_sided,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_supplier_volume": q5_supplier_volume,
@@ -609,6 +659,35 @@ ORACLES: dict[str, str] = {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
                COUNT(*) AS n_rows
         FROM merged JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+        """
+    ),
+    # Two-sided join-IVM oracle: v2 of BOTH inputs recomputed from scratch.
+    "ingest_incremental_two_sided": fixtures.with_ctes(
+        """
+        , merged AS (
+            SELECT * FROM day1 t
+            WHERE EXISTS (SELECT 1 FROM day2 s WHERE s.o_orderkey = t.o_orderkey)
+              AND NOT EXISTS (SELECT 1 FROM day2 s WHERE s.o_orderkey = t.o_orderkey
+                              AND s.o_orderdate > t.o_orderdate)
+            UNION ALL
+            SELECT * FROM day2 s
+            WHERE EXISTS (SELECT 1 FROM day1 t WHERE t.o_orderkey = s.o_orderkey
+                          AND s.o_orderdate > t.o_orderdate)
+            UNION ALL
+            SELECT * FROM day2 s
+            WHERE NOT EXISTS (SELECT 1 FROM day1 t WHERE t.o_orderkey = s.o_orderkey)
+        ),
+        cust2 AS (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 7 = 0 THEN 'MACHINERY'
+                        ELSE c_mktsegment END AS c_mktsegment
+            FROM customer
+        )
+        SELECT c_mktsegment,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+               COUNT(*) AS n_rows
+        FROM merged JOIN cust2 ON o_custkey = c_custkey
         GROUP BY 1
         """
     ),

@@ -230,3 +230,56 @@ def test_incremental_join_agg_maintenance_matches_recompute(spark):
     want = {r.seg: (float(r.total), r.n_rows) for r in rollup(v2).collect()}
     assert got == want
     assert "B" not in got and "C" in got
+
+
+def test_two_sided_join_ivm_matches_recompute(spark):
+    """Δ(R ⋈ S) bag algebra: fact rows repriced/inserted/deleted AND
+    dimension rows re-segmented in the same tick; the maintained rollup
+    must equal the from-scratch v2 rollup."""
+    from pyspark.sql import functions as F
+
+    from iceberg_ingestion_spark.changes import build_changelog
+    from iceberg_ingestion_spark.operators.incremental import (
+        apply_signed_changelog_to_agg,
+        join_changelog,
+    )
+
+    r1 = spark.createDataFrame(
+        [(10, 1, 5.00), (11, 2, 7.00), (12, 2, 2.00), (30, 3, 9.00)],
+        "order_id long, cust long, price double",
+    )
+    r2 = spark.createDataFrame(
+        # 10 repriced, 12 deleted, 30 kept, 40 inserted (cust 4)
+        [(10, 1, 6.00), (11, 2, 7.00), (30, 3, 9.00), (40, 4, 1.00)],
+        "order_id long, cust long, price double",
+    )
+    s1 = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B"), (4, "C")], "cust long, seg string"
+    )
+    s2 = spark.createDataFrame(
+        # cust 2 moves A -> B in the SAME tick its order 12 is deleted;
+        # cust 3 moves B -> C
+        [(1, "A"), (2, "B"), (3, "C"), (4, "C")], "cust long, seg string"
+    )
+    ch_r = build_changelog(r1, r2, ["order_id"])
+    ch_s = build_changelog(s1, s2, ["cust"])
+    money = F.col("price").cast("decimal(18,2)")
+
+    def rollup(fact, dim):
+        return (
+            fact.join(dim, "cust")
+            .groupBy("seg")
+            .agg(F.sum(money).alias("total"), F.count(F.lit(1)).alias("n_rows"))
+        )
+
+    signed = join_changelog(
+        r1.select("cust", "order_id", "price"), ch_r.select("cust", "order_id", "price", "_change_type"),
+        s1, ch_s, on=["cust"],
+    )
+    maintained = apply_signed_changelog_to_agg(
+        rollup(r1, s1), signed, ["seg"], {"total": money}
+    )
+    got = {r.seg: (float(r.total), r.n_rows) for r in maintained.collect()}
+    want = {r.seg: (float(r.total), r.n_rows) for r in rollup(r2, s2).collect()}
+    assert got == want
+    assert "A" in got and "B" in got and "C" in got
