@@ -48,37 +48,47 @@ def entry(spark: SparkSession) -> DataFrame:
 #: function-level byte-unchanged (implementation + oracle + every operator
 #: function they call) since their latest green row.
 #:
-#: Round-4 window (VERDICT r3 #3 executed): the 25 entries whose newest rows
-#: were r2-era all rotate back in (text_*, dedup_exact/fingerprint/simhash*,
-#: knn vote, sessionize*, cohort, splits, multimodal_*, rollup, topn, q12,
-#: tfidf, running_totals, asof, bag_diff_identity) — after this round every
-#: entry has an r3-or-r4 green row. Also in: the seven r4-touched entries
-#: (corpus_feed_health NEW; funnel_conversion — funnel row-contract fix;
-#: dedup_clusters — convergence-check fix; analytics_exact_quantiles —
-#: localCheckpoint; analytics_tfidf_top_terms — folded count;
-#: sim_ann_topk_ivf — hash-spread centroids; dedup_exact_chunks — NULL-text
-#: kernel fix), the ingest calculus (13, cheap, always re-verified), and —
-#: conservatively — the six entries whose FILES changed this round even
-#: though their functions did not (ngram/minhash/embedding-cosine dedup in
-#: dedup.py+similarity.py, brute/LSH ANN in similarity.py, decon in
-#: corpus.py).
+#: Round-4 window, final. Three blocks:
 #:
-#: Rotated OUT (26, all r3-green and function-level byte-unchanged in r4):
-#: mix_weighted_sample / pack_token_budget (corpus.py changed only in
-#: chunk_table's NULL-text guard — weighted_mix / pack_sequences and their
-#: oracles untouched), events_interval_join (interval.py untouched),
-#: sketch_approx_distinct / sketch_approx_quantiles (sketches.py untouched),
-#: and q1-q22 minus q12 (21 — queries.py untouched; queries_analytics.py
-#: changed only inside exact_quantiles and tfidf_top_terms, both of which
-#: are IN the window).
+#: (a) NEW entries created in r4 — the 10 late-session additions
+#:     (decon_bloom_prefilter, ingest_incremental_join_agg,
+#:     ingest_incremental_two_sided, events_gap_fill, events_anomaly_daily,
+#:     text_bigram_corpus_freq, cube_flag_status, skew_salted_join,
+#:     sample_fixed_per_lang, analytics_window_suite) plus the 4 early-r4
+#:     ones (corpus_feed_health, skew_salted_agg, ingest_incremental_agg,
+#:     and the q15/q11 global-window rewrites) — all mandatory by rule (1).
+#: (b) r4-changed entries: funnel_conversion (row contract), dedup_clusters
+#:     (convergence check), analytics_exact_quantiles (localCheckpoint),
+#:     analytics_tfidf_top_terms (folded count), sim_ann_topk_ivf
+#:     (hash-spread centroids), dedup_exact_chunks (NULL-text guard).
+#: (c) r2-era evidence refresh (VERDICT r3 #3): the remaining 24 entries
+#:     whose newest rows were r2-era (text_*, dedup_exact/fingerprint/
+#:     simhash*, knn vote, sessionize*, cohort, splits, multimodal_*,
+#:     rollup, topn, q12, running_totals, asof, bag_diff_identity).
+#:
+#: Displaced for the late additions (all r3-green; every function AND oracle
+#: they call byte-unchanged since that row — merge.py's r4 change is
+#: docstring-only, model.py's is an additive default field): the ingest
+#: calculus entries ingest_detect_inserts, ingest_cdc_dedup_latest,
+#: ingest_replace, ingest_first_load_cdc, ingest_snapshot_merge_full/
+#: _incremental/_soft_delete, ingest_cdc_merge, validate_bag_diff_strictness,
+#: and dedup_ngram_jaccard (in earlier drafts of this window only out of
+#: same-file conservatism; its functions and oracle are untouched in r4 —
+#: dedup.py's r4 change is inside connected_components, pinned in-window by
+#: dedup_clusters). The detect/merge family they leave keeps live coverage
+#: via ingest_detect_deletes/_updates, _fused, changelog_versions, and the
+#: three IVM entries, which execute build_changelog + the merge calculus
+#: end-to-end. Also out (unchanged since r3 green, per the r3 rotation):
+#: mix_weighted_sample, pack_token_budget, events_interval_join,
+#: sketch_approx_*, decon_benchmark_overlap, sim_ann_topk_bruteforce/_lsh,
+#: dedup_embedding_cosine, and q1-q22 minus q11/q12/q15.
 _PRIORITY = [
-    # SURVEY §2 core calculus + validation (13)
+    # SURVEY §2 core calculus + validation
     "ingest_detect_deletes",
     "ingest_detect_updates",
     "ingest_snapshot_merge_fused",
     "ingest_changelog_versions",
-    # NEW in r4 (late additions this session; each displaces one r3-green,
-    # function-level-unchanged entry listed in the rotation note above)
+    # NEW in r4, late-session additions (block a)
     "decon_bloom_prefilter",
     "ingest_incremental_join_agg",
     "ingest_incremental_two_sided",
@@ -88,7 +98,8 @@ _PRIORITY = [
     "cube_flag_status",
     "skew_salted_join",
     "sample_fixed_per_lang",
-    # r4-changed entries (7)
+    "analytics_window_suite",
+    # early-r4 new entries + r4-changed entries (blocks a/b)
     "corpus_feed_health",         # NEW: batch analogue of the streaming feed metrics
     "funnel_conversion",          # funnel_stage_times row-contract fix
     "dedup_clusters",             # connected_components convergence-check fix
@@ -96,27 +107,17 @@ _PRIORITY = [
     "analytics_tfidf_top_terms",  # N folded into the plan
     "sim_ann_topk_ivf",           # md5 hash-spread centroid draw
     "dedup_exact_chunks",         # chunk_table NULL-text guard
-    # NEW in r4: driver evidence for the skew family (operators/skew.py was
-    # pytest-only); takes the slot decon_benchmark_overlap would have held —
-    # decon's function + oracle are byte-unchanged since its r3 green row,
-    # and the r4-changed parts of corpus.py are covered in-window by
-    # dedup_exact_chunks (chunk_table) and corpus_feed_health (contamination)
-    "skew_salted_agg",
+    "skew_salted_agg",            # NEW: driver evidence for the skew family
     # r4 scale rewrites: empty-partitionBy global windows replaced by
     # broadcast 1-row aggregates — changed this round, so in-window
     "q15_top_supplier",
     "q11_important_parts",
-    # NEW in r4: incremental view maintenance — the changelog-maintained v2
-    # rollup vs the oracle's from-scratch recompute
+    # NEW in r4: single-sided aggregate IVM (the join/two-sided variants are
+    # in block (a) above)
     "ingest_incremental_agg",
-    # same-file-conservative (2): functions unchanged, files changed in r4.
-    # (sim_ann_topk_bruteforce / sim_ann_topk_lsh / dedup_embedding_cosine
-    # displaced across the r4 additions: all three functions byte-unchanged
-    # since their r3 green rows — similarity.py's only r4 change is inside
-    # topk_ivf, which IS in-window)
-    "dedup_ngram_jaccard",
+    # same-file-conservative: function unchanged, dedup.py changed in r4
     "dedup_minhash_lsh",
-    # r2-era evidence refresh (24 more; analytics_tfidf_top_terms above is
+    # r2-era evidence refresh (block c; analytics_tfidf_top_terms above is
     # the 25th of VERDICT r3's list)
     "text_token_counts",
     "text_quality",

@@ -605,6 +605,26 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth on one pass: lag / lead / ntile / percent_rank
+    / cume_dist per customer over order history. The partition key is
+    high-cardinality (custkey), so the window parallelism IS the shuffle
+    parallelism — the low-cardinality trap ``topn_orders_per_segment``
+    documents doesn't apply. Rank ties are impossible by construction
+    (total order on (o_orderdate, o_orderkey))."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+    )
+
+
 def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE(returnflag, linestatus) quantity totals — all four grouping-set
     levels in one pass, with per-column GROUPING flags distinguishing
@@ -705,6 +725,7 @@ QUERIES_ANALYTICS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "analytics_running_totals": running_customer_totals,
     "rollup_revenue": rollup_revenue,
     "cube_flag_status": cube_flag_status,
+    "analytics_window_suite": window_suite,
     "topn_orders_per_segment": topn_orders_per_segment,
     "asof_last_click_before_purchase": asof_last_click_before_purchase,
 }
@@ -988,6 +1009,16 @@ ORACLES_ANALYTICS: dict[str, str] = {
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY ROLLUP(r_name, n_name)
+    """,
+    "analytics_window_suite": """
+        SELECT o_custkey, o_orderkey,
+               lag(o_totalprice) OVER w AS prev_price,
+               lead(o_totalprice) OVER w AS next_price,
+               CAST(ntile(4) OVER w AS INT) AS quartile,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume_dist
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
     "cube_flag_status": """
         SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
