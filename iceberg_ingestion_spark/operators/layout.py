@@ -60,3 +60,32 @@ def zorder_layout(
         .sortWithinPartitions(Z_COL)
         .drop(Z_COL)
     )
+
+
+def file_column_stats(spark, path: str, cols: list[str]) -> DataFrame:
+    """The data-skipping index a scan planner consults: per input FILE min/max
+    of the given columns + row count, computed distributed from the hidden
+    ``_metadata.file_path`` column (no driver-side footer walking — at 100 TB
+    the stats job is itself a cluster job). This is what Iceberg keeps in its
+    manifest entries (``lower_bounds``/``upper_bounds``) and what
+    :func:`zorder_layout` exists to make tight: after z-ordering, each file's
+    [min, max] boxes are compact, so predicate ∩ box = ∅ prunes most files.
+    """
+    df = spark.read.parquet(path)
+    return (
+        df.select(F.col("_metadata.file_path").alias("file_path"), *cols)
+        .groupBy("file_path")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[F.min(c).alias(f"min_{c}") for c in cols],
+            *[F.max(c).alias(f"max_{c}") for c in cols],
+        )
+    )
+
+
+def prunable_files(stats: DataFrame, col: str, lo, hi) -> DataFrame:
+    """Files a ``col BETWEEN lo AND hi`` scan can SKIP per the stats relation:
+    the file's [min, max] range misses the predicate interval entirely."""
+    return stats.filter(
+        (F.col(f"max_{col}") < F.lit(lo)) | (F.col(f"min_{col}") > F.lit(hi))
+    )

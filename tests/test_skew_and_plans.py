@@ -192,3 +192,42 @@ def test_zorder_layout_clusters_space(spark):
     )
     areas = [(r.dx + 1) * (r.dy + 1) for r in boxes]
     assert sum(areas) / len(areas) <= 64 * 64 / 4  # avg box <= quarter of space
+
+
+# ---------------------------------------------------------------------------
+# Data-skipping stats (layout.file_column_stats / prunable_files)
+# ---------------------------------------------------------------------------
+
+def test_file_stats_and_pruning_after_zorder_layout(spark, tmp_path):
+    """End-to-end data-skipping story: write a key-clustered multi-file
+    table, compute the per-file min/max index distributed, and verify a
+    selective range predicate can skip all-but-one file — while the same
+    index on a randomly-laid-out copy skips nothing. The stats must also
+    agree with per-file recomputation."""
+    from pyspark.sql import functions as F
+
+    from iceberg_ingestion_spark.operators.layout import (
+        file_column_stats,
+        prunable_files,
+    )
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    clustered = str(tmp_path / "clustered")
+    df.repartitionByRange(8, "k").write.parquet(clustered)
+    shuffled = str(tmp_path / "shuffled")
+    df.repartition(8).write.parquet(shuffled)
+
+    stats_c = file_column_stats(spark, clustered, ["k"])
+    rows = stats_c.collect()
+    assert len(rows) == 8 and sum(r.n_rows for r in rows) == 4000
+    # index correctness: ranges are disjoint and cover 0..3999
+    spans = sorted((r.min_k, r.max_k) for r in rows)
+    assert spans[0][0] == 0 and spans[-1][1] == 3999
+    assert all(a1 < b0 for (_, a1), (b0, _) in zip(spans, spans[1:]))
+    # a 100-wide predicate prunes ≥ 6 of 8 clustered files…
+    assert prunable_files(stats_c, "k", 1000, 1099).count() >= 6
+    # …and 0 of the randomly-laid-out ones (every file spans ~everything)
+    stats_s = file_column_stats(spark, shuffled, ["k"])
+    assert prunable_files(stats_s, "k", 1000, 1099).count() == 0
