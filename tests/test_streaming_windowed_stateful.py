@@ -249,3 +249,66 @@ def test_sessionize_stream_drops_late_events(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert got == {(1, 0): (5 * HOUR_US, 2)}
+
+
+def test_interval_join_stream_matches_batch_across_batches(spark, tmp_path):
+    """Stream-stream interval join == the batch binned interval join on the
+    same data, including a pair whose two halves arrive in DIFFERENT
+    micro-batches (the buffered-state case) and a click outside the lag
+    window (must not match)."""
+    from iceberg_ingestion_spark.operators.interval import interval_join
+    from iceberg_ingestion_spark.streaming.join_stream import interval_join_stream
+
+    ddl = "event_id long, ts timestamp, user_id long, event_type string"
+    input_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    os.makedirs(input_dir)
+    tf = lambda st: interval_join_stream(st, max_lag="2 hours", watermark_delay="2 hours")
+
+    batch1 = [
+        (1, _ts("2026-01-01 10:00:00"), 7, "error"),
+        (2, _ts("2026-01-01 10:30:00"), 7, "click"),   # in-window, same batch
+        (3, _ts("2026-01-01 09:00:00"), 8, "error"),
+    ]
+    batch2 = [
+        (4, _ts("2026-01-01 10:45:00"), 8, "click"),   # > 90 min after err 3? no: 1h45 in 2h window
+        (5, _ts("2026-01-01 11:50:00"), 7, "click"),   # 110 min after err 1 -> match
+        (6, _ts("2026-01-01 13:00:00"), 8, "click"),   # 4h after err 3 -> no match
+    ]
+    _drop(spark, input_dir, ddl, batch1)
+    _drain(spark, input_dir, ddl, out_dir, ckpt, tf)
+    _drop(spark, input_dir, ddl, batch2)
+    _drain(spark, input_dir, ddl, out_dir, ckpt, tf)
+
+    streamed = {
+        (r.user_id, r.click_id, r.error_id, r.us_after_error)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+    ev = spark.createDataFrame(batch1 + batch2, ddl).withColumn(
+        "ts_us", F.unix_micros("ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts_us"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts_us").alias("start_us"),
+        (F.col("ts_us") + F.lit(2 * HOUR_US)).alias("end_us"),
+    )
+    j = interval_join(
+        clicks, errors, "ts_us", "start_us", "end_us",
+        key_cols=["user_id"], bin_width=float(2 * HOUR_US),
+    )
+    batch = {
+        (r.user_id, r.click_id, r.error_id, r.us_after_error)
+        for r in j.select(
+            "user_id", "click_id",
+            F.col("iv_error_id").alias("error_id"),
+            (F.col("ts_us") - F.col("iv_start_us")).alias("us_after_error"),
+        ).collect()
+    }
+    assert streamed == batch
+    assert (7, 2, 1, 30 * 60 * 1_000_000) in streamed     # same-batch pair
+    assert (8, 4, 3, 105 * 60 * 1_000_000) in streamed    # cross-batch pair
+    assert not any(c == 6 for (_, c, _, _) in streamed)   # outside lag window
