@@ -116,3 +116,65 @@ def test_changelog_applied_to_old_reproduces_new(spark, old, new):
     unchanged = old_rows & new_rows
     surfaced = adds | {(r["k"], r["ts"], r["payload"]) for r in ch}
     assert not (unchanged & surfaced)
+
+
+# ---------------------------------------------------------------------------
+# Two-sided join IVM: maintained == recomputed for ARBITRARY v1→v2 states
+# ---------------------------------------------------------------------------
+
+# fact rows (order_id, cust, price-cents); dims (cust, seg). Small pools so
+# inserts/updates/deletes and dim moves all occur; one row per key.
+fact_snapshot = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=11),
+        st.integers(min_value=0, max_value=4),
+        st.integers(min_value=0, max_value=999),
+    ),
+    min_size=0,
+    max_size=10,
+).map(lambda rows: list({r[0]: r for r in rows}.values()))
+
+dim_snapshot = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=4), st.sampled_from(["A", "B", "C"])),
+    min_size=5,
+    max_size=5,
+).map(lambda rows: [(c, next(s for cc, s in rows if cc == c)) for c in range(5)]
+      if {c for c, _ in rows} >= set(range(5)) else [(c, "A") for c in range(5)])
+
+
+@given(f1=fact_snapshot, f2=fact_snapshot, s1=dim_snapshot, s2=dim_snapshot)
+@PROP_SETTINGS
+def test_two_sided_join_ivm_property(spark, f1, f2, s1, s2):
+    """γ(R₂ ⋈ S₂) == apply(γ(R₁ ⋈ S₁), Δ(R⋈S)) for arbitrary generated
+    state pairs — inserts, deletes, reprices and dim re-segmentation in any
+    combination, including simultaneous fact+dim churn on the same key."""
+    from iceberg_ingestion_spark.changes import build_changelog
+    from iceberg_ingestion_spark.operators.incremental import (
+        apply_signed_changelog_to_agg,
+        join_changelog,
+    )
+
+    fddl = "order_id int, cust int, cents long"
+    sddl = "cust int, seg string"
+    r1 = spark.createDataFrame(f1 or [(None,) * 3], fddl).filter(F.col("order_id").isNotNull())
+    r2 = spark.createDataFrame(f2 or [(None,) * 3], fddl).filter(F.col("order_id").isNotNull())
+    d1 = spark.createDataFrame(s1, sddl)
+    d2 = spark.createDataFrame(s2, sddl)
+
+    ch_r = build_changelog(r1, r2, ["order_id"])
+    ch_s = build_changelog(d1, d2, ["cust"])
+
+    def rollup(fact, dim):
+        return (
+            fact.join(dim, "cust")
+            .groupBy("seg")
+            .agg(F.sum("cents").alias("total"), F.count(F.lit(1)).alias("n_rows"))
+        )
+
+    signed = join_changelog(r1, ch_r, d1, ch_s, on=["cust"])
+    maintained = apply_signed_changelog_to_agg(
+        rollup(r1, d1), signed, ["seg"], {"total": F.col("cents")}
+    )
+    got = {r.seg: (r.total, r.n_rows) for r in maintained.collect()}
+    want = {r.seg: (r.total, r.n_rows) for r in rollup(r2, d2).collect()}
+    assert got == want

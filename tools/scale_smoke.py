@@ -382,6 +382,38 @@ def main() -> int:
         "chunk_duplicate_counts",
         corpus_ops.chunk_duplicate_counts(docs, chunk_words=10),
     )
+    # Bloom-prefilter variant of the same check: expected ~linear too —
+    # the filter build is benchmark-sized, the probe side is k broadcast
+    # semi-joins evaluated map-side, and only survivors shuffle.
+    from iceberg_ingestion_spark.operators import bloom as bloom_ops
+
+    bench(
+        "decontaminate_bloom (fixed benchmark)",
+        bloom_ops.contamination_counts_bloom(docs, bench_df, n=4),
+    )
+    # Corpus-trained bigram features: two corpus-sized shuffles + one join;
+    # zipf head absorbed by map-side partial aggregation. ~linear.
+    bench("bigram_corpus_features", text.bigram_corpus_features(docs))
+    # Time-series paths on a user-blown-up event stream (users scale with
+    # mult, per-user span fixed at 30 days): resample explodes Σ span/bucket
+    # rows — linear in users; anomaly is two keyed aggregations.
+    from iceberg_ingestion_spark.operators import timeseries as ts_ops
+
+    events = blow_up(
+        spark.read.parquet(f"{sf}/events.parquet").repartition(32),
+        ["event_id", "user_id"],
+        mult,
+    ).withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp"))).cache()
+    print(f"events: {events.count()} rows")
+    bench(
+        "resample_locf (daily)",
+        ts_ops.resample_locf(events, ["user_id"], "ts_us", "value",
+                             ts_ops.DAY_US, ["event_id"]),
+    )
+    bench(
+        "anomaly_flags (daily)",
+        ts_ops.count_anomaly_flags(events, ["user_id"], "ts_us", ts_ops.DAY_US),
+    )
     spark.stop()
     return 0
 
