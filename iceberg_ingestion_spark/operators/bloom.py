@@ -72,11 +72,16 @@ def bloom_prune(df: DataFrame, col: str, bits: DataFrame, m_bits: int, k: int) -
     """Keep only rows of ``df`` whose ``col`` the Bloom filter MIGHT contain
     (all ``k`` positions set). No false negatives; map-side only — ``k``
     broadcast left-semi probes against the (≤ m_bits row) position set."""
-    out = df
-    for i, pos in enumerate(bloom_positions(F.col(col), m_bits, k)):
+    # materialize the k positions as columns first so the md5/conv pair is
+    # evaluated once per row, not re-evaluated inside every join condition
+    pos_cols = {f"_bp_pos{i}": p for i, p in enumerate(bloom_positions(F.col(col), m_bits, k))}
+    out = df.withColumns(pos_cols)
+    for i, name in enumerate(pos_cols):
         probe = bits.select(F.col(POS_COL).alias(f"_bp{i}"))
-        out = out.join(F.broadcast(probe), on=pos == F.col(f"_bp{i}"), how="left_semi")
-    return out
+        out = out.join(
+            F.broadcast(probe), on=F.col(name) == F.col(f"_bp{i}"), how="left_semi"
+        )
+    return out.drop(*pos_cols)
 
 
 def contamination_counts_bloom(

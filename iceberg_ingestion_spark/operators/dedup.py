@@ -87,6 +87,36 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str = "text", k: int = 3)
     )
 
 
+def shingle_occurrences(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 2
+) -> DataFrame:
+    """(id, shingle) with duplicates KEPT — the occurrence-weighted exploded
+    relation (frequency-sensitive consumers like LM/df scoring need every
+    occurrence, where :func:`shingle_table` dedups per doc). Same tokenizer
+    as :func:`shingle_sets`, same Arrow-kernel rationale: this is a hot leaf
+    and the Catalyst higher-order-lambda form is ~10x slower."""
+    import re
+
+    ws = re.compile(r"\s+")
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, grams = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                toks = ws.split((t or "").strip().lower())
+                for j in range(len(toks) - k + 1):
+                    ids.append(i)
+                    grams.append(" ".join(toks[j : j + k]))
+            yield pd.DataFrame({id_col: ids, "shingle": grams})
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, schema=f"{id_col} {id_type}, shingle string"
+    )
+
+
 def shingle_counts(
     df: DataFrame, id_col: str, text_col: str = "text", k: int = 3
 ) -> DataFrame:

@@ -230,14 +230,15 @@ def bigram_corpus_features(
     one equi-join of doc bigrams against the count table (vocab²-bounded;
     AQE broadcasts it when small), one per-doc aggregation.
     """
-    toks = tokens(text_col)
-    n_toks = F.size(toks)
-    pair = lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2))  # noqa: E731
-    bgs = F.when(
-        n_toks >= 2,
-        F.transform(F.sequence(F.lit(0), n_toks - 2), pair),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = df.select(F.col(id_col), F.explode(bgs).alias("bg"))
+    # occurrence-weighted bigram relation via the Arrow shingle kernel —
+    # the Catalyst higher-order-lambda form is the documented slow path on
+    # this hot leaf (see dedup.shingle_sets); import here to avoid a module
+    # cycle (dedup imports text for its tokenizer helpers)
+    from iceberg_ingestion_spark.operators.dedup import shingle_occurrences
+
+    grams = shingle_occurrences(df, id_col, text_col, k=2).select(
+        F.col(id_col), F.col("shingle").alias("bg")
+    )
     dfreq = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("bg_df"))
     per_doc = (
         grams.join(dfreq, "bg")

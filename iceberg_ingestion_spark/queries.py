@@ -325,6 +325,12 @@ def q_incremental_two_sided(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     day1 = fixtures.orders_day1(orders)
     merged = _merged_full(orders)
+    # the fact changelog's subtree is referenced by two delta legs and
+    # re-evaluated per leg; measured A/B at sf0.1 shows a localCheckpoint
+    # here is time-neutral-to-worse (materialization cost ≈ the saved
+    # recompute), so the lineage is left intact — in production the
+    # changelog arrives materialized from the sink anyway
+    # (ParquetVersionedSink.read_changes / Iceberg changelog scan)
     ch_o = build_changelog(day1, merged, list(ORDERS_SPEC.natural_keys))
     ch_c = build_changelog(cust_v1, cust_v2, ["c_custkey"])
     money = F.col("o_totalprice").cast("decimal(18,2)")
