@@ -355,6 +355,34 @@ def q_incremental_two_sided(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Accepted priority domain for the expectations entry.
+PRIORITY_DOMAIN = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+def q_validate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite over orders in ONE scan
+    (``validate.expectation_report``): null check, key uniqueness (window
+    count over the high-cardinality key), range check, domain check — the
+    dbt-test/Great-Expectations shape as a single Spark job. One rule
+    (totalprice under an artificially low ceiling) is designed to FAIL so
+    the report proves it actually counts violations rather than
+    rubber-stamping."""
+    from iceberg_ingestion_spark.validate import expectation_report
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    kc = F.count(F.lit(1)).over(Window.partitionBy("o_orderkey"))
+    df = o.withColumn("_kc", kc)
+    rules = {
+        "orderkey_not_null": F.col("o_orderkey").isNotNull(),
+        "orderkey_unique": F.col("_kc") == 1,
+        "totalprice_positive": F.col("o_totalprice") > 0,
+        "totalprice_under_100k": F.col("o_totalprice") < 100_000,
+        "priority_in_domain": F.col("o_orderpriority").isin(*PRIORITY_DOMAIN),
+    }
+    return expectation_report(df, rules)
+
+
 # ---------------------------------------------------------------------------
 # Analytics (engine breadth + bench anchors; decimal-exact aggregation)
 # ---------------------------------------------------------------------------
@@ -457,6 +485,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ingest_incremental_agg": q_incremental_agg_maintenance,
     "ingest_incremental_join_agg": q_incremental_join_agg,
     "ingest_incremental_two_sided": q_incremental_two_sided,
+    "validate_expectations": q_validate_expectations,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_supplier_volume": q5_supplier_volume,
@@ -697,6 +726,39 @@ ORACLES: dict[str, str] = {
         GROUP BY 1
         """
     ),
+    "validate_expectations": """
+        WITH base AS (
+            SELECT o.*, count(*) OVER (PARTITION BY o_orderkey) AS kc FROM orders o
+        )
+        SELECT 'orderkey_not_null' AS rule, count(*) AS n_checked,
+               count(*) - CAST(sum(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+               count(*) - CAST(sum(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) = 0 AS passed
+        FROM base
+        UNION ALL
+        SELECT 'orderkey_unique', count(*),
+               count(*) - CAST(sum(CASE WHEN kc = 1 THEN 1 ELSE 0 END) AS BIGINT),
+               count(*) - CAST(sum(CASE WHEN kc = 1 THEN 1 ELSE 0 END) AS BIGINT) = 0
+        FROM base
+        UNION ALL
+        SELECT 'totalprice_positive', count(*),
+               count(*) - CAST(sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS BIGINT),
+               count(*) - CAST(sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS BIGINT) = 0
+        FROM base
+        UNION ALL
+        SELECT 'totalprice_under_100k', count(*),
+               count(*) - CAST(sum(CASE WHEN o_totalprice < 100000 THEN 1 ELSE 0 END) AS BIGINT),
+               count(*) - CAST(sum(CASE WHEN o_totalprice < 100000 THEN 1 ELSE 0 END) AS BIGINT) = 0
+        FROM base
+        UNION ALL
+        SELECT 'priority_in_domain', count(*),
+               count(*) - CAST(sum(CASE WHEN o_orderpriority IN
+                   ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+                   THEN 1 ELSE 0 END) AS BIGINT),
+               count(*) - CAST(sum(CASE WHEN o_orderpriority IN
+                   ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+                   THEN 1 ELSE 0 END) AS BIGINT) = 0
+        FROM base
+    """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -605,6 +605,44 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def layout_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order curve values for (p_size, p_retailprice) — the layout key
+    `zorder_layout` clusters files by. Driver-checks the interleaving math
+    itself: min/max grid normalization (the one bounded driver collect —
+    the codebook pattern) + bit interleave, reproduced bit-for-bit by the
+    oracle's generated 16-term SQL."""
+    from iceberg_ingestion_spark.operators.layout import zorder_value
+
+    p = read_table(spark, sf_dir, "part")
+    z = zorder_value(p, ["p_size", "p_retailprice"], bits=8)
+    return p.select("p_partkey", z.alias("zvalue"))
+
+
+def _zorder_oracle_sql(bits: int = 8) -> str:
+    cols = ["p_size", "p_retailprice"]
+    quant = []
+    for i, c in enumerate(cols):
+        span = f"(CASE WHEN hi{i} - lo{i} = 0 THEN 1.0 ELSE hi{i} - lo{i} END)"
+        quant.append(
+            f"CAST(least(255, floor((CAST({c} AS DOUBLE) - lo{i}) / {span} * 256))"
+            f" AS BIGINT) AS q{i}"
+        )
+    terms = " + ".join(
+        f"((q{i} >> {b}) & 1) * {1 << (b * len(cols) + i)}"
+        for b in range(bits)
+        for i in range(len(cols))
+    )
+    stats = ", ".join(
+        f"min(CAST({c} AS DOUBLE)) AS lo{i}, max(CAST({c} AS DOUBLE)) AS hi{i}"
+        for i, c in enumerate(cols)
+    )
+    return f"""
+        WITH stats AS (SELECT {stats} FROM part),
+        q AS (SELECT p_partkey, {', '.join(quant)} FROM part, stats)
+        SELECT p_partkey, CAST({terms} AS BIGINT) AS zvalue FROM q
+    """
+
+
 def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function breadth on one pass: lag / lead / ntile / percent_rank
     / cume_dist per customer over order history. The partition key is
@@ -726,6 +764,7 @@ QUERIES_ANALYTICS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_revenue": rollup_revenue,
     "cube_flag_status": cube_flag_status,
     "analytics_window_suite": window_suite,
+    "layout_zorder_values": layout_zorder_values,
     "topn_orders_per_segment": topn_orders_per_segment,
     "asof_last_click_before_purchase": asof_last_click_before_purchase,
 }
@@ -1010,6 +1049,7 @@ ORACLES_ANALYTICS: dict[str, str] = {
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY ROLLUP(r_name, n_name)
     """,
+    "layout_zorder_values": _zorder_oracle_sql(),
     "analytics_window_suite": """
         SELECT o_custkey, o_orderkey,
                lag(o_totalprice) OVER w AS prev_price,

@@ -283,3 +283,34 @@ def test_two_sided_join_ivm_matches_recompute(spark):
     want = {r.seg: (float(r.total), r.n_rows) for r in rollup(r2, s2).collect()}
     assert got == want
     assert "A" in got and "B" in got and "C" in got
+
+
+def test_expectation_report_counts_and_single_pass(spark):
+    """Violation counting (NULL rule result = violation), pass flags, and
+    the one-scan plan contract (a 4-rule suite is one aggregate, not four
+    jobs — no more than one Exchange in the plan)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_ingestion_spark.validate import expectation_report
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (None, 3.0), (4, None)], "k int, v double"
+    )
+    rules = {
+        "k_not_null": F.col("k").isNotNull(),
+        "v_positive": F.col("v") > 0,   # NULL v -> violation
+        "k_small": F.col("k") < 100,    # NULL k -> violation
+    }
+    got = {r.rule: (r.n_checked, r.n_violations, r.passed)
+           for r in expectation_report(df, rules).collect()}
+    assert got == {
+        "k_not_null": (4, 1, False),
+        "v_positive": (4, 2, False),   # -5 and NULL
+        "k_small": (4, 1, False),      # NULL k fails
+    }
+    ok = expectation_report(df, {"all_good": F.lit(True)})
+    assert [r.passed for r in ok.collect()] == [True]
+    # one table read for the whole suite (optimized logical plan — the AQE
+    # executed-plan string duplicates nodes across Initial/Final sections)
+    plan = ok._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == 1
