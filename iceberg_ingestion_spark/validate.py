@@ -67,10 +67,10 @@ def expectation_report(df: DataFrame, rules: dict[str, "F.Column"]) -> DataFrame
                 F.count(F.lit(1)).alias("n_checked"),
                 (F.count(F.lit(1)) - ok).alias("n_violations"),
                 ((F.count(F.lit(1)) - ok) == 0).alias("passed"),
-            ).alias(f"_r_{name}")
+            )
         )
-    one = df.agg(*aggs)
-    stacked = one.select(
-        F.explode(F.array(*[F.col(f"_r_{n}") for n in rules])).alias("r")
-    )
+    # single array column, no per-rule column names — rule names stay data
+    # (arbitrary strings), never identifiers
+    one = df.agg(F.array(*aggs).alias("_rules"))
+    stacked = one.select(F.explode("_rules").alias("r"))
     return stacked.select("r.rule", "r.n_checked", "r.n_violations", "r.passed")
