@@ -231,3 +231,37 @@ def test_file_stats_and_pruning_after_zorder_layout(spark, tmp_path):
     # …and 0 of the randomly-laid-out ones (every file spans ~everything)
     stats_s = file_column_stats(spark, shuffled, ["k"])
     assert prunable_files(stats_s, "k", 1000, 1099).count() == 0
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """The co-located join contract: two tables bucketed on the join key
+    with the same bucket count sort-merge-join with NO Exchange on either
+    side, while the same join over plain parquet shuffles both. This is the
+    layout `save_bucketed` exists for — at 100 TB it removes the dominant
+    recurring shuffle from fact-to-fact joins."""
+    from pyspark.sql import functions as F
+
+    from iceberg_ingestion_spark.operators.layout import save_bucketed
+
+    a = spark.range(0, 2000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(0, 2000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+    save_bucketed(a, "bkt_a", ["k"], 8)
+    save_bucketed(b, "bkt_b", ["k"], 8)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        # result still correct
+        assert j.count() == 2000
+        # control: the identical join over non-bucketed data DOES shuffle
+        pa, pb = str(tmp_path / "pa"), str(tmp_path / "pb")
+        a.write.parquet(pa)
+        b.write.parquet(pb)
+        jp = spark.read.parquet(pa).join(spark.read.parquet(pb), "k")
+        assert "Exchange" in jp._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
