@@ -265,3 +265,33 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_new_entry_plans_have_no_nested_loops(spark):
+    """Plan-shape regression pins for the round-4 entries: no cartesian /
+    nested-loop joins anywhere, and the per-entry shuffle counts stay at
+    their designed shape (gap-fill: bucket agg + span agg + window; cube:
+    one expand+shuffle; window suite: one window shuffle)."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    sf = "/root/testdata/sf0.001"
+    expectations = {
+        "events_gap_fill": 4,
+        "events_anomaly_daily": 3,
+        "cube_flag_status": 2,
+        "analytics_window_suite": 2,
+        "sample_fixed_per_lang": 4,
+        "skew_salted_join": 4,
+        "text_bigram_corpus_freq": 6,
+    }
+    for name, max_exchanges in expectations.items():
+        plan = qs[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        # AQE plan strings may repeat nodes across Initial/Final sections;
+        # count on the final section only when present
+        final = plan.split("+- == Initial Plan ==")[0]
+        assert final.count("Exchange") <= max_exchanges, (
+            f"{name}: {final.count('Exchange')} exchanges (cap {max_exchanges})"
+        )
