@@ -71,3 +71,53 @@ def stream_rollup_maintenance(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_joined_rollup_maintenance(
+    spark: SparkSession,
+    input_dir: str,
+    schema: StructType,
+    dim: DataFrame,
+    on: list[str],
+    sink: TableSink,
+    name: str,
+    keys: list[str],
+    sum_cols: dict[str, Column],
+    policy: TablePolicy = TablePolicy(),
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain a rollup of ``fact ⋈ dim`` from a streaming FACT changelog —
+    the continuous form of the static-dimension join-IVM delta rule
+    γ(Δfact ⋈ dim) (``ingest_incremental_join_agg``'s batch contract). Each
+    micro-batch's changelog rows are enriched with their dimension
+    attributes via a **broadcast** join (the dimension is the slowly- or
+    never-changing side; when it does change, run the two-sided batch rule
+    ``incremental.join_changelog`` at the dimension's cadence), then folded
+    into the persistent rollup exactly as the single-table path does.
+
+    Same associativity argument as :func:`stream_rollup_maintenance`: any
+    micro-batch split of the changelog folds to the same rollup. Cost per
+    batch: O(|batch|) map-side dim lookups + one key-equi join against the
+    rollup.
+    """
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        enriched = batch.join(F.broadcast(dim), on=on, how="inner")
+        if sink.exists(name):
+            updated = apply_changelog_to_agg(sink.read(name), enriched, keys, sum_cols)
+        else:
+            updated = changelog_deltas(enriched, keys, sum_cols).filter(
+                F.col(ROW_COUNT_COL) > 0
+            )
+        sink.replace(name, updated, policy)
+
+    writer = stream.writeStream.foreachBatch(_apply)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

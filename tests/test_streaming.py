@@ -143,3 +143,65 @@ def test_stream_rollup_maintenance_split_changelog(spark, tmp_path):
     assert 3 not in got and got[4] == (1.25, 1)
     # two micro-batch commits -> two rollup versions (snapshot-versioned)
     assert sink.current_version("db.rollup") == 2
+
+
+def test_stream_joined_rollup_maintenance_split_changelog(spark, tmp_path):
+    """Streaming join-IVM (static dimension): the fact changelog split
+    across drops — again separating an UPDATE pair — maintained against a
+    broadcast dimension folds to the from-scratch γ(fact_v2 ⋈ dim)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_ingestion_spark.changes import CHANGE_TYPE_COL, build_changelog
+    from iceberg_ingestion_spark.streaming.rollup_stream import (
+        stream_joined_rollup_maintenance,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B"), (4, "C")], "cust long, seg string"
+    )
+    v1 = spark.createDataFrame(
+        [(10, 1, 5.00), (11, 2, 7.00), (30, 3, 9.00)],
+        "order_id long, cust long, price double",
+    )
+    v2 = spark.createDataFrame(
+        # reprice in seg A, seg B vanishes, seg C appears
+        [(10, 1, 6.00), (11, 2, 7.00), (40, 4, 1.25)],
+        "order_id long, cust long, price double",
+    )
+    in_dir, ckpt, wh = (str(tmp_path / d) for d in ("chg_in", "ckpt", "wh"))
+    os.makedirs(in_dir)
+    sink = ParquetVersionedSink(spark, wh)
+    ch12 = build_changelog(v1, v2, ["order_id"]).cache()
+    bootstrap = v1.withColumn(CHANGE_TYPE_COL, F.lit("INSERT"))
+    bootstrap.unionByName(
+        ch12.filter(F.col(CHANGE_TYPE_COL) == "UPDATE_BEFORE")
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    schema = spark.read.parquet(in_dir).schema
+    money = F.col("price").cast("decimal(18,2)")
+
+    def run():
+        q = stream_joined_rollup_maintenance(
+            spark, in_dir, schema, dim, ["cust"], sink, "db.seg_rollup",
+            ["seg"], {"total": money}, checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(120)
+
+    run()
+    ch12.filter(F.col(CHANGE_TYPE_COL) != "UPDATE_BEFORE").coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run()
+
+    got = {
+        r.seg: (float(r.total), r.n_rows)
+        for r in sink.read("db.seg_rollup").collect()
+    }
+    want = {
+        r.seg: (float(r.total), r.n_rows)
+        for r in v2.join(dim, "cust")
+        .groupBy("seg")
+        .agg(F.sum(money).alias("total"), F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    }
+    assert got == want
+    assert "B" not in got and got["C"] == (1.25, 1)
