@@ -50,12 +50,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #:
 #: Round-4 window, final. Three blocks:
 #:
-#: (a) NEW entries created in r4 — the 12 late-session additions
+#: (a) NEW entries created in r4 — the 13 late-session additions
 #:     (decon_bloom_prefilter, ingest_incremental_join_agg,
 #:     ingest_incremental_two_sided, events_gap_fill, events_anomaly_daily,
-#:     text_bigram_corpus_freq, cube_flag_status, skew_salted_join,
-#:     sample_fixed_per_lang, analytics_window_suite, validate_expectations,
-#:     layout_zorder_values) plus the 4 early-r4
+#:     events_twap, text_bigram_corpus_freq, cube_flag_status,
+#:     skew_salted_join, sample_fixed_per_lang, analytics_window_suite,
+#:     validate_expectations, layout_zorder_values) plus the 4 early-r4
 #:     ones (corpus_feed_health, skew_salted_agg, ingest_incremental_agg,
 #:     and the q15/q11 global-window rewrites) — all mandatory by rule (1).
 #: (b) r4-changed entries: funnel_conversion (row contract), dedup_clusters
@@ -70,7 +70,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: Displaced for the late additions (all r3-green; every function AND oracle
 #: they call byte-unchanged since that row — merge.py's r4 change is
 #: docstring-only, model.py's is an additive default field): the ingest
-#: calculus entries ingest_detect_inserts/_deletes, ingest_cdc_dedup_latest,
+#: calculus entries ingest_detect_inserts/_deletes/_updates,
+#: ingest_cdc_dedup_latest,
 #: ingest_replace, ingest_first_load_cdc, ingest_snapshot_merge_full/
 #: _incremental/_soft_delete, ingest_cdc_merge, validate_bag_diff_strictness,
 #: and dedup_ngram_jaccard / dedup_minhash_lsh (in earlier drafts of this
@@ -79,14 +80,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #: connected_components, pinned in-window by dedup_clusters, and the NEW
 #: shingle_occurrences function, pinned by text_bigram_corpus_freq). The
 #: detect/merge family they leave keeps live coverage via
-#: ingest_detect_updates, _fused, changelog_versions, and the three IVM
-#: entries, which execute build_changelog + the merge calculus end-to-end. Also out (unchanged since r3 green, per the r3 rotation):
+#: ingest_snapshot_merge_fused (whose single-pass plan computes the same
+#: I/U/D classification), ingest_changelog_versions, and the three IVM
+#: entries, which execute build_changelog + the merge calculus end-to-end;
+#: J3's strict-`>` update semantics stay pinned by pytest
+#: (test_changes.py) and the fused/leg toggle sweep. Also out (unchanged since r3 green, per the r3 rotation):
 #: mix_weighted_sample, pack_token_budget, events_interval_join,
 #: sketch_approx_*, decon_benchmark_overlap, sim_ann_topk_bruteforce/_lsh,
 #: dedup_embedding_cosine, and q1-q22 minus q11/q12/q15.
 _PRIORITY = [
     # SURVEY §2 core calculus + validation
-    "ingest_detect_updates",
     "ingest_snapshot_merge_fused",
     "ingest_changelog_versions",
     "validate_expectations",
@@ -97,6 +100,7 @@ _PRIORITY = [
     "ingest_incremental_two_sided",
     "events_gap_fill",
     "events_anomaly_daily",
+    "events_twap",
     "text_bigram_corpus_freq",
     "cube_flag_status",
     "skew_salted_join",

@@ -130,3 +130,62 @@ def count_anomaly_flags(
         std,
         (n > mean + F.lit(float(z)) * std).alias("is_anomaly"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_us_col: str,
+    value_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-key time-weighted average under step-function semantics: each
+    observation holds its value until the next one, so
+    twap = Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last − t_first). The financial/telemetry
+    average that event-count averages misstate when sampling is irregular.
+
+    Exactness: the weighted sum is DECIMAL(value)·(µs duration) — exact
+    integer×decimal arithmetic, order-independent — with ONE double division
+    at the end, so results are engine-reproducible (a float accumulation
+    would not be). Same-timestamp ties contribute zero-width segments;
+    ``tiebreak_cols`` makes the which-value-spans-on choice total. Keys with
+    a single observation (zero span) have no average and emit no row.
+    One window (high-cardinality keys) + one aggregation.
+    """
+    tb = [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_us_col), *tb)
+    # exact integer arithmetic end-to-end: value quantized to micro-units
+    # (x1e6, exact 6-dp decimal then long), weighted by the µs duration in
+    # DECIMAL so no operand promotion can cross precision 38 (a raw long
+    # promotes to 20 digits and Spark silently drops a scale digit there;
+    # DuckDB's int64 decimal kernel overflows outright — integers sidestep
+    # both). One double division chain at the very end.
+    dur = (F.lead(ts_us_col).over(w) - F.col(ts_us_col)).cast("decimal(18,0)")
+    v_micro = (
+        F.col(value_col).cast("decimal(18,6)") * F.lit(1_000_000).cast("decimal(7,0)")
+    ).cast("long")
+    seg = df.select(
+        *key_cols,
+        F.col(ts_us_col),
+        (v_micro.cast("decimal(18,0)") * dur).alias("_wv"),
+    )
+    agg = seg.groupBy(*key_cols).agg(
+        F.sum("_wv").alias("_sum_wv"),
+        (F.max(ts_us_col) - F.min(ts_us_col)).alias("span_us"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    return agg.filter(F.col("span_us") > 0).select(
+        *key_cols,
+        "n_obs",
+        "span_us",
+        # int -> STRING -> double, then ONE division by an explicitly-built
+        # divisor. The string hop is load-bearing: wide-integer-to-double
+        # casts are not correctly rounded in every engine (DuckDB's
+        # HUGEINT->DOUBLE measurably lands 1 ulp off; BigDecimal.doubleValue
+        # has the same hazard), while decimal-string parsing is correctly
+        # rounded everywhere.
+        (
+            F.col("_sum_wv").cast("string").cast("double")
+            / (F.lit(1_000_000.0) * F.col("span_us"))
+        ).alias("twap"),
+    )

@@ -460,6 +460,17 @@ def q_events_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of ``value`` (step-function semantics,
+    exact decimal·µs weighted sum, one double division at the end)."""
+    from iceberg_ingestion_spark.operators.timeseries import time_weighted_avg
+
+    ev = read_events_us(spark, sf_dir)
+    return time_weighted_avg(
+        ev, ["user_id"], "ts_us", "value", tiebreak_cols=["event_id"]
+    )
+
+
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view->click->purchase funnel over events (integer-exact mins,
     one conditional aggregation per stage)."""
@@ -753,6 +764,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_interval_join": q_events_interval_join,
     "events_gap_fill": q_events_gap_fill,
     "events_anomaly_daily": q_events_anomaly_daily,
+    "events_twap": q_events_twap,
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
     "data_split_counts": q_data_split_counts,
@@ -1068,6 +1080,30 @@ WHERE p.event_type = 'click'
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
                pb.bucket IS NOT NULL AS observed
         FROM grid g LEFT JOIN pb ON g.user_id = pb.user_id AND g.bucket = pb.bucket
+    """,
+    "events_twap": """
+        WITH e AS (
+            SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events
+        ),
+        seg AS (
+            SELECT user_id, ts_us,
+                   CAST(CAST(CAST(value AS DECIMAL(18,6))
+                             * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT) AS HUGEINT)
+                       * (lead(ts_us) OVER (PARTITION BY user_id
+                                            ORDER BY ts_us, event_id) - ts_us)
+                       AS wv
+            FROM e
+        )
+        SELECT user_id,
+               count(*) AS n_obs,
+               max(ts_us) - min(ts_us) AS span_us,
+               -- 1e6 (a DOUBLE literal), NOT 1000000.0 (DuckDB parses that
+               -- as DECIMAL and the decimal-typed divisor shifts the result)
+               CAST(CAST(SUM(wv) AS VARCHAR) AS DOUBLE)
+                   / (1e6 * (max(ts_us) - min(ts_us))) AS twap
+        FROM seg
+        GROUP BY user_id
+        HAVING max(ts_us) - min(ts_us) > 0
     """,
     "events_anomaly_daily": f"""
         WITH counts AS (

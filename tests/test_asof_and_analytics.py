@@ -144,3 +144,28 @@ def test_count_anomaly_flags_spike_only(spark):
     flags19 = {r.bucket: r.is_anomaly for r in
                count_anomaly_flags(df, ["k"], "ts_us", bucket_us=100, z=1.9).collect()}
     assert flags19[4] is True and not any(v for b, v in flags19.items() if b != 4)
+
+
+def test_time_weighted_avg_step_semantics(spark):
+    from pyspark.sql import Row
+    from iceberg_ingestion_spark.operators.timeseries import time_weighted_avg
+
+    rows = [
+        # user a: 2 holds for 100us, 4 holds for 200us -> (200+800)/300
+        Row(k="a", ts_us=0, ev=1, v=2.0),
+        Row(k="a", ts_us=100, ev=2, v=4.0),
+        Row(k="a", ts_us=300, ev=3, v=9.0),   # last obs: zero weight
+        # user b: single observation -> zero span -> no row
+        Row(k="b", ts_us=50, ev=4, v=7.0),
+        # user c: same-ts tie -> zero-width segment, later ev spans on
+        Row(k="c", ts_us=10, ev=5, v=1.0),
+        Row(k="c", ts_us=10, ev=6, v=3.0),
+        Row(k="c", ts_us=20, ev=7, v=5.0),
+    ]
+    out = {r.k: r for r in time_weighted_avg(
+        spark.createDataFrame(rows), ["k"], "ts_us", "v", tiebreak_cols=["ev"]
+    ).collect()}
+    assert set(out) == {"a", "c"}
+    assert out["a"].twap == (2.0 * 100 + 4.0 * 200) / (1e6 * 300) * 1e6
+    assert out["a"].span_us == 300 and out["a"].n_obs == 3
+    assert out["c"].twap == 3.0  # ev 6's value spans the whole 10us
