@@ -52,3 +52,42 @@ def stratified_sample(
     """Per-stratum Bernoulli sample (e.g. downweight overrepresented languages
     in a pretraining mix). Seeded and deterministic for a fixed partitioning."""
     return df.sampleBy(stratum_col, fractions, seed=seed)
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    components: DataFrame,
+    splits: dict[str, int] | None = None,
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates across
+    splits: documents are split by their near-dup COMPONENT id (from
+    ``dedup.connected_components``), not their own id, so every member of a
+    duplicate cluster lands in the same split. A benchmark doc's near-copy
+    sitting in train is exactly the contamination a per-doc hash split
+    permits and this closes — the standard eval-integrity requirement for
+    pretraining corpora.
+
+    ``components`` is (id, component); docs absent from it (singletons by
+    construction in sparse component relations) split by their own id, which
+    IS their component under the min-reachable-id convention. One left join
+    (AQE broadcasts the component relation when small — pair-graph components
+    are tiny next to the corpus) + the same md5-bucket split as
+    :func:`hash_split`; growth-stable for the same reason.
+    """
+    comp = components.select(
+        F.col(components.columns[0]).alias(id_col),
+        F.col("component").alias("_comp"),
+    )
+    joined = df.join(comp, on=id_col, how="left")
+    key = F.coalesce(F.col("_comp"), F.col(id_col))
+    splits = splits or {"train": 90, "val": 5, "test": 5}
+    assert sum(splits.values()) == 100, "split percentages must sum to 100"
+    bucket = hash_split_bucket(key)
+    expr = None
+    lo = 0
+    for name, pct in splits.items():
+        cond = (bucket >= lo) & (bucket < lo + pct)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += pct
+    return joined.withColumn("split", expr).drop("_comp")

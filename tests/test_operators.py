@@ -628,3 +628,32 @@ def test_bigram_corpus_features_counts_and_rare_rate(spark):
     assert r1.mean_bg_df == 7 / 3 and r1.rare_rate == 1 / 3
     r2 = got[2]
     assert (r2.n_bigrams, r2.sum_bg_df, r2.n_rare) == (1, 3, 0)
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Near-dup clusters never span splits; singletons fall back to their
+    own id and reproduce the plain hash_split assignment exactly."""
+    from pyspark.sql import Row
+    from iceberg_ingestion_spark.operators.sampling import (
+        hash_split,
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(200)])
+    # clusters: {0..4} -> comp 0, {10,11} -> comp 10; rest singletons
+    comps = spark.createDataFrame(
+        [Row(doc_id=i, component=0) for i in range(5)]
+        + [Row(doc_id=10, component=10), Row(doc_id=11, component=10)]
+    )
+    out = leakage_safe_split(docs, "doc_id", comps).collect()
+    by_id = {r.doc_id: r.split for r in out}
+    assert len({by_id[i] for i in range(5)}) == 1       # cluster 0 together
+    assert by_id[10] == by_id[11]                        # cluster 10 together
+    plain = {r.doc_id: r.split for r in hash_split(docs, "doc_id").collect()}
+    for i in range(200):
+        if i not in (1, 2, 3, 4, 11):  # non-representative members may move
+            assert by_id[i] == plain[i], i
+    # determinism under repartition
+    again = {r.doc_id: r.split for r in leakage_safe_split(
+        docs.repartition(7), "doc_id", comps).collect()}
+    assert again == by_id
