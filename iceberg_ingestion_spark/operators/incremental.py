@@ -187,3 +187,39 @@ def apply_signed_changelog_to_agg(
         _upd(ROW_COUNT_COL),
     )
     return out.filter(F.col(ROW_COUNT_COL) > 0)
+
+
+def refresh_dirty_keys(
+    agg: DataFrame,
+    base_new: DataFrame,
+    changelog: DataFrame,
+    keys: list[str],
+    agg_exprs: dict[str, Column],
+) -> DataFrame:
+    """Maintain a rollup with NON-invertible aggregates (min / max /
+    count-distinct / top-k...) — the aggregates signed deltas cannot
+    maintain: a DELETE of a key's current max forces a look at that key's
+    remaining rows, full stop. The standard answer, implemented here: only
+    the changelog's DIRTY keys are re-aggregated from the new base, merged
+    with the untouched rows of the old rollup.
+
+    Cost shape: one distinct over the changelog's keys (delta-sized), one
+    left-semi of the base against the dirty set (the base is READ but only
+    dirty-key rows reach the aggregation shuffle — with the base partitioned
+    or clustered on the key prefix the read itself prunes; AQE broadcasts
+    the dirty set in the daily case), one anti-join pass-through of the old
+    rollup. O(|dirty keys' rows|) aggregation instead of O(|base|), and the
+    untouched 99% of the rollup is never recomputed.
+
+    ``agg_exprs`` maps output column name -> aggregate expression over
+    ``base_new``; the old ``agg`` must carry the same columns. Keys whose
+    rows all vanished disappear (they aggregate to no row).
+    """
+    dirty = changelog.select(*keys).distinct()
+    recomputed = (
+        base_new.join(dirty, on=keys, how="left_semi")
+        .groupBy(*keys)
+        .agg(*[expr.alias(name) for name, expr in agg_exprs.items()])
+    )
+    untouched = agg.join(dirty, on=keys, how="left_anti")
+    return untouched.unionByName(recomputed)

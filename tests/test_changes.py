@@ -314,3 +314,48 @@ def test_expectation_report_counts_and_single_pass(spark):
     # executed-plan string duplicates nodes across Initial/Final sections)
     plan = ok._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("LogicalRDD") == 1
+
+
+def test_refresh_dirty_keys_maintains_minmax_under_delete_of_max(spark):
+    """Non-invertible IVM: deleting a key's current max forces that key's
+    re-aggregation — refresh_dirty_keys touches ONLY dirty keys and still
+    lands exactly on the from-scratch rollup; untouched keys pass through
+    from the old rollup without recomputation."""
+    from pyspark.sql import functions as F
+
+    from iceberg_ingestion_spark.changes import build_changelog
+    from iceberg_ingestion_spark.operators.incremental import refresh_dirty_keys
+
+    v1 = spark.createDataFrame(
+        # cust 1: rows 5,9 (max 9); cust 2: row 3; cust 3: row 7
+        [(10, 1, 5.0), (11, 1, 9.0), (20, 2, 3.0), (30, 3, 7.0)],
+        "order_id long, cust long, price double",
+    )
+    v2 = spark.createDataFrame(
+        # delete cust 1's MAX (row 11); cust 2 gains a new max; cust 3 untouched
+        [(10, 1, 5.0), (20, 2, 3.0), (21, 2, 8.0), (30, 3, 7.0)],
+        "order_id long, cust long, price double",
+    )
+    ch = build_changelog(v1, v2, ["order_id"])
+    exprs = {
+        "min_price": F.min("price"),
+        "max_price": F.max("price"),
+        "n_rows": F.count(F.lit(1)),
+    }
+    agg_v1 = v1.groupBy("cust").agg(*[e.alias(n) for n, e in exprs.items()])
+    got = {
+        r.cust: (r.min_price, r.max_price, r.n_rows)
+        for r in refresh_dirty_keys(agg_v1, v2, ch, ["cust"], exprs).collect()
+    }
+    want = {
+        r.cust: (r.min_price, r.max_price, r.n_rows)
+        for r in v2.groupBy("cust").agg(*[e.alias(n) for n, e in exprs.items()]).collect()
+    }
+    assert got == want
+    assert got[1] == (5.0, 5.0, 1)   # max correctly fell from 9 to 5
+    # a key vanishing entirely also works
+    v3 = v2.filter(F.col("cust") != 3)
+    ch23 = build_changelog(v2, v3, ["order_id"])
+    agg_v2 = v2.groupBy("cust").agg(*[e.alias(n) for n, e in exprs.items()])
+    got3 = {r.cust for r in refresh_dirty_keys(agg_v2, v3, ch23, ["cust"], exprs).collect()}
+    assert got3 == {1, 2}
