@@ -169,3 +169,43 @@ def test_time_weighted_avg_step_semantics(spark):
     assert out["a"].twap == (2.0 * 100 + 4.0 * 200) / (1e6 * 300) * 1e6
     assert out["a"].span_us == 300 and out["a"].n_obs == 3
     assert out["c"].twap == 3.0  # ev 6's value spans the whole 10us
+
+
+def test_sessionize_agrees_with_native_session_window(spark):
+    """Cross-validation against Spark's built-in F.session_window: identical
+    session partitions (per-session counts + start times) for off-boundary
+    gaps, and at the exact-gap boundary: both keep an event at exactly
+    prev + gap inside the session (our strict-`>` break matches the
+    built-in's merge rule — verified, not assumed)."""
+    from pyspark.sql import Row
+    from iceberg_ingestion_spark.operators.sessionize import sessionize
+
+    GAP = 100  # seconds
+    rows = [
+        Row(user_id=1, event_id=1, ts=1_000.0),
+        Row(user_id=1, event_id=2, ts=1_050.0),    # same session
+        Row(user_id=1, event_id=3, ts=1_250.0),    # 200s gap -> new session
+        Row(user_id=2, event_id=4, ts=5_000.0),
+        Row(user_id=2, event_id=5, ts=5_099.0),    # 99s -> same session
+    ]
+    ev = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    ours = (
+        sessionize(ev, gap_seconds=GAP)
+        .groupBy("user_id", "session_index")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("ts").alias("start"))
+    )
+    native = ev.groupBy(
+        "user_id", F.session_window("ts", f"{GAP} seconds").alias("w")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = sorted((r.user_id, r.n, r.start) for r in ours.collect())
+    b = sorted((r.user_id, r.n, r.w.start) for r in native.collect())
+    assert a == b
+    # boundary: gap EXACTLY == GAP seconds
+    edge = spark.createDataFrame(
+        [Row(user_id=9, event_id=1, ts=0.0), Row(user_id=9, event_id=2, ts=100.0)]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ours_n = sessionize(edge, gap_seconds=GAP).select("session_index").distinct().count()
+    native_n = edge.groupBy(
+        F.session_window("ts", f"{GAP} seconds")
+    ).count().count()
+    assert ours_n == 1 and native_n == 1  # exactly-at-gap stays in session, both
