@@ -657,3 +657,39 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     again = {r.doc_id: r.split for r in leakage_safe_split(
         docs.repartition(7), "doc_id", comps).collect()}
     assert again == by_id
+
+
+def test_batch_embed_shape_determinism_and_ann_composition(spark):
+    """Inference plumbing: right schema/dtype, unit-norm deterministic
+    vectors independent of partitioning and batch boundaries, per-worker
+    init hook fires, and the output composes directly with the ANN
+    operators (brute-force top-k runs on it unchanged)."""
+    from pyspark.sql import Row
+
+    from iceberg_ingestion_spark.operators import similarity
+    from iceberg_ingestion_spark.operators.inference import batch_embed
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"document number {i} about topic {i % 3}") for i in range(60)]
+    )
+    emb1 = batch_embed(docs, dim=16)
+    assert dict(emb1.dtypes) == {"doc_id": "bigint", "embedding": "array<float>"}
+    rows = {r.doc_id: r.embedding for r in emb1.collect()}
+    assert all(len(v) == 16 for v in rows.values())
+    assert all(abs(sum(x * x for x in v) - 1.0) < 1e-5 for v in rows.values())
+    # partitioning/batch boundaries must not change values
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        rows2 = {r.doc_id: r.embedding for r in
+                 batch_embed(docs.repartition(5), dim=16).collect()}
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    assert rows2 == rows
+    # composes with ANN: exact top-3 over the embedded corpus
+    vecs = batch_embed(docs, dim=16).withColumnRenamed("doc_id", "vec_id")
+    topk = similarity.topk_bruteforce(
+        vecs, "vec_id", "embedding", 16, 3, (F.col("vec_id") % 20 == 0)
+    )
+    got = topk.groupBy("query_id").count().collect()
+    assert {r.query_id for r in got} == {0, 20, 40}
+    assert all(r["count"] == 3 for r in got)
