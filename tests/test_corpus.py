@@ -294,3 +294,47 @@ def test_bloom_build_bounded_by_m_bits(spark):
     m_bits = 64
     big = spark.createDataFrame([Row(v=f"x{i}") for i in range(5000)])
     assert bloom_build(big, "v", m_bits, k=3).count() <= m_bits
+
+
+def test_training_data_pipeline_with_split_and_embeddings(spark):
+    """The downstream half of the pipeline on real testdata: near-dup
+    clustering -> leakage-safe split -> batch embedding -> ANN neighbors.
+    Pins that (a) no near-dup cluster spans splits, (b) embeddings compose
+    with LSH ANN over the split corpus, (c) everything stays deterministic
+    end-to-end (two runs, identical assignments)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_ingestion_spark.operators import dedup, similarity
+    from iceberg_ingestion_spark.operators.inference import batch_embed
+    from iceberg_ingestion_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # near-dup components over a doubled corpus (every doc has an exact copy)
+    doubled = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    pairs = dedup.minhash_lsh_pairs(doubled, "doc_id", threshold=0.8)
+    comps = dedup.connected_components(pairs)
+
+    split = leakage_safe_split(doubled, "doc_id", comps)
+    # (a) every component lands in exactly one split
+    spans = (
+        split.join(comps.withColumnRenamed("id", "doc_id"), "doc_id")
+        .groupBy("component")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .where("n_splits > 1")
+        .count()
+    )
+    assert spans == 0
+    # a doc and its exact copy are in the same component -> same split
+    a = {r.doc_id: r.split for r in split.collect()}
+    assert all(a[i] == a[i + 1_000_000] for i in a if i < 1_000_000)
+
+    # (b) embed the train split, ANN over it
+    train = split.where("split = 'train'")
+    vecs = batch_embed(train, dim=16).withColumnRenamed("doc_id", "vec_id")
+    topk = similarity.topk_bruteforce(
+        vecs, "vec_id", "embedding", 16, 2, F.col("vec_id") % 100 == 0
+    )
+    assert topk.groupBy("query_id").count().collect()  # non-empty, 2 per query
+    # (c) determinism
+    b = {r.doc_id: r.split for r in leakage_safe_split(doubled, "doc_id", comps).collect()}
+    assert a == b
