@@ -77,8 +77,12 @@ def heavy_hitters_exact(
     """
     cands = df.stat.freqItems([col], min_fraction).first()[f"{col}_freqItems"]
     if not cands:
-        return df.sparkSession.createDataFrame(
-            [], f"value string, n_rows long, fraction double"
+        # empty result with the SAME schema as the non-empty path (value
+        # keeps the column's own type, not a hardcoded string)
+        return df.limit(0).select(
+            F.col(col).alias("value"),
+            F.lit(0).cast("long").alias("n_rows"),
+            F.lit(0.0).alias("fraction"),
         )
     total = df.count()
     counts = (
