@@ -74,3 +74,18 @@ def expectation_report(df: DataFrame, rules: dict[str, "F.Column"]) -> DataFrame
     one = df.agg(F.array(*aggs).alias("_rules"))
     stacked = one.select(F.explode("_rules").alias("r"))
     return stacked.select("r.rule", "r.n_checked", "r.n_violations", "r.passed")
+
+
+def referential_violations(
+    child: DataFrame, parent: DataFrame, fk: str, pk: str
+) -> DataFrame:
+    """Foreign-key expectation across tables: child rows whose ``fk`` has no
+    match in ``parent.pk`` (NULL fks are violations too — an unknowable
+    reference is not an intact one; filter first if NULLs are legal).
+    One left-anti join keyed on the fk — AQE broadcasts the parent key set
+    when small; feed ``.count()`` to a gate, or the rows to a quarantine
+    sink. Composes with :func:`expectation_report` via
+    ``F.col(fk).isNotNull() & <precomputed membership flag>`` when a single
+    one-scan report is preferred."""
+    keys = parent.select(F.col(pk).alias(fk)).distinct()
+    return child.join(keys, on=fk, how="left_anti")

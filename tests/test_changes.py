@@ -359,3 +359,23 @@ def test_refresh_dirty_keys_maintains_minmax_under_delete_of_max(spark):
     agg_v2 = v2.groupBy("cust").agg(*[e.alias(n) for n, e in exprs.items()])
     got3 = {r.cust for r in refresh_dirty_keys(agg_v2, v3, ch23, ["cust"], exprs).collect()}
     assert got3 == {1, 2}
+
+
+def test_referential_violations_finds_orphans_and_nulls(spark):
+    from pyspark.sql import Row
+
+    from iceberg_ingestion_spark.validate import referential_violations
+
+    parent = spark.createDataFrame([Row(pk=1), Row(pk=2), Row(pk=3)])
+    child = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 99), (13, None)], "id long, fk long"
+    )
+    bad = {r.id for r in referential_violations(child, parent, "fk", "pk").collect()}
+    assert bad == {12, 13}  # orphan AND null fk
+    # clean child -> empty
+    ok = child.filter(F.col("fk").isin(1, 2))
+    assert referential_violations(ok, parent, "fk", "pk").count() == 0
+    # real testdata: orders -> customer FK is intact
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    assert referential_violations(o, c, "o_custkey", "c_custkey").count() == 0
