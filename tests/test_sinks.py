@@ -314,3 +314,50 @@ def test_read_changes_consistent_with_snapshot_diff(sink, spark):
     rebuilt = sorted((r["k"], r["v"]) for r in kept.unionByName(apply_side).collect())
     expected = sorted((r["k"], r["v"]) for r in sink.read_version(NAME, 3).collect())
     assert rebuilt == expected
+
+
+def test_schema_evolution_contract(spark, warehouse):
+    """Schema-change semantics, as designed: REPLACE mode adopts a new
+    column (CTAS-refresh — each replace is a fresh definition). The
+    DataFrame merge TOLERATES a source missing target columns by
+    NULL-filling (the documented partial-change-set behavior, mirroring
+    the reference's source-shaped legs): touched rows get NULL for the
+    missing column, untouched rows keep their values. The LOUD failure
+    for real drift lives at the validation gate — diff_count raises
+    ValueError when column sets differ (SURVEY §7.4)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from iceberg_ingestion_spark.changes import build_changeset
+    from iceberg_ingestion_spark.merge import merge_dataframes
+    from iceberg_ingestion_spark.model import ChangeSpec, TablePolicy
+    from iceberg_ingestion_spark.sinks import ParquetVersionedSink
+    from iceberg_ingestion_spark.validate import diff_count
+
+    sink = ParquetVersionedSink(spark, warehouse)
+    v1 = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b")], "id long, ver long, payload string"
+    )
+    sink.create("db.t", v1, TablePolicy())
+
+    # replace with an extra column: version advances, schema evolves
+    v2 = v1.withColumn("extra", F.lit(7))
+    sink.replace("db.t", v2, TablePolicy())
+    assert "extra" in sink.read("db.t").columns
+    assert sink.current_version("db.t") == 2
+
+    # drifted source (no payload/extra): merge NULL-fills touched rows only
+    spec = ChangeSpec(natural_keys=("id",), updated_at_fields=("ver",))
+    drifted = spark.createDataFrame([(2, 11), (3, 11)], "id long, ver long")
+    target = sink.read("db.t")
+    merged = merge_dataframes(
+        target, build_changeset(drifted, target, spec, include_deletes=False), spec
+    )
+    got = {r.id: (r.payload, r.extra) for r in merged.collect()}
+    assert got[1] == ("a", 7)          # untouched row keeps its columns
+    assert got[2] == (None, None)      # updated row NULL-fills the drifted cols
+    assert got[3] == (None, None)      # inserted row never had them
+
+    # the loud gate: column-set drift raises at validation, not silently 0
+    with pytest.raises(ValueError, match="column sets differ"):
+        diff_count(drifted, target)
