@@ -572,3 +572,46 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_1", "id_2", "hamming")
     )
+
+
+def survivors_by_priority(
+    df: DataFrame,
+    id_col: str,
+    components: DataFrame,
+    priority: Column,
+) -> DataFrame:
+    """Quality-aware dedup survivor selection: within each near-dup
+    component keep the row with the best ``priority`` (an ascending-sorted
+    Column — e.g. ``F.struct(-quality_score, source_rank, F.col(id))``) —
+    instead of :func:`connected_components`' min-id convention. A
+    pretraining pipeline keeps the curated-source copy of a page, not
+    whichever crawl got the smaller id.
+
+    ``priority`` must be a TOTAL order (append the id) for deterministic
+    survivors. Singletons (ids absent from ``components``) survive as their
+    own component. One left join against the (tiny, pairs-only) component
+    relation + one min-by aggregation keyed by component — no window over
+    the corpus. Returns (id, component, keep): keep=True marks survivors.
+    """
+    comp = components.select(
+        F.col(components.columns[0]).alias(id_col),
+        F.col("component").alias("_comp"),
+    )
+    with_comp = (
+        df.select(F.col(id_col), priority.alias("_prio"))
+        .join(comp, on=id_col, how="left")
+        .withColumn("_comp", F.coalesce(F.col("_comp"), F.col(id_col)))
+    )
+    best = (
+        with_comp.groupBy("_comp")
+        .agg(F.min(F.struct("_prio", id_col)).alias("_best"))
+        .select(F.col("_comp"), F.col(f"_best.{id_col}").alias("_keep_id"))
+    )
+    return (
+        with_comp.join(best, on="_comp")
+        .select(
+            F.col(id_col),
+            F.col("_comp").alias("component"),
+            (F.col(id_col) == F.col("_keep_id")).alias("keep"),
+        )
+    )

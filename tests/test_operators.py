@@ -716,3 +716,30 @@ def test_heavy_hitters_exact_matches_full_groupby(spark):
     assert got == want == {("a", 500), ("b", 300), ("c", 120)}
     # nothing above 60% -> empty result, not an error
     assert heavy_hitters_exact(df, "k", 0.6).count() == 0
+
+
+def test_survivors_by_priority_prefers_quality_over_min_id(spark):
+    """Within a duplicate cluster the high-quality copy survives even with
+    a larger id; singletons survive; ties resolve deterministically by id."""
+    from pyspark.sql import Row
+
+    from iceberg_ingestion_spark.operators.dedup import survivors_by_priority
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, quality=0.2, src_rank=2),   # comp 1: low quality, small id
+        Row(doc_id=5, quality=0.9, src_rank=1),   # comp 1: best -> survives
+        Row(doc_id=7, quality=0.9, src_rank=2),   # comp 1: quality tie, worse rank
+        Row(doc_id=20, quality=0.1, src_rank=3),  # singleton
+    ])
+    comps = spark.createDataFrame(
+        [Row(id=1, component=1), Row(id=5, component=1), Row(id=7, component=1)]
+    )
+    prio = F.struct((-F.col("quality")).alias("nq"), F.col("src_rank"), F.col("doc_id"))
+    out = {r.doc_id: (r.component, r.keep) for r in
+           survivors_by_priority(docs, "doc_id", comps, prio).collect()}
+    assert out == {
+        1: (1, False),
+        5: (1, True),    # best quality wins over min id
+        7: (1, False),   # quality tie broken by src_rank
+        20: (20, True),  # singleton survives as own component
+    }
