@@ -134,6 +134,79 @@ def pack_sequences(
     )
 
 
+def shard_assign(df: DataFrame, key: str = "doc_id", n_shards: int = 16) -> DataFrame:
+    """Deterministic training-export sharding: adds ``shard_id`` in
+    [0, n_shards) from the md5 of ``key`` — the map-only step before a
+    ``write.partitionBy("shard_id")`` export.
+
+    Properties a 100 TB export needs, all by construction: no global sort (a
+    total order would serialize on one task), uniform shard sizes (md5), and
+    stability — a document's shard never changes when the corpus grows or the
+    job reruns, so incremental exports append instead of reshuffling history.
+    Within a shard, downstream readers get reproducible order by sorting on
+    ``(md5(key), key)`` — a per-shard sort, never a global one.
+    """
+    return df.withColumn("shard_id", hash_split_bucket(key, n_shards))
+
+
+def boilerplate_chunk_scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """C4-style corpus-level boilerplate removal, chunk-granular: split each
+    document into consecutive ``chunk_words``-word chunks (trailing partial
+    KEPT — rebuild must cover the full text), count per-chunk document
+    frequency corpus-wide, and drop every chunk appearing in >= ``min_docs``
+    distinct documents. Returns one row per document:
+    ``(id, n_chunks, n_removed, cleaned_text)`` — cleaned_text is the
+    space-join of surviving chunks in original order (empty string when
+    everything was boilerplate; the document row itself is never lost).
+
+    Plan: all JVM-side (tokenize/chunk via higher-order functions — no UDF).
+    Three shuffles, each keyed uniformly: chunk-df groupBy(chunk), the
+    df-lookup join keyed by chunk, and the per-doc rebuild groupBy(id).
+    The chunk relation is |tokens|/chunk_words rows (non-overlapping — not
+    the ×k blowup of shingles), and the df table could be broadcast when a
+    df floor is applied first (flagged chunks are rare by definition), which
+    turns the lookup join into a map-side probe at scale.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n_chunks = F.ceil(F.size("_toks") / F.lit(chunk_words)).cast("int")
+    chunks = (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .select(
+            id_col,
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("_toks"), i * chunk_words + 1, chunk_words), " "
+                ),
+            ).alias("_chunks"),
+        )
+        .select(id_col, F.posexplode("_chunks").alias("pos", "chunk"))
+    )
+    dfreq = chunks.groupBy("chunk").agg(
+        F.countDistinct(id_col).alias("_chunk_docs")
+    )
+    flagged = chunks.join(dfreq, "chunk").withColumn(
+        "_drop", F.col("_chunk_docs") >= F.lit(min_docs)
+    )
+    kept_struct = F.when(~F.col("_drop"), F.struct("pos", "chunk"))
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.col("_drop").cast("int")).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["chunk"]
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+
+
 def chunk_table(
     df: DataFrame, id_col: str, text_col: str = "text", chunk_words: int = 10
 ) -> DataFrame:

@@ -54,6 +54,66 @@ def approx_quantiles_by(
     )
 
 
+def count_min_table(
+    df: DataFrame, value_col: str, depth: int = 4, width: int = 512
+) -> DataFrame:
+    """Count-Min sketch of a value column as a RELATION: ``(seed, bucket,
+    cnt)`` with ``depth × width`` cells total, regardless of corpus size.
+
+    The d hash rows are md5-derived (``md5(seed || ':' || value)`` → 60-bit
+    int mod width), so any engine — including the DuckDB oracle — computes the
+    identical sketch; no engine-private hash in the contract. Plan: a
+    ``depth``-way explode then ONE aggregation whose key space is the d·w cell
+    grid — partial (map-side) aggregation collapses each task's contribution
+    to at most d·w rows before the shuffle, so shuffle volume is
+    O(tasks · d · w), independent of row count. This is the 100 TB answer to
+    per-key exact counts when the key space itself is too large to shuffle
+    (heavy_hitters_exact needs 1/min_fraction candidates; CMS has no support
+    floor).
+    """
+    from iceberg_ingestion_spark.operators.text import hex_to_long
+
+    seeds = F.array(*[F.lit(i) for i in range(depth)])
+    cell = df.select(
+        F.explode(seeds).alias("seed"), F.col(value_col).cast("string").alias("_v")
+    )
+    bucket = (
+        hex_to_long(F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("_v"))))
+        % width
+    )
+    return cell.groupBy("seed", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def count_min_estimate(
+    cms: DataFrame, probes: DataFrame, value_col: str, depth: int = 4, width: int = 512
+) -> DataFrame:
+    """Point-estimate counts for a probe relation against a
+    :func:`count_min_table` sketch: ``est = min over seeds of cell count``.
+    Returns ``(value, est_cnt)``.
+
+    The sketch is d·w rows → broadcast; probing is a map-side broadcast join,
+    never a shuffle of the probed relation. CMS guarantees est >= true count
+    always, and est <= true + ε·N with probability 1-δ (ε = e/width,
+    δ = e^-depth) — both checked in-query by the driver entry.
+    """
+    from iceberg_ingestion_spark.operators.text import hex_to_long
+
+    seeds = F.array(*[F.lit(i) for i in range(depth)])
+    probe_cells = probes.select(
+        F.col(value_col).cast("string").alias("_v"), F.explode(seeds).alias("seed")
+    ).withColumn(
+        "bucket",
+        hex_to_long(F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("_v"))))
+        % width,
+    )
+    joined = probe_cells.join(F.broadcast(cms), ["seed", "bucket"])
+    return joined.groupBy(F.col("_v").alias("value")).agg(
+        F.min("cnt").alias("est_cnt")
+    )
+
+
 def heavy_hitters_exact(
     df: DataFrame, col: str, min_fraction: float = 0.01
 ) -> DataFrame:

@@ -713,6 +713,103 @@ def q_sketch_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-export sharding / boilerplate scrub / CMS / k-means (r4 additions)
+# ---------------------------------------------------------------------------
+
+SHARD_COUNT = 16
+BOILER_CHUNK_WORDS = 4
+BOILER_MIN_DOCS = 2
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+CMS_PROBE_MOD = 19
+#: CMS point-estimate error bound: est - exact <= (e / width) * N with
+#: probability 1 - e^-depth; the SAME python-formatted double literal is used
+#: in the Spark plan and the SQL so both engines evaluate one IEEE multiply.
+CMS_EPS = 2.718281828459045 / CMS_WIDTH
+KMEANS_K = 8
+
+
+def q_corpus_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-export sharding (md5 of doc_id -> 16 shards):
+    per-shard doc/token/lang stats plus an in-query balance check against the
+    ideal 1/16 share. Map-only assignment, one aggregation keyed by shard,
+    total row count folded in as a broadcast 1-row aggregate (no second
+    action, no global window)."""
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    sharded = corpus.shard_assign(d, "doc_id", SHARD_COUNT)
+    stats = sharded.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.token_count_ws("text").cast("long")).alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    total = d.agg(F.count(F.lit(1)).alias("_total"))
+    return stats.crossJoin(F.broadcast(total)).select(
+        "shard_id",
+        "n_docs",
+        "n_tokens",
+        "n_langs",
+        (
+            F.abs(F.col("n_docs") / F.col("_total") - 1.0 / SHARD_COUNT) < 0.05
+        ).alias("balanced"),
+    )
+
+
+def q_text_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level boilerplate removal: 4-word chunks appearing in
+    >= 2 distinct documents are scrubbed from every document; per-doc chunk /
+    removed counts plus the rebuilt text (original order, full coverage —
+    trailing partial chunks kept)."""
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    return corpus.boilerplate_chunk_scrub(
+        d, "doc_id", "text", BOILER_CHUNK_WORDS, BOILER_MIN_DOCS
+    )
+
+
+def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point estimates vs exact counts for a deterministic
+    probe subset of suppliers, with the two CMS contracts checked in-query:
+    never-underestimate (a hard guarantee) and the (e/width)·N error bound.
+    The sketch is md5-derived, so the oracle RECOMPUTES it — the booleans are
+    genuinely cross-checked, not asserted TRUE."""
+    from iceberg_ingestion_spark.operators import sketches
+
+    l = read_table(spark, sf_dir, "lineitem")
+    probes_filter = F.col("l_suppkey") % CMS_PROBE_MOD == 0
+    cms = sketches.count_min_table(l, "l_suppkey", CMS_DEPTH, CMS_WIDTH)
+    probes = l.where(probes_filter).select("l_suppkey").distinct()
+    est = sketches.count_min_estimate(cms, probes, "l_suppkey", CMS_DEPTH, CMS_WIDTH)
+    exact = (
+        l.where(probes_filter)
+        .groupBy(F.col("l_suppkey").cast("string").alias("value"))
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    total = l.agg(F.count(F.lit(1)).alias("_n"))
+    return est.join(exact, "value").crossJoin(F.broadcast(total)).select(
+        "value",
+        "exact_cnt",
+        "est_cnt",
+        (F.col("est_cnt") >= F.col("exact_cnt")).alias("never_under"),
+        (
+            (F.col("est_cnt") - F.col("exact_cnt")) <= F.lit(CMS_EPS) * F.col("_n")
+        ).alias("within_eps"),
+    )
+
+
+def q_embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment against the hash-spread k=8 codebook — the
+    corpus-side pass of distributed k-means (the Lloyd trainer itself is
+    pytest-pinned: exact decimal means make it partition-order deterministic,
+    which no float-summing implementation is). Broadcast centroids, explicit
+    left-folded squared L2 (bit-identical in DuckDB), order-independent
+    min(struct) argmin."""
+    from iceberg_ingestion_spark.operators import clustering
+
+    e = read_table(spark, sf_dir, "embeddings", spread=True)
+    cents = clustering.hash_spread_centroids(e, "vec_id", "embedding", KMEANS_K)
+    return clustering.assign_nearest(e, cents, "vec_id", "embedding", EMBED_DIM)
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
 
@@ -784,6 +881,10 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_resize_plan": q_multimodal_resize_plan,
+    "corpus_shard_stats": q_corpus_shard_stats,
+    "text_boilerplate_scrub": q_text_boilerplate_scrub,
+    "sketch_count_min": q_sketch_count_min,  # md5-CMS: oracle recomputes the sketch
+    "embedding_kmeans_assign": q_embedding_kmeans_assign,
 }
 
 _TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
@@ -831,6 +932,15 @@ def _dot_sql(a: str, b: str) -> str:
 
 def _cosine_sql(a: str, b: str) -> str:
     return f"({_dot_sql(a, b)}) / sqrt(({_dot_sql(a, a)}) * ({_dot_sql(b, b)}))"
+
+
+def _sqdist_sql(a: str, b: str) -> str:
+    """Left-folded squared L2 — the SQL mirror of ``clustering.sqdist``."""
+    return " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        f" * (CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        for i in range(1, EMBED_DIM + 1)
+    )
 
 
 _JACCARD_CTE = f"""
@@ -1366,5 +1476,96 @@ WHERE p.event_type = 'click'
                     AS target_height,
                greatest(fake_width, fake_height) > 128 AS resized
         FROM d
+    """,
+    "corpus_shard_stats": f"""
+        WITH sharded AS (
+            SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
+                       % {SHARD_COUNT} AS shard_id
+            FROM documents
+        ),
+        stats AS (
+            SELECT shard_id,
+                   count(*) AS n_docs,
+                   CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens,
+                   count(DISTINCT lang) AS n_langs
+            FROM sharded GROUP BY 1
+        )
+        SELECT shard_id, n_docs, n_tokens, n_langs,
+               abs(n_docs / t.c - 1.0 / {SHARD_COUNT}) < 0.05 AS balanced
+        FROM stats CROSS JOIN (SELECT count(*) AS c FROM documents) t
+    """,
+    "text_boilerplate_scrub": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        ch0 AS (
+            SELECT doc_id,
+                   [array_to_string(t[s:s+{BOILER_CHUNK_WORDS - 1}], ' ')
+                    for s in range(1, len(t) + 1, {BOILER_CHUNK_WORDS})] AS chunks
+            FROM toks
+        ),
+        ch AS (
+            SELECT doc_id,
+                   CAST(generate_subscripts(chunks, 1) - 1 AS BIGINT) AS pos,
+                   unnest(chunks) AS chunk
+            FROM ch0
+        ),
+        dfq AS (SELECT chunk, count(DISTINCT doc_id) AS cdocs FROM ch GROUP BY 1),
+        fl AS (
+            SELECT ch.*, cdocs >= {BOILER_MIN_DOCS} AS dropf
+            FROM ch JOIN dfq USING (chunk)
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN dropf THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+               coalesce(string_agg(CASE WHEN NOT dropf THEN chunk END,
+                                   ' ' ORDER BY pos), '') AS cleaned_text
+        FROM fl GROUP BY doc_id
+    """,
+    "sketch_count_min": f"""
+        WITH seeds AS (SELECT unnest(range({CMS_DEPTH})) AS seed),
+        cells AS (
+            SELECT seed,
+                   ('0x' || substr(md5(seed::VARCHAR || ':' || l_suppkey::VARCHAR),
+                                   1, 15))::BIGINT % {CMS_WIDTH} AS bucket
+            FROM lineitem CROSS JOIN seeds
+        ),
+        cms AS (SELECT seed, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
+        probes AS (
+            SELECT DISTINCT l_suppkey FROM lineitem
+            WHERE l_suppkey % {CMS_PROBE_MOD} = 0
+        ),
+        pc AS (
+            SELECT l_suppkey, seed,
+                   ('0x' || substr(md5(seed::VARCHAR || ':' || l_suppkey::VARCHAR),
+                                   1, 15))::BIGINT % {CMS_WIDTH} AS bucket
+            FROM probes CROSS JOIN seeds
+        ),
+        est AS (
+            SELECT l_suppkey::VARCHAR AS value, CAST(min(cnt) AS BIGINT) AS est_cnt
+            FROM pc JOIN cms USING (seed, bucket) GROUP BY 1
+        ),
+        exact AS (
+            SELECT l_suppkey::VARCHAR AS value, count(*) AS exact_cnt
+            FROM lineitem WHERE l_suppkey % {CMS_PROBE_MOD} = 0 GROUP BY 1
+        )
+        SELECT value, exact_cnt, est_cnt,
+               est_cnt >= exact_cnt AS never_under,
+               est_cnt - exact_cnt <= {CMS_EPS!r} * t.n AS within_eps
+        FROM est JOIN exact USING (value)
+        CROSS JOIN (SELECT count(*) AS n FROM lineitem) t
+    """,
+    "embedding_kmeans_assign": f"""
+        WITH cents AS (
+            SELECT vec_id AS cluster_id, embedding AS c
+            FROM embeddings
+            ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {KMEANS_K}
+        ),
+        pairs AS (
+            SELECT e.vec_id, cluster_id, {_sqdist_sql('e.embedding', 'c')} AS sq_dist
+            FROM embeddings e CROSS JOIN cents
+        )
+        SELECT vec_id, cluster_id, sq_dist
+        FROM pairs
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY sq_dist, cluster_id) = 1
     """,
 }

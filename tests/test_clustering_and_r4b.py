@@ -1,0 +1,208 @@
+"""Round-4 extension operators: k-means (exact-decimal Lloyd), CMS,
+boilerplate scrub, shard assignment — correctness + the properties that
+matter at scale (partition-order determinism, broadcast plans, guarantees)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_ingestion_spark.operators import clustering, corpus, sketches
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# clustering
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_assign_nearest_every_vector_assigned_once(spark, embeddings):
+    cents = clustering.hash_spread_centroids(embeddings, "vec_id", "embedding", 8)
+    out = clustering.assign_nearest(embeddings, cents, "vec_id", "embedding", 64)
+    assert out.count() == embeddings.count()
+    assert out.select("vec_id").distinct().count() == embeddings.count()
+    # every assigned centroid is one of the codebook ids
+    cids = {r.cluster_id for r in cents.select("cluster_id").collect()}
+    assert {r.cluster_id for r in out.select("cluster_id").distinct().collect()} <= cids
+
+
+def test_assign_nearest_is_argmin(spark, embeddings):
+    """The chosen cluster's distance is <= every other centroid's distance
+    (cross-checked by brute force on a 50-vector sample)."""
+    sample = embeddings.limit(50)
+    cents = clustering.hash_spread_centroids(embeddings, "vec_id", "embedding", 8)
+    got = {
+        r.vec_id: (r.cluster_id, r.sq_dist)
+        for r in clustering.assign_nearest(sample, cents, "vec_id", "embedding", 64).collect()
+    }
+    C = {r.cluster_id: r.centroid for r in cents.collect()}
+    for r in sample.collect():
+        v = [float(x) for x in r.embedding]
+        dists = {
+            cid: sum((v[i] - c[i]) ** 2 for i in range(64)) for cid, c in C.items()
+        }
+        best = min(dists.items(), key=lambda kv: (kv[1], kv[0]))
+        assert got[r.vec_id][0] == best[0]
+        assert got[r.vec_id][1] == pytest.approx(best[1], rel=1e-9)
+
+
+def test_assign_nearest_broadcasts_centroids(spark, embeddings):
+    cents = clustering.hash_spread_centroids(embeddings, "vec_id", "embedding", 8)
+    plan = _plan(clustering.assign_nearest(embeddings, cents, "vec_id", "embedding", 64))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_kmeans_lloyd_partition_order_invariant(spark, embeddings):
+    """THE deterministic-distributed-kmeans property: decimal-exact centroid
+    accumulation makes the result identical under any partitioning — a
+    float-summing implementation fails this under repartition(17) vs (3)."""
+    a_assign, a_cents = clustering.kmeans_lloyd(
+        embeddings.repartition(17), "vec_id", "embedding", 64, k=4, iterations=2
+    )
+    b_assign, b_cents = clustering.kmeans_lloyd(
+        embeddings.repartition(3), "vec_id", "embedding", 64, k=4, iterations=2
+    )
+    ca = sorted((r.cluster_id, tuple(r.centroid)) for r in a_cents.collect())
+    cb = sorted((r.cluster_id, tuple(r.centroid)) for r in b_cents.collect())
+    assert ca == cb  # bit-identical, not approx
+    aa = sorted((r.vec_id, r.cluster_id) for r in a_assign.collect())
+    ab = sorted((r.vec_id, r.cluster_id) for r in b_assign.collect())
+    assert aa == ab
+
+
+def test_kmeans_lloyd_objective_decreases(spark, embeddings):
+    def objective(assign):
+        return assign.agg(F.sum("sq_dist")).first()[0]
+
+    a1, _ = clustering.kmeans_lloyd(embeddings, "vec_id", "embedding", 64, k=4, iterations=1)
+    a3, _ = clustering.kmeans_lloyd(embeddings, "vec_id", "embedding", 64, k=4, iterations=3)
+    assert objective(a3) <= objective(a1) + 1e-9
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    """Two far groups + k=3 seeded so one centroid captures nothing: k stays 3
+    and the starved centroid survives verbatim."""
+    rows = [(i, [float(i % 2) * 100.0] * 4) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    _, cents = clustering.kmeans_lloyd(df, "vec_id", "embedding", 4, k=3, iterations=2)
+    assert cents.count() == 3
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_count_min_never_underestimates(spark):
+    df = spark.range(0, 5000).select((F.col("id") % 67).alias("k"))
+    cms = sketches.count_min_table(df, "k", depth=4, width=64)  # narrow: force collisions
+    probes = df.select("k").distinct()
+    est = sketches.count_min_estimate(cms, probes, "k", depth=4, width=64)
+    exact = df.groupBy(F.col("k").cast("string").alias("value")).agg(
+        F.count(F.lit(1)).alias("exact")
+    )
+    rows = est.join(exact, "value").collect()
+    assert len(rows) == 67
+    assert all(r.est_cnt >= r.exact for r in rows)
+
+
+def test_count_min_exact_when_no_collisions(spark):
+    df = spark.range(0, 40).select((F.col("id") % 4).alias("k"))
+    cms = sketches.count_min_table(df, "k", depth=4, width=4096)
+    est = sketches.count_min_estimate(cms, df.select("k").distinct(), "k", depth=4, width=4096)
+    assert sorted((r.value, r.est_cnt) for r in est.collect()) == [
+        ("0", 10), ("1", 10), ("2", 10), ("3", 10)
+    ]
+
+
+def test_count_min_sketch_size_is_bounded(spark):
+    df = spark.range(0, 10000).select(F.col("id").alias("k"))  # 10k distinct keys
+    cms = sketches.count_min_table(df, "k", depth=4, width=128)
+    assert cms.count() <= 4 * 128
+
+
+def test_count_min_probe_join_is_broadcast(spark):
+    df = spark.range(0, 1000).select((F.col("id") % 50).alias("k"))
+    cms = sketches.count_min_table(df, "k")
+    est = sketches.count_min_estimate(cms, df.select("k").distinct(), "k")
+    assert "BroadcastExchange" in _plan(est)
+
+
+# ---------------------------------------------------------------------------
+# boilerplate scrub + shard assignment
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_scrub_removes_shared_chunks_only(spark):
+    rows = [
+        (1, "alpha beta gamma delta " + "sub now join free " * 1),
+        (2, "epsilon zeta eta theta " + "sub now join free"),
+        (3, "unique words only here truly"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in corpus.boilerplate_chunk_scrub(df, chunk_words=4, min_docs=2).collect()
+    }
+    assert out[1].n_removed == 1 and out[1].cleaned_text == "alpha beta gamma delta"
+    assert out[2].n_removed == 1 and out[2].cleaned_text == "epsilon zeta eta theta"
+    assert out[3].n_removed == 0
+    assert out[3].cleaned_text == "unique words only here truly"
+
+
+def test_boilerplate_scrub_keeps_fully_scrubbed_doc_row(spark):
+    rows = [(1, "spam spam spam spam"), (2, "spam spam spam spam")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in corpus.boilerplate_chunk_scrub(df, chunk_words=4).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].cleaned_text == "" and out[1].n_removed == out[1].n_chunks == 1
+
+
+def test_boilerplate_scrub_rebuild_is_identity_when_clean(spark):
+    rows = [(1, "One  Two   three\tfour five"), (2, "six seven eight nine ten eleven")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in corpus.boilerplate_chunk_scrub(df, chunk_words=4).collect()}
+    # rebuild normalizes whitespace/case (the same normalization every text
+    # operator applies), nothing else
+    assert out[1].cleaned_text == "one two three four five"
+    assert out[2].cleaned_text == "six seven eight nine ten eleven"
+
+
+def test_shard_assign_stable_and_uniform(spark):
+    df = spark.range(0, 10000).select(F.col("id").alias("doc_id"))
+    sharded = corpus.shard_assign(df, "doc_id", 16)
+    counts = {r.shard_id: r.c for r in sharded.groupBy("shard_id").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert set(counts) == set(range(16))
+    assert max(counts.values()) < 2 * min(counts.values())
+    # stability: a doc's shard doesn't depend on which other docs are present
+    sub = corpus.shard_assign(df.where(F.col("doc_id") < 100), "doc_id", 16)
+    full = {r.doc_id: r.shard_id for r in sharded.where(F.col("doc_id") < 100).collect()}
+    assert {r.doc_id: r.shard_id for r in sub.collect()} == full
+
+
+def test_shard_assign_partitioned_write_layout(spark, tmp_path):
+    """End-to-end export: partitionBy(shard_id) produces one directory per
+    shard whose files contain exactly that shard's docs."""
+    df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    sharded = corpus.shard_assign(df, "doc_id", 8)
+    path = str(tmp_path / "export")
+    sharded.write.partitionBy("shard_id").parquet(path)
+    back = spark.read.parquet(path)
+    assert back.count() == 500
+    reassigned = corpus.shard_assign(back.drop("shard_id"), "doc_id", 8)
+    mismatch = (
+        back.select("doc_id", F.col("shard_id").cast("int").alias("disk_shard"))
+        .join(reassigned.withColumnRenamed("shard_id", "calc_shard"), "doc_id")
+        .where(F.col("disk_shard") != F.col("calc_shard"))
+    )
+    assert mismatch.count() == 0
