@@ -54,36 +54,44 @@ def approx_quantiles_by(
     )
 
 
+def _cms_buckets(value, depth: int, width: int):
+    """The ``depth`` CMS bucket ids of one value as an array: disjoint 32-bit
+    slices of a SINGLE md5, mod width (Kirsch-Mitzenmacher double-hashing —
+    the same one-digest-many-hashes trick ``dedup.minhash_signatures`` uses).
+    One md5 per row instead of one per (row, seed): 4× less hashing on the
+    hot leaf, and the DuckDB mirror is
+    ``('0x' || substr(md5(v), 1 + 8*seed, 8))::BIGINT % width``."""
+    from iceberg_ingestion_spark.operators.text import hex_to_long
+
+    if depth > 4:
+        raise ValueError("depth > 4 would exceed md5's 32 hex chars")
+    h = F.md5(value.cast("string"))
+    return F.array(*[hex_to_long(h, 1 + 8 * i, 8) % width for i in range(depth)])
+
+
 def count_min_table(
     df: DataFrame, value_col: str, depth: int = 4, width: int = 512
 ) -> DataFrame:
     """Count-Min sketch of a value column as a RELATION: ``(seed, bucket,
     cnt)`` with ``depth × width`` cells total, regardless of corpus size.
 
-    The d hash rows are md5-derived (``md5(seed || ':' || value)`` → 60-bit
-    int mod width), so any engine — including the DuckDB oracle — computes the
-    identical sketch; no engine-private hash in the contract. Plan: a
-    ``depth``-way explode then ONE aggregation whose key space is the d·w cell
-    grid — partial (map-side) aggregation collapses each task's contribution
-    to at most d·w rows before the shuffle, so shuffle volume is
+    The d hash rows are md5-derived (see :func:`_cms_buckets`), so any engine
+    — including the DuckDB oracle — computes the identical sketch; no
+    engine-private hash in the contract. Plan: one md5 + ``depth``-way
+    posexplode of small ints, then ONE aggregation whose key space is the d·w
+    cell grid — partial (map-side) aggregation collapses each task's
+    contribution to at most d·w rows before the shuffle, so shuffle volume is
     O(tasks · d · w), independent of row count. This is the 100 TB answer to
     per-key exact counts when the key space itself is too large to shuffle
     (heavy_hitters_exact needs 1/min_fraction candidates; CMS has no support
     floor).
     """
-    from iceberg_ingestion_spark.operators.text import hex_to_long
-
-    seeds = F.array(*[F.lit(i) for i in range(depth)])
-    cell = df.select(
-        F.explode(seeds).alias("seed"), F.col(value_col).cast("string").alias("_v")
+    cells = df.select(
+        F.posexplode(_cms_buckets(F.col(value_col), depth, width)).alias(
+            "seed", "bucket"
+        )
     )
-    bucket = (
-        hex_to_long(F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("_v"))))
-        % width
-    )
-    return cell.groupBy("seed", bucket.alias("bucket")).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    return cells.groupBy("seed", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
 
 
 def count_min_estimate(
@@ -98,15 +106,11 @@ def count_min_estimate(
     always, and est <= true + ε·N with probability 1-δ (ε = e/width,
     δ = e^-depth) — both checked in-query by the driver entry.
     """
-    from iceberg_ingestion_spark.operators.text import hex_to_long
-
-    seeds = F.array(*[F.lit(i) for i in range(depth)])
     probe_cells = probes.select(
-        F.col(value_col).cast("string").alias("_v"), F.explode(seeds).alias("seed")
-    ).withColumn(
-        "bucket",
-        hex_to_long(F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("_v"))))
-        % width,
+        F.col(value_col).cast("string").alias("_v"),
+        F.posexplode(_cms_buckets(F.col(value_col), depth, width)).alias(
+            "seed", "bucket"
+        ),
     )
     joined = probe_cells.join(F.broadcast(cms), ["seed", "bucket"])
     return joined.groupBy(F.col("_v").alias("value")).agg(

@@ -772,10 +772,15 @@ def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     The sketch is md5-derived, so the oracle RECOMPUTES it — the booleans are
     genuinely cross-checked, not asserted TRUE."""
     from iceberg_ingestion_spark.operators import sketches
+    from iceberg_ingestion_spark.session import default_parallelism
 
     l = read_table(spark, sf_dir, "lineitem")
     probes_filter = F.col("l_suppkey") % CMS_PROBE_MOD == 0
-    cms = sketches.count_min_table(l, "l_suppkey", CMS_DEPTH, CMS_WIDTH)
+    # spread ONLY the projected key column into the sketch build (the
+    # md5-per-row hot leaf; the driver parquet is one row group, so the scan
+    # alone runs ~3-wide) — the cheap exact/probe/total legs stay on the scan
+    l_key = l.select("l_suppkey").repartition(default_parallelism())
+    cms = sketches.count_min_table(l_key, "l_suppkey", CMS_DEPTH, CMS_WIDTH)
     probes = l.where(probes_filter).select("l_suppkey").distinct()
     est = sketches.count_min_estimate(cms, probes, "l_suppkey", CMS_DEPTH, CMS_WIDTH)
     exact = (
@@ -792,6 +797,56 @@ def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (F.col("est_cnt") - F.col("exact_cnt")) <= F.lit(CMS_EPS) * F.col("_n")
         ).alias("within_eps"),
+    )
+
+
+def q_dedup_semantic_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup at scale: cosine threshold-pairs restricted to
+    same-k-means-cell candidates — O(Σ cell²) work instead of O(n²), the
+    standard embedding-dedup blocking scheme (SemDeDup-style). Emits one row
+    comparing the blocked pair count against the exact all-pairs count with
+    the recall in-query; the oracle RECOMPUTES both sides (cell assignment is
+    deterministic SQL), so every number is genuinely cross-checked.
+
+    Blocked ⊆ exact by construction (same fold, same threshold), so recall is
+    a plain count ratio. At 100 TB: assignment is a broadcast-codebook map
+    pass; the pair join is an equi-join on cell id (shuffle keyed by cell),
+    never a cross join; k scales with corpus size to bound cell quadratic."""
+    from iceberg_ingestion_spark.operators import clustering
+
+    e = read_table(spark, sf_dir, "embeddings", spread=True)
+    cents = clustering.hash_spread_centroids(e, "vec_id", "embedding", KMEANS_K)
+    assign = clustering.assign_nearest(e, cents, "vec_id", "embedding", EMBED_DIM).select(
+        "vec_id", "cluster_id"
+    )
+    pre = similarity.with_self_dot(e, "vec_id", "embedding", EMBED_DIM).join(
+        assign, "vec_id"
+    )
+    a = pre.select(
+        F.col("vec_id").alias("id_1"), F.col("v").alias("v1"),
+        F.col("norm2").alias("n1"), "cluster_id",
+    )
+    b = pre.select(
+        F.col("vec_id").alias("id_2"), F.col("v").alias("v2"),
+        F.col("norm2").alias("n2"), "cluster_id",
+    )
+    sim = similarity.dot(F.col("v1"), F.col("v2"), EMBED_DIM) / F.sqrt(
+        F.col("n1") * F.col("n2")
+    )
+    blocked = (
+        a.join(b, "cluster_id")
+        .where(F.col("id_1") < F.col("id_2"))
+        .where(sim >= COSINE_THRESHOLD)
+        .agg(F.count(F.lit(1)).alias("n_blocked_pairs"))
+    )
+    exact = (
+        similarity.cosine_pairs_blocked(e, "vec_id", "embedding", EMBED_DIM, COSINE_THRESHOLD)
+        .agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    )
+    return exact.crossJoin(F.broadcast(blocked)).select(
+        "n_exact_pairs",
+        "n_blocked_pairs",
+        (F.col("n_blocked_pairs") / F.col("n_exact_pairs")).alias("recall"),
     )
 
 
@@ -885,6 +940,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_boilerplate_scrub": q_text_boilerplate_scrub,
     "sketch_count_min": q_sketch_count_min,  # md5-CMS: oracle recomputes the sketch
     "embedding_kmeans_assign": q_embedding_kmeans_assign,
+    "dedup_semantic_blocked": q_dedup_semantic_blocked,  # oracle recomputes both sides
 }
 
 _TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
@@ -1524,8 +1580,9 @@ WHERE p.event_type = 'click'
         WITH seeds AS (SELECT unnest(range({CMS_DEPTH})) AS seed),
         cells AS (
             SELECT seed,
-                   ('0x' || substr(md5(seed::VARCHAR || ':' || l_suppkey::VARCHAR),
-                                   1, 15))::BIGINT % {CMS_WIDTH} AS bucket
+                   ('0x' || substr(md5(l_suppkey::VARCHAR),
+                                   CAST(1 + 8 * seed AS INT), 8))::BIGINT
+                       % {CMS_WIDTH} AS bucket
             FROM lineitem CROSS JOIN seeds
         ),
         cms AS (SELECT seed, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
@@ -1535,8 +1592,9 @@ WHERE p.event_type = 'click'
         ),
         pc AS (
             SELECT l_suppkey, seed,
-                   ('0x' || substr(md5(seed::VARCHAR || ':' || l_suppkey::VARCHAR),
-                                   1, 15))::BIGINT % {CMS_WIDTH} AS bucket
+                   ('0x' || substr(md5(l_suppkey::VARCHAR),
+                                   CAST(1 + 8 * seed AS INT), 8))::BIGINT
+                       % {CMS_WIDTH} AS bucket
             FROM probes CROSS JOIN seeds
         ),
         est AS (
@@ -1552,6 +1610,39 @@ WHERE p.event_type = 'click'
                est_cnt - exact_cnt <= {CMS_EPS!r} * t.n AS within_eps
         FROM est JOIN exact USING (value)
         CROSS JOIN (SELECT count(*) AS n FROM lineitem) t
+    """,
+    "dedup_semantic_blocked": f"""
+        WITH cents AS (
+            SELECT vec_id AS cluster_id, embedding AS c
+            FROM embeddings
+            ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {KMEANS_K}
+        ),
+        pairs AS (
+            SELECT e.vec_id, cluster_id, {_sqdist_sql('e.embedding', 'c')} AS sq_dist
+            FROM embeddings e CROSS JOIN cents
+        ),
+        assign AS (
+            SELECT vec_id, cluster_id FROM pairs
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY sq_dist, cluster_id) = 1
+        ),
+        exact AS (
+            SELECT count(*) AS c
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= {COSINE_THRESHOLD}
+        ),
+        blocked AS (
+            SELECT count(*) AS c
+            FROM embeddings a
+            JOIN assign sa ON sa.vec_id = a.vec_id
+            JOIN assign sb ON sa.cluster_id = sb.cluster_id
+            JOIN embeddings b ON b.vec_id = sb.vec_id AND a.vec_id < b.vec_id
+            WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= {COSINE_THRESHOLD}
+        )
+        SELECT CAST(exact.c AS BIGINT) AS n_exact_pairs,
+               CAST(blocked.c AS BIGINT) AS n_blocked_pairs,
+               blocked.c * 1.0 / exact.c AS recall
+        FROM exact CROSS JOIN blocked
     """,
     "embedding_kmeans_assign": f"""
         WITH cents AS (

@@ -394,6 +394,31 @@ def main() -> int:
     # Corpus-trained bigram features: two corpus-sized shuffles + one join;
     # zipf head absorbed by map-side partial aggregation. ~linear.
     bench("bigram_corpus_features", text.bigram_corpus_features(docs))
+    # Boilerplate scrub: chunk explode (|tokens|/4 rows) -> chunk-df groupBy
+    # -> join -> per-doc rebuild. Three uniform-keyed shuffles, ~linear.
+    bench(
+        "boilerplate_chunk_scrub",
+        corpus_ops.boilerplate_chunk_scrub(docs, chunk_words=4),
+    )
+    # Count-Min: shuffle volume is bounded by tasks x d x w regardless of
+    # corpus size (map-side partial agg) -> should be flat-per-row linear scan.
+    from iceberg_ingestion_spark.operators import sketches as sk_ops
+
+    def cms_fn():
+        cms = sk_ops.count_min_table(orders, "o_custkey")
+        probes = orders.select("o_custkey").where(F.col("o_custkey") % 19 == 0).distinct()
+        return sk_ops.count_min_estimate(cms, probes, "o_custkey")
+
+    bench("count_min (build+probe)", cms_fn())
+    # k-means assignment: broadcast codebook, map-side distance folds, one
+    # uniform groupBy — linear in vectors, independent of k's shuffle cost.
+    from iceberg_ingestion_spark.operators import clustering as cl_ops
+
+    km_cents = cl_ops.hash_spread_centroids(vecs, "vec_id", "embedding", 8)
+    bench(
+        "kmeans_assign (k=8)",
+        cl_ops.assign_nearest(vecs, km_cents, "vec_id", "embedding", 64),
+    )
     # Time-series paths on a user-blown-up event stream (users scale with
     # mult, per-user span fixed at 30 days): resample explodes Σ span/bucket
     # rows — linear in users; anomaly is two keyed aggregations.
