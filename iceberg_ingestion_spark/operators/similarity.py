@@ -185,6 +185,88 @@ def cosine_pairs_blocked(
     return pairs.mapInPandas(kernel, schema="id_1 long, id_2 long, cosine double")
 
 
+def cosine_pairs_grouped(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float,
+    group_col: str,
+    block_size: int = 256,
+) -> DataFrame:
+    """Cosine threshold-pairs restricted to SAME-GROUP candidates (the
+    blocking step of semantic dedup: group = k-means cell, near-dup cluster,
+    language, …). Work is O(Σ n_g²) instead of O(n²).
+
+    Same tiled-numpy execution as :func:`cosine_pairs_blocked` (kernel kept
+    textually separate on purpose — that function is the byte-frozen oracle
+    baseline of a green driver entry): each group is hash-tiled into
+    ~``block_size`` sub-blocks sized from the group's own row count (one tiny
+    broadcast of per-group sizes), so a single huge group can never exceed a
+    task's memory; the accumulation runs in ascending dimension order —
+    bit-identical to the SQL left fold.
+    """
+    sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    n_sub = F.greatest(F.lit(1), F.ceil(F.col("_n") / F.lit(block_size)))
+    pre = df.join(F.broadcast(sizes), group_col).select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).cast("long").alias("_id"),
+        as_double(F.col(vec_col)).alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("long")), n_sub).alias("_sb"),
+    )
+    packed = (
+        pre.groupBy("_g", "_sb")
+        .agg(F.collect_list(F.struct("_id", "_v")).alias("rows"))
+        .select(
+            "_g",
+            "_sb",
+            F.col("rows").getField("_id").alias("ids"),
+            F.col("rows").getField("_v").alias("vecs"),
+        )
+    )
+    a, b = packed.alias("a"), packed.alias("b")
+    pairs = (
+        a.join(b, (F.col("a._g") == F.col("b._g")) & (F.col("a._sb") <= F.col("b._sb")))
+        .select(
+            (F.col("a._sb") == F.col("b._sb")).alias("same_block"),
+            F.col("a.ids").alias("ids_a"),
+            F.col("a.vecs").alias("vecs_a"),
+            F.col("b.ids").alias("ids_b"),
+            F.col("b.vecs").alias("vecs_b"),
+        )
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                ids_a = np.asarray(row.ids_a, dtype=np.int64)
+                ids_b = np.asarray(row.ids_b, dtype=np.int64)
+                A = np.array([np.asarray(v, dtype=np.float64) for v in row.vecs_a])
+                B = np.array([np.asarray(v, dtype=np.float64) for v in row.vecs_b])
+                # ascending-dim accumulation == SQL left fold, bit-identical
+                na = A[:, 0] * A[:, 0]
+                nb = B[:, 0] * B[:, 0]
+                acc = np.multiply.outer(A[:, 0], B[:, 0])
+                for i in range(1, dim):
+                    na = na + A[:, i] * A[:, i]
+                    nb = nb + B[:, i] * B[:, i]
+                    acc = acc + np.multiply.outer(A[:, i], B[:, i])
+                cos = acc / np.sqrt(np.multiply.outer(na, nb))
+                mask = cos >= threshold
+                if row.same_block:
+                    mask &= ids_a[:, None] < ids_b[None, :]
+                xi, yi = np.nonzero(mask)
+                i1, i2 = ids_a[xi], ids_b[yi]
+                lo = np.minimum(i1, i2)
+                hi = np.maximum(i1, i2)
+                yield pd.DataFrame({"id_1": lo, "id_2": hi, "cosine": cos[xi, yi]})
+
+    return pairs.mapInPandas(kernel, schema="id_1 long, id_2 long, cosine double")
+
+
 def pack_vectors(
     df: DataFrame,
     id_col: str,

@@ -819,26 +819,10 @@ def q_dedup_semantic_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = clustering.assign_nearest(e, cents, "vec_id", "embedding", EMBED_DIM).select(
         "vec_id", "cluster_id"
     )
-    pre = similarity.with_self_dot(e, "vec_id", "embedding", EMBED_DIM).join(
-        assign, "vec_id"
-    )
-    a = pre.select(
-        F.col("vec_id").alias("id_1"), F.col("v").alias("v1"),
-        F.col("norm2").alias("n1"), "cluster_id",
-    )
-    b = pre.select(
-        F.col("vec_id").alias("id_2"), F.col("v").alias("v2"),
-        F.col("norm2").alias("n2"), "cluster_id",
-    )
-    sim = similarity.dot(F.col("v1"), F.col("v2"), EMBED_DIM) / F.sqrt(
-        F.col("n1") * F.col("n2")
-    )
-    blocked = (
-        a.join(b, "cluster_id")
-        .where(F.col("id_1") < F.col("id_2"))
-        .where(sim >= COSINE_THRESHOLD)
-        .agg(F.count(F.lit(1)).alias("n_blocked_pairs"))
-    )
+    blocked = similarity.cosine_pairs_grouped(
+        e.join(assign, "vec_id"), "vec_id", "embedding", EMBED_DIM,
+        COSINE_THRESHOLD, "cluster_id",
+    ).agg(F.count(F.lit(1)).alias("n_blocked_pairs"))
     exact = (
         similarity.cosine_pairs_blocked(e, "vec_id", "embedding", EMBED_DIM, COSINE_THRESHOLD)
         .agg(F.count(F.lit(1)).alias("n_exact_pairs"))

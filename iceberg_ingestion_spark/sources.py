@@ -46,6 +46,51 @@ def read_snapshot(spark: SparkSession, path: str, lowercase_columns: bool = Fals
     return normalize_columns_lower(df) if lowercase_columns else df
 
 
+def read_jsonl(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """JSONL (one JSON object per line) corpus read — the interchange format
+    most training-data tooling emits/consumes. Pass an explicit DDL ``schema``
+    in production: schema inference over JSON is a FULL extra pass over the
+    data (at 100 TB that is a second 100 TB scan), and silently widens types
+    on dirty input. Permissive mode with a ``_corrupt_record`` column is the
+    contract: malformed lines land there instead of failing the job, so the
+    caller can route them to quarantine (``WHERE _corrupt_record IS NOT
+    NULL``) — the same fail-soft posture as the NULL-text kernels."""
+    if schema is None:
+        # inference path (dev/exploration only — see docstring)
+        return spark.read.option("mode", "PERMISSIVE").json(path)
+    # text + from_json instead of spark.read.json: identical PERMISSIVE
+    # semantics, but corrupt-record queries are fully plannable — the raw
+    # JSON reader rejects any plan whose pruned schema is corrupt-only
+    # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), which would
+    # make the quarantine count itself illegal. Partition-directory columns
+    # survive (text is a normal file source with partition discovery).
+    from pyspark.sql import functions as F
+
+    raw = spark.read.text(path)
+    part_cols = [c for c in raw.columns if c != "value"]
+    parsed = F.from_json(
+        F.col("value"),
+        f"{schema}, _corrupt_record string",
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    return raw.select(parsed.alias("_r"), *part_cols).select("_r.*", *part_cols)
+
+
+def write_jsonl(
+    df: DataFrame, path: str, partition_cols: tuple[str, ...] = ()
+) -> None:
+    """JSONL training-export: one JSON object per line, optionally
+    hive-partitioned (pair with ``corpus.shard_assign`` for stable shard
+    dirs). Compression stays off by default — training loaders stream-seek
+    into shards, and gzip would serialize each file's read."""
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.json(path)
+
+
 @dataclass(frozen=True)
 class SourceConfig:
     """Static per-source config, replacing the reference's abstract-method

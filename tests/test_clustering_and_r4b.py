@@ -206,3 +206,112 @@ def test_shard_assign_partitioned_write_layout(spark, tmp_path):
         .where(F.col("disk_shard") != F.col("calc_shard"))
     )
     assert mismatch.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# JSONL export / source round-trip
+# ---------------------------------------------------------------------------
+
+
+def test_jsonl_roundtrip_with_shards(spark, tmp_path):
+    from iceberg_ingestion_spark.sources import read_jsonl, write_jsonl
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sharded = corpus.shard_assign(docs, "doc_id", 4)
+    path = str(tmp_path / "export")
+    write_jsonl(sharded, path, partition_cols=("shard_id",))
+    back = read_jsonl(
+        spark, path, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    assert back.count() == docs.count()
+    assert back.where(F.col("_corrupt_record").isNotNull()).select(
+        "doc_id", "_corrupt_record"
+    ).count() == 0
+    # full content fidelity through the JSON round-trip
+    orig = {(r.doc_id, r.text, r.lang) for r in docs.collect()}
+    got = {(r.doc_id, r.text, r.lang) for r in back.collect()}
+    assert got == orig
+
+
+def test_jsonl_corrupt_lines_are_quarantined_not_fatal(spark, tmp_path):
+    from iceberg_ingestion_spark.sources import read_jsonl
+
+    p = tmp_path / "feed"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"doc_id": 1, "text": "ok"}\n'
+        'NOT JSON AT ALL\n'
+        '{"doc_id": 2, "text": "also ok"}\n'
+    )
+    df = read_jsonl(spark, str(p), "doc_id bigint, text string")
+    assert df.count() == 3
+    # quarantine projection keeps a data column (Spark rejects corrupt-only
+    # schemas — see read_jsonl docstring)
+    quarantined = df.where(F.col("_corrupt_record").isNotNull()).select(
+        "doc_id", "_corrupt_record"
+    )
+    assert quarantined.count() == 1
+    clean = df.where(F.col("_corrupt_record").isNull())
+    assert clean.count() == 2
+    assert {r.doc_id for r in clean.select("doc_id").collect()} == {1, 2}
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus-prep pipeline: scrub -> dedup -> mix -> pack -> shard ->
+# JSONL export (the full pre-tokenization path on real testdata)
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_prep_pipeline_end_to_end(spark, tmp_path):
+    from iceberg_ingestion_spark.operators import dedup, text
+    from iceberg_ingestion_spark.sources import read_jsonl, write_jsonl
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_in = docs.count()
+
+    # 1. corpus-level boilerplate scrub (keep every doc row, text rewritten)
+    scrubbed = corpus.boilerplate_chunk_scrub(docs, chunk_words=4, min_docs=2)
+    cleaned = scrubbed.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", F.col("cleaned_text").alias("text"), "lang"
+    )
+    assert cleaned.count() == n_in
+
+    # 2. exact dedup on the CLEANED text (scrubbing can create new exact dups)
+    keep = dedup.duplicate_groups(
+        cleaned.where(F.col("text") != ""), "doc_id",
+        text.fingerprint_md5("text"), min_count=1,
+    ).select(F.col("keep_id").alias("doc_id"))
+    deduped = cleaned.join(keep, "doc_id")
+    n_dedup = deduped.count()
+    assert 0 < n_dedup <= n_in
+
+    # 3. deterministic language mix
+    mixed = corpus.weighted_mix(
+        deduped, "lang", {"en": 1.0, "de": 1.0, "fr": 0.5, "es": 0.5, "zh": 0.5}
+    )
+    n_mixed = mixed.count()
+    assert 0 < n_mixed <= n_dedup
+
+    # 4. pack into token-budget sequences, then shard + export
+    packed = corpus.pack_sequences(
+        mixed, "lang", text.token_count_ws("text").cast("long"), budget=512
+    )
+    sharded = corpus.shard_assign(packed, "doc_id", 4)
+    out = str(tmp_path / "train")
+    write_jsonl(
+        sharded.select("doc_id", "text", "lang", "shard", "seq_index", "shard_id"),
+        out, partition_cols=("shard_id",),
+    )
+    back = read_jsonl(
+        spark, out,
+        "doc_id bigint, text string, lang string, shard int, seq_index bigint",
+    )
+    assert back.count() == n_mixed
+    assert back.where(F.col("_corrupt_record").isNotNull()).count() == 0
+    # determinism end to end: rerunning the pipeline reproduces the exact id set
+    rerun = corpus.weighted_mix(
+        deduped, "lang", {"en": 1.0, "de": 1.0, "fr": 0.5, "es": 0.5, "zh": 0.5}
+    )
+    assert {r.doc_id for r in rerun.select("doc_id").collect()} == {
+        r.doc_id for r in back.select("doc_id").collect()
+    }
