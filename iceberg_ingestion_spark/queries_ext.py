@@ -800,6 +800,41 @@ def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_token_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-threshold quality filter: keep documents whose token count is
+    >= the corpus p50, reporting per-language total/kept counts plus the
+    threshold used. The threshold is PERCENTILE_DISC (smallest value whose
+    cumulative count reaches ceil(N/2)) — rank counting, no float
+    interpolation, so DuckDB computes the identical integer.
+
+    Scale shape: the cumulative runs over the (value, count) relation, which
+    is bounded by the token-count VALUE SPACE (hundreds of distinct values at
+    any corpus size), never the corpus — the only corpus-sized ops are one
+    groupBy(nt) and the final per-lang aggregate; the one-row threshold is
+    broadcast into it. No corpus-wide global window, no sort."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    t = d.select("doc_id", "lang", text.token_count_ws("text").alias("nt"))
+    counts = t.groupBy("nt").agg(F.count(F.lit(1)).alias("_c"))
+    total = t.agg(F.count(F.lit(1)).alias("_n"))
+    # window over the value-space-bounded counts relation (empty partitionBy
+    # is safe here by construction — see docstring)
+    w = Window.orderBy("nt").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select("nt", F.sum("_c").over(w).alias("_cum")).crossJoin(
+        F.broadcast(total)
+    )
+    thr = cum.where(F.col("_cum") >= F.ceil(F.col("_n") * 0.5)).agg(
+        F.min("nt").alias("threshold")
+    )
+    return t.crossJoin(F.broadcast(thr)).groupBy("lang", "threshold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("nt") >= F.col("threshold")).cast("int")).cast("long").alias(
+            "n_kept"
+        ),
+    ).select("lang", "n_docs", "n_kept", "threshold")
+
+
 def q_dedup_semantic_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup at scale: cosine threshold-pairs restricted to
     same-k-means-cell candidates — O(Σ cell²) work instead of O(n²), the
@@ -925,6 +960,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_count_min": q_sketch_count_min,  # md5-CMS: oracle recomputes the sketch
     "embedding_kmeans_assign": q_embedding_kmeans_assign,
     "dedup_semantic_blocked": q_dedup_semantic_blocked,  # oracle recomputes both sides
+    "text_token_quantile_filter": q_text_token_quantile_filter,
 }
 
 _TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
@@ -1594,6 +1630,24 @@ WHERE p.event_type = 'click'
                est_cnt - exact_cnt <= {CMS_EPS!r} * t.n AS within_eps
         FROM est JOIN exact USING (value)
         CROSS JOIN (SELECT count(*) AS n FROM lineitem) t
+    """,
+    "text_token_quantile_filter": f"""
+        WITH t AS (SELECT doc_id, lang, len({_TOKS}) AS nt FROM documents),
+        tot AS (SELECT count(*) AS n FROM t),
+        cum AS (
+            SELECT nt, sum(count(*)) OVER (ORDER BY nt
+                       ROWS UNBOUNDED PRECEDING) AS c
+            FROM t GROUP BY nt
+        ),
+        thr AS (
+            SELECT min(nt) AS threshold FROM cum CROSS JOIN tot
+            WHERE c >= ceil(n * 0.5)
+        )
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(CASE WHEN nt >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               threshold
+        FROM t CROSS JOIN thr GROUP BY lang, threshold
     """,
     "dedup_semantic_blocked": f"""
         WITH cents AS (
