@@ -315,3 +315,55 @@ def test_corpus_prep_pipeline_end_to_end(spark, tmp_path):
     assert {r.doc_id for r in rerun.select("doc_id").collect()} == {
         r.doc_id for r in back.select("doc_id").collect()
     }
+
+
+# ---------------------------------------------------------------------------
+# streaming CMS maintenance
+# ---------------------------------------------------------------------------
+
+
+def test_stream_count_min_split_equals_batch(spark, tmp_path):
+    """CMS cell addition is associative+commutative, so a stream split into
+    two arbitrary drops folds to the EXACT sketch a single batch pass builds
+    — and estimates from the streamed sketch inherit the batch guarantees."""
+    import os
+
+    from iceberg_ingestion_spark.sinks import ParquetVersionedSink
+    from iceberg_ingestion_spark.streaming.sketch_stream import (
+        stream_count_min_maintenance,
+    )
+
+    base = spark.range(0, 3000).select("id", (F.col("id") % 97).alias("k"))
+    full = base.select("k")
+    d1 = base.where(F.col("id") % 3 != 0).select("k")
+    d2 = base.where(F.col("id") % 3 == 0).select("k")
+    in_dir, ckpt, wh = (str(tmp_path / d) for d in ("in", "ckpt", "wh"))
+    os.makedirs(in_dir)
+    sink = ParquetVersionedSink(spark, wh)
+    d1.coalesce(1).write.mode("append").parquet(in_dir)
+    schema = spark.read.parquet(in_dir).schema
+
+    def run():
+        q = stream_count_min_maintenance(
+            spark, in_dir, schema, sink, "db.cms", "k", checkpoint_dir=ckpt
+        )
+        q.awaitTermination(120)
+
+    run()
+    d2.coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+
+    streamed = {
+        (r.seed, r.bucket): r.cnt for r in sink.read("db.cms").collect()
+    }
+    batch = {
+        (r.seed, r.bucket): r.cnt
+        for r in sketches.count_min_table(full, "k").collect()
+    }
+    assert streamed == batch
+    # estimates from the streamed sketch: never underestimate
+    est = sketches.count_min_estimate(
+        sink.read("db.cms"), full.select("k").distinct(), "k"
+    )
+    exact = {r.value: r.c for r in full.groupBy(F.col("k").cast("string").alias("value")).agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert all(r.est_cnt >= exact[r.value] for r in est.collect())
