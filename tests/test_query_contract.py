@@ -66,6 +66,17 @@ def test_no_unbounded_nested_loop_joins(spark):
         # whole per-key aggregate through one task
         "q15_top_supplier",
         "q11_important_parts",
+        # r4 continuation: broadcast 1-row aggregates (corpus total / CMS N /
+        # pair counts / p50 threshold) — every BNLJ side is exactly one row
+        "corpus_shard_stats",
+        "sketch_count_min",
+        "text_token_quantile_filter",
+        # r4 continuation: broadcast k=8 codebook into the assignment pass
+        # (nearest-centroid candidates ARE vectors x codebook by design);
+        # dedup_semantic_blocked additionally carries the labeled O(n^2)
+        # exact baseline for its in-query recall check
+        "embedding_kmeans_assign",
+        "dedup_semantic_blocked",
     }
     offenders = []
     for name, fn in entry_mod.queries().items():
