@@ -37,6 +37,39 @@ def bucket_of(ts_us: Column | str, bucket_us: int) -> Column:
     return (c - F.pmod(c, F.lit(bucket_us))) / F.lit(bucket_us)
 
 
+def rolling_bucket_counts(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_us_col: str,
+    bucket_us: int = DAY_US,
+    window_buckets: int = 7,
+) -> DataFrame:
+    """Per-(key, bucket) event count plus the rolling sum over the trailing
+    ``window_buckets`` buckets, using a RANGE frame on the bucket index.
+
+    RANGE (value-based), not ROWS, is the point: with gaps in a key's
+    activity a ROWS frame silently widens the trailing TIME span to whatever
+    the last N occupied buckets cover; the RANGE frame keeps the window a
+    fixed ``window_buckets`` time units regardless of gaps — the correct
+    "events in the last 7 days" semantics.
+
+    Plan: one aggregation keyed by (key, bucket) — uniform — then a per-key
+    window over the (tiny) per-key daily relation: partitions are bounded by
+    each key's active-day count, never the corpus. Counts are integers, so
+    the rolling sums are cross-engine exact.
+    """
+    bucket = bucket_of(F.col(ts_us_col), bucket_us).cast("long").alias("bucket")
+    daily = df.select(*key_cols, bucket).groupBy(*key_cols, "bucket").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket")
+        .rangeBetween(-(window_buckets - 1), 0)
+    )
+    return daily.withColumn("n_rolling", F.sum("n_events").over(w))
+
+
 def resample_locf(
     df: DataFrame,
     key_cols: list[str],

@@ -460,6 +460,24 @@ def q_events_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROLLING_DAYS = 7
+
+
+def q_events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily event counts with a trailing-7-day rolling total via a
+    RANGE frame on the day index — value-based framing, so activity gaps
+    never silently widen the time span the way a ROWS frame would. Window
+    partitions are per-key daily relations (bounded by active days), never
+    the corpus; counts are integers, so the rolling sums are cross-engine
+    exact."""
+    from iceberg_ingestion_spark.operators.timeseries import rolling_bucket_counts
+
+    ev = read_events_us(spark, sf_dir)
+    return rolling_bucket_counts(
+        ev, ["user_id"], "ts_us", bucket_us=TS_BUCKET_US, window_buckets=ROLLING_DAYS
+    )
+
+
 def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user time-weighted average of ``value`` (step-function semantics,
     exact decimal·µs weighted sum, one double division at the end)."""
@@ -935,6 +953,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_interval_join": q_events_interval_join,
     "events_gap_fill": q_events_gap_fill,
     "events_anomaly_daily": q_events_anomaly_daily,
+    "events_rolling_7d": q_events_rolling_7d,
     "events_twap": q_events_twap,
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
@@ -1311,6 +1330,18 @@ WHERE p.event_type = 'click'
                     / count(*) OVER w) AS is_anomaly
         FROM counts
         WINDOW w AS (PARTITION BY user_id)
+    """,
+    "events_rolling_7d": f"""
+        WITH daily AS (
+            SELECT user_id, epoch_us(ts) // {TS_BUCKET_US} AS bucket,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        )
+        SELECT user_id, bucket, n_events,
+               CAST(sum(n_events) OVER (PARTITION BY user_id ORDER BY bucket
+                        RANGE BETWEEN {ROLLING_DAYS - 1} PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS n_rolling
+        FROM daily
     """,
     "funnel_conversion": """
         WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),

@@ -178,3 +178,81 @@ def test_two_sided_join_ivm_property(spark, f1, f2, s1, s2):
     got = {r.seg: (r.total, r.n_rows) for r in maintained.collect()}
     want = {r.seg: (r.total, r.n_rows) for r in rollup(r2, d2).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r4-continuation operator properties: CMS and boilerplate scrub
+# ---------------------------------------------------------------------------
+
+values = st.lists(
+    st.integers(min_value=0, max_value=30), min_size=1, max_size=60
+)
+
+
+@given(values)
+@PROP_SETTINGS
+def test_property_cms_never_underestimates_and_bounds(spark, vals):
+    """Over arbitrary multisets: CMS point estimates are >= the true count
+    for EVERY key (hard guarantee), and the total overcount mass across all
+    keys is bounded by (depth-weighted) collisions — checked via the sketch's
+    own conservation law: every cell's count equals the sum of the true
+    counts of keys hashing there, so est(k) <= N always."""
+    from collections import Counter
+
+    from iceberg_ingestion_spark.operators.sketches import (
+        count_min_estimate,
+        count_min_table,
+    )
+
+    truth = Counter(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "k int")
+    cms = count_min_table(df, "k", depth=3, width=16)  # narrow: collisions likely
+    est = count_min_estimate(
+        cms, df.select("k").distinct(), "k", depth=3, width=16
+    )
+    rows = {r.value: r.est_cnt for r in est.collect()}
+    n = len(vals)
+    assert set(rows) == {str(k) for k in truth}
+    for k, c in truth.items():
+        assert c <= rows[str(k)] <= n
+
+
+texts = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+        min_size=0, max_size=12,
+    ).map(" ".join),
+    min_size=1, max_size=6,
+)
+
+
+@given(texts)
+@PROP_SETTINGS
+def test_property_boilerplate_scrub_invariants(spark, docs):
+    """Over arbitrary corpora: every doc keeps exactly one output row;
+    0 <= n_removed <= n_chunks; min_docs high enough means identity rebuild
+    (whitespace-normalized); and a doc's surviving chunks appear in original
+    order as a subsequence of its full chunk list."""
+    from iceberg_ingestion_spark.operators.corpus import boilerplate_chunk_scrub
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id int, text string")
+    out = {r.doc_id: r for r in boilerplate_chunk_scrub(df, chunk_words=2, min_docs=2).collect()}
+    assert set(out) == set(range(len(docs)))
+    for i, text_in in enumerate(docs):
+        r = out[i]
+        assert 0 <= r.n_removed <= r.n_chunks
+        toks = text_in.strip().lower().split()
+        chunks = [" ".join(toks[j:j+2]) for j in range(0, len(toks), 2)] or [""]
+        assert r.n_chunks == len(chunks)
+        # surviving text is the in-order concatenation of a subset of chunks
+        kept = r.cleaned_text.split(" ") if r.cleaned_text else []
+        it = iter(" ".join(chunks).split(" ") if any(chunks) else [])
+        assert all(tok in it for tok in kept) or r.cleaned_text == ""
+    # identity when nothing can repeat across docs (min_docs > corpus size)
+    ident = {
+        r.doc_id: r
+        for r in boilerplate_chunk_scrub(df, chunk_words=2, min_docs=len(docs) + 1).collect()
+    }
+    for i, text_in in enumerate(docs):
+        assert ident[i].n_removed == 0
+        assert ident[i].cleaned_text == " ".join(text_in.strip().lower().split())
