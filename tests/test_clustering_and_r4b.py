@@ -367,3 +367,59 @@ def test_stream_count_min_split_equals_batch(spark, tmp_path):
     )
     exact = {r.value: r.c for r in full.groupBy(F.col("k").cast("string").alias("value")).agg(F.count(F.lit(1)).alias("c")).collect()}
     assert all(r.est_cnt >= exact[r.value] for r in est.collect())
+
+
+# ---------------------------------------------------------------------------
+# plan-shape regression pins for the r4-continuation entries
+# ---------------------------------------------------------------------------
+
+
+def _entry_plan(spark, name):
+    import __spark_entry__ as entry_mod
+
+    return entry_mod.queries()[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def _no_python_eval(plan):
+    return not any(s in plan for s in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"))
+
+
+def test_boilerplate_scrub_plan_is_all_jvm_no_global_exchange(spark):
+    """The scrub's claim: higher-order functions only, no Python eval, no
+    single-partition exchange anywhere (all three shuffles are keyed)."""
+    plan = _entry_plan(spark, "text_boilerplate_scrub")
+    assert _no_python_eval(plan)
+    assert "SinglePartition" not in plan
+
+
+def test_rolling_7d_plan_keyed_window_no_global_exchange(spark):
+    plan = _entry_plan(spark, "events_rolling_7d")
+    assert _no_python_eval(plan)
+    assert "SinglePartition" not in plan  # window is per-user, never global
+
+
+def test_cms_plan_prunes_to_key_column_and_broadcasts(spark):
+    """Column pruning must reach the scan (a CMS build that decodes all 16
+    lineitem columns is wrong) and the probe join must broadcast the
+    sketch; the only SinglePartition exchange is the documented 1-row N."""
+    plan = _entry_plan(spark, "sketch_count_min")
+    import re
+
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert all(
+        all(c.startswith("l_suppkey") for c in filter(None, s.split(",")))
+        for s in scans
+    ), scans
+    assert "BroadcastExchange" in plan
+    assert plan.count("SinglePartition") == 1
+    assert _no_python_eval(plan)
+
+
+def test_shard_stats_and_quantile_filter_plans(spark):
+    """Pruned scans; SinglePartition exchanges only for the documented
+    1-row broadcast aggregates (1 for the shard total; 2 for the quantile
+    filter's total + threshold)."""
+    plan = _entry_plan(spark, "corpus_shard_stats")
+    assert _no_python_eval(plan) and plan.count("SinglePartition") == 1
+    plan = _entry_plan(spark, "text_token_quantile_filter")
+    assert _no_python_eval(plan) and plan.count("SinglePartition") == 2
