@@ -103,10 +103,26 @@ def entry(spark: SparkSession) -> DataFrame:
 #: mix_weighted_sample, pack_token_budget, events_interval_join,
 #: sketch_approx_*, decon_benchmark_overlap, sim_ann_topk_bruteforce/_lsh,
 #: dedup_embedding_cosine, and q1-q22 minus q11/q12/q15.
+#: (e) r4 late additions (this continuation): ingest_scd2_history,
+#:     sketch_hll_windowed, events_json_props, dedup_edit_distance — in by
+#:     rule (1). They displace: ingest_snapshot_merge_fused and
+#:     ingest_changelog_versions (the only in-window entries with r3-dated
+#:     driver-green rows — CORRECTNESS_r03 hash_match, functions and oracles
+#:     byte-unchanged since; the merge calculus keeps live in-window coverage
+#:     via the three IVM entries, which run build_changelog + the merge
+#:     calculus end-to-end, and ingest_scd2_history, which runs the same
+#:     fixture history through the version window), validate_bag_diff_identity
+#:     (a strict special case of validate_bag_diff_strictness' r3-green
+#:     bag_diff machinery, pytest-pinned), and dedup_simhash (its entire
+#:     compute path — simhash60 signatures, banding, and the _simhash_sql
+#:     oracle CTE — executes in-window inside dedup_edit_distance's candidate
+#:     stage).
 _PRIORITY = [
     # SURVEY §2 core calculus + validation
-    "ingest_snapshot_merge_fused",
-    "ingest_changelog_versions",
+    "ingest_scd2_history",
+    "sketch_hll_windowed",
+    "events_json_props",
+    "dedup_edit_distance",
     "validate_expectations",
     "layout_zorder_values",
     # NEW in r4, late-session additions (block a)
@@ -152,14 +168,12 @@ _PRIORITY = [
     "text_fingerprint",
     "text_pii_scrub",
     "text_repetition",
-    "dedup_simhash",
     "sim_knn_label_vote",
     "sessionize_stats",
     "sessionize_user_summary",
     "cohort_retention",
     "data_split_counts",
     "multimodal_frame_sample",
-    "validate_bag_diff_identity",
     "q12_return_class_priority",
     "analytics_running_totals",
     "asof_last_click_before_purchase",

@@ -239,3 +239,42 @@ def build_changelog(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFram
         CHANGE_TYPE_COL, ct(CT_UPDATE_AFTER)
     )
     return inserts.unionByName(after).unionByName(before).unionByName(deletes)
+
+
+def scd2_from_history(
+    history: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing dimension from a bag of row versions.
+
+    Input: every version of every row the pipeline has seen — e.g. the first
+    load plus each CDC insert/update image (the same keyed change-set
+    abstraction the merge calculus consumes, reference ``iceberg.py:203-216``;
+    the reference keeps only the latest version, this operator keeps ALL of
+    them with validity ranges, the classic warehouse complement to its
+    type-1 merge). Output: each input row plus
+
+    - ``valid_from`` — the version's own ``ts_col``;
+    - ``valid_to``   — the NEXT version's ``ts_col`` for the key (NULL for
+      the open/current version): half-open ``[valid_from, valid_to)`` ranges
+      that tile each key's timeline with no gaps or overlaps;
+    - ``is_current`` — ``valid_to IS NULL``.
+
+    Scale: one window over the natural keys — a single hash-partition
+    shuffle on the same keys every other calculus stage already uses; each
+    partition holds one key's (small) version list, never the corpus. An
+    as-of probe against the result is a plain range predicate
+    (``valid_from <= t AND (valid_to IS NULL OR t < valid_to)``).
+    """
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    nxt = F.lead(F.col(ts_col)).over(w)
+    return (
+        history.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", nxt)
+        .withColumn("is_current", nxt.isNull())
+    )

@@ -159,3 +159,46 @@ def heavy_hitters_exact(
         .where(F.col("n_rows") >= F.lit(float(min_fraction)) * F.lit(total))
         .orderBy(F.col("n_rows").desc(), "value")
     )
+
+
+def hll_sliding_distinct(
+    df: DataFrame,
+    bucket_col: str,
+    value_col: str,
+    window_buckets: int = 7,
+    lgk: int = 12,
+) -> DataFrame:
+    """Trailing-window distinct counts from MERGEABLE per-bucket HLL sketches.
+
+    The 100 TB pattern this pins: build ONE Datasketches HLL sketch per time
+    bucket (map-side partial agg, constant size per bucket), then answer every
+    trailing ``window_buckets``-bucket question by UNIONING the window's
+    sketches — the raw data is scanned exactly once, and the windowed rollup
+    shuffles only ``n_buckets * window_buckets`` sketch rows of ~``2^lgk``
+    bytes each, independent of event volume or key cardinality. An exact
+    windowed COUNT(DISTINCT) would instead re-shuffle the full (bucket, value)
+    pair set per window.
+
+    ``bucket_col`` must be integral (e.g. a day index). Window anchors are the
+    OBSERVED buckets only: each bucket's sketch contributes to anchors
+    ``[bucket, bucket + window_buckets)``, semi-joined against the observed
+    set. Returns ``(bucket_col, approx_distinct)`` where each row estimates
+    distincts over ``[bucket - window_buckets + 1, bucket]``. Estimates are
+    deterministic for a fixed input (sketch union is commutative), error is
+    the standard HLL bound ~``1.04 / sqrt(2^lgk)`` relative std-dev.
+    """
+    b = F.col(bucket_col)
+    daily = df.groupBy(bucket_col).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lgk)).alias("_sk")
+    )
+    anchors = daily.select(bucket_col)  # groupBy output: already distinct
+    contrib = daily.select(
+        F.explode(F.sequence(b, b + F.lit(window_buckets - 1))).alias(bucket_col),
+        "_sk",
+    )
+    return (
+        contrib.join(anchors, bucket_col, "left_semi")
+        .groupBy(bucket_col)
+        .agg(F.hll_union_agg("_sk").alias("_sk"))
+        .select(bucket_col, F.hll_sketch_estimate("_sk").alias("approx_distinct"))
+    )

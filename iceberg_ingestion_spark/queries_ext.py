@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from iceberg_ingestion_spark import fixtures
 from iceberg_ingestion_spark.operators import (
     corpus,
     dedup,
@@ -927,6 +928,126 @@ def q_multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# r4 late additions: mergeable-sketch windows, SCD2, JSON props, edit-distance
+# ---------------------------------------------------------------------------
+
+#: Datasketches HLL lgConfigK for the windowed entry; relative std-dev is the
+#: standard HLL bound 1.04 / sqrt(2^lgk) (~1.6% at lgk=12).
+HLL_LGK = 12
+HLL_RSD = 1.04 / (2 ** (HLL_LGK / 2))
+
+
+def q_sketch_hll_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day from MERGEABLE per-day HLL
+    sketches (``hll_sketch_agg`` + ``hll_union_agg``): the raw events are
+    scanned once into constant-size daily sketches; every window answer is a
+    union of 7 sketches — at 100 TB the windowed rollup moves kilobytes per
+    day instead of re-shuffling the (day, user) pair set per window.
+
+    Bound-check form (sketch estimates are engine-specific):
+    ``(bucket, exact_users_7d, within_3rsd)`` with the exact windowed
+    distinct computed in-query and the HLL estimate asserted within 3 rsd."""
+    from iceberg_ingestion_spark.operators.sketches import hll_sliding_distinct
+
+    ev = read_events_us(spark, sf_dir).select(
+        F.expr(f"ts_us div {TS_BUCKET_US}").alias("bucket"), "user_id"
+    )
+    approx = hll_sliding_distinct(
+        ev, "bucket", "user_id", window_buckets=ROLLING_DAYS, lgk=HLL_LGK
+    )
+    pairs = ev.distinct()
+    anchors = pairs.select("bucket").distinct()
+    exact = (
+        pairs.select(
+            F.explode(
+                F.sequence(F.col("bucket"), F.col("bucket") + (ROLLING_DAYS - 1))
+            ).alias("bucket"),
+            "user_id",
+        )
+        .join(anchors, "bucket", "left_semi")
+        .groupBy("bucket")
+        .agg(F.countDistinct("user_id").alias("exact_users_7d"))
+    )
+    return approx.join(exact, "bucket").select(
+        "bucket",
+        "exact_users_7d",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_users_7d"))
+            / F.col("exact_users_7d")
+            <= 3 * HLL_RSD
+        ).alias("within_3rsd"),
+    )
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension build over the CDC fixture history: first-load rows
+    plus every CDC insert/update image become validity-ranged versions
+    (half-open [valid_from, valid_to), ``is_current`` on the open one) — the
+    warehouse complement to the reference's keep-latest-only merge
+    (reference ``iceberg.py:203-216`` dedups to rn=1; SCD2 keeps every
+    version). One window over the natural key — the same shuffle key the
+    whole calculus uses."""
+    from iceberg_ingestion_spark.changes import scd2_from_history
+
+    orders = read_table(spark, sf_dir, "orders")
+    day1 = fixtures.orders_day1(orders)
+    cdc_iu = fixtures.orders_cdc(orders).filter(F.col("op") != "D").drop("op")
+    hist = day1.unionByName(cdc_iu)
+    return scd2_from_history(hist, ["o_orderkey"], "o_orderdate").select(
+        *fixtures.ORDERS_COLS, "valid_from", "valid_to", "is_current"
+    )
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull ``$.k`` out of the JSON ``props``
+    column with ``get_json_object`` (JVM-side JSON path, no Python) and
+    aggregate per event type. Integer-only outputs (count/sum/min/max), so
+    values are cross-engine exact."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+#: Edit-similarity threshold for the verified near-dup pairs: distance at
+#: most 1/5 of the longer text (edit similarity >= 0.8).
+EDIT_NUM, EDIT_DEN = 1, 5
+#: Candidate radius for the edit-distance entry. The hamming radius is the
+#: recall/cost knob of the operator: the Levenshtein DP is O(len^2) PER
+#: CANDIDATE, so candidate volume — set by the radius and the corpus's
+#: signature density — is the entire cost model. On this template-generated
+#: corpus simhash signatures concentrate (4.3% of ALL pairs collide within
+#: hamming 4 — organic text is orders of magnitude sparser), so the entry
+#: pins the tight radius; the operator takes any radius.
+EDIT_MAX_HAMMING = 2
+
+
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup dedup: SimHash pigeonhole banding generates
+    the candidate pairs (equi-join, zero false negatives within the hamming
+    radius), then exact Levenshtein verifies edit similarity >= 0.8 on
+    whitespace-normalized text. The quadratic edit-distance kernel only ever
+    touches the banded candidate set — never all pairs."""
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    cand = dedup.simhash_pairs(
+        text.simhash60(d, "doc_id"), "doc_id", max_hamming=EDIT_MAX_HAMMING
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return dedup.edit_distance_pairs(
+        cand, d, "doc_id", norm, max_dist_num=EDIT_NUM, max_dist_den=EDIT_DEN
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry + generated oracles
 # ---------------------------------------------------------------------------
 
@@ -980,6 +1101,10 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_kmeans_assign": q_embedding_kmeans_assign,
     "dedup_semantic_blocked": q_dedup_semantic_blocked,  # oracle recomputes both sides
     "text_token_quantile_filter": q_text_token_quantile_filter,
+    "sketch_hll_windowed": q_sketch_hll_windowed,  # HLL union bound-check
+    "ingest_scd2_history": q_scd2_history,
+    "events_json_props": q_events_json_props,
+    "dedup_edit_distance": q_dedup_edit_distance,
 }
 
 _TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
@@ -1727,5 +1852,70 @@ WHERE p.event_type = 'click'
         FROM pairs
         QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
                                    ORDER BY sq_dist, cluster_id) = 1
+    """,
+    # HLL bound-check: exact windowed distinct recomputed by DuckDB, TRUE for
+    # the in-query 3-rsd boolean (same contract as sketch_approx_distinct).
+    "sketch_hll_windowed": f"""
+        WITH e AS (SELECT DISTINCT epoch_us(ts) // {TS_BUCKET_US} AS bucket,
+                          user_id
+                   FROM events),
+        anchors AS (SELECT DISTINCT bucket FROM e),
+        contrib AS (
+            SELECT a.bucket AS bucket, e.user_id
+            FROM e JOIN anchors a
+              ON a.bucket BETWEEN e.bucket AND e.bucket + {ROLLING_DAYS - 1}
+        )
+        SELECT bucket, count(DISTINCT user_id) AS exact_users_7d,
+               TRUE AS within_3rsd
+        FROM contrib GROUP BY bucket
+    """,
+    "ingest_scd2_history": fixtures.with_ctes(
+        """
+        , hist AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM day1
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM cdc WHERE op <> 'D'
+        )
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority,
+               o_orderdate AS valid_from,
+               LEAD(o_orderdate) OVER w AS valid_to,
+               LEAD(o_orderdate) OVER w IS NULL AS is_current
+        FROM hist
+        WINDOW w AS (PARTITION BY o_orderkey ORDER BY o_orderdate)
+        """
+    ),
+    "events_json_props": """
+        WITH e AS (
+            SELECT event_type,
+                   CAST(NULLIF(regexp_extract(props, '"k":\\s*(-?\\d+)', 1), '')
+                        AS BIGINT) AS k
+            FROM events
+        )
+        SELECT event_type, count(*) AS n_events, count(k) AS n_with_k,
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               min(k) AS min_k, max(k) AS max_k
+        FROM e GROUP BY event_type
+    """,
+    "dedup_edit_distance": f"""
+        WITH sims AS ({_simhash_sql()}),
+        norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+        cand AS (
+            SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= {EDIT_MAX_HAMMING}
+        )
+        SELECT id_1, id_2, hamming,
+               levenshtein(n1.t, n2.t) AS edit_dist
+        FROM cand
+        JOIN norm n1 ON n1.doc_id = id_1
+        JOIN norm n2 ON n2.doc_id = id_2
+        WHERE levenshtein(n1.t, n2.t) * {EDIT_DEN}
+              <= greatest(length(n1.t), length(n2.t)) * {EDIT_NUM}
     """,
 }

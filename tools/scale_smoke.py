@@ -317,11 +317,74 @@ def ann_curve(mults: list[int]) -> int:
     return 0
 
 
+def late_curve(mults: list[int]) -> int:
+    """Scale curves for the round-4 late block: SCD2 build, HLL sliding
+    windows, edit-distance verify.
+
+    Expected shapes: scd2 is one keyed window over a 2-versions-per-key
+    history — linear with a single hash shuffle; hll_sliding moves
+    n_days x window sketch rows regardless of event volume — the curve
+    tracks the raw scan, not the distinct-pair set; edit-distance runs on a
+    FRESH-content corpus (identical-copy blowup would make the true pair
+    set itself quadratic by construction, as in the minhash note above) —
+    candidates stay sparse, so the curve tracks candidate volume, and the
+    wall-clock cap makes unbounded growth print as the finding.
+    """
+    from iceberg_ingestion_spark.changes import scd2_from_history
+    from iceberg_ingestion_spark.operators import dedup, text
+    from iceberg_ingestion_spark.operators.sketches import hll_sliding_distinct
+    from iceberg_ingestion_spark.session import build_session
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = build_session(app_name="scale-smoke-late")
+    spark.range(10_000).repartition(64).mapInPandas(lambda it: it, "id long").count()
+    base_orders = spark.read.parquet(f"{sf}/orders.parquet").repartition(32)
+    base_events = spark.read.parquet(f"{sf}/events.parquet").repartition(32)
+    base_docs = spark.read.parquet(f"{sf}/documents.parquet").repartition(32)
+
+    for mult in mults:
+        orders = (base_orders if mult == 1 else blow_up(base_orders, ["o_orderkey"], mult)).cache()
+        events = (
+            (base_events if mult == 1 else blow_up(base_events, ["event_id", "user_id"], mult))
+            .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+            .cache()
+        )
+        docs = (base_docs if mult == 1 else fresh_blow_up(base_docs, mult)).cache()
+        print(f"\n== late {mult}x: {orders.count()} orders, {events.count()} events, "
+              f"{docs.count()} docs ==", flush=True)
+
+        hist = orders.unionByName(
+            orders.withColumn("o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 1 DAY"))
+        )
+        bench_cancelable(
+            spark, f"scd2 (2 versions/key) {mult}x",
+            lambda: scd2_from_history(hist, ["o_orderkey"], "o_orderdate"),
+        )
+        ev = events.select(F.expr("ts_us div 86400000000").alias("bucket"), "user_id")
+        bench_cancelable(
+            spark, f"hll_sliding_7d {mult}x",
+            lambda: hll_sliding_distinct(ev, "bucket", "user_id", 7),
+        )
+        bench_cancelable(
+            spark, f"edit_distance (fresh corpus) {mult}x",
+            lambda: dedup.edit_distance_pairs(
+                dedup.simhash_pairs(text.simhash60(docs, "doc_id"), "doc_id", max_hamming=2),
+                docs, "doc_id",
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+            ),
+        )
+        orders.unpersist(); events.unpersist(); docs.unpersist()
+    spark.stop()
+    return 0
+
+
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--caps-ab":
         return caps_ab([int(a) for a in sys.argv[2:]] or [5, 20])
     if len(sys.argv) > 1 and sys.argv[1] == "--ann":
         return ann_curve([int(a) for a in sys.argv[2:]] or [1, 5, 20])
+    if len(sys.argv) > 1 and sys.argv[1] == "--late":
+        return late_curve([int(a) for a in sys.argv[2:]] or [1, 5, 20])
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
