@@ -186,19 +186,48 @@ def hll_sliding_distinct(
     distincts over ``[bucket - window_buckets + 1, bucket]``. Estimates are
     deterministic for a fixed input (sketch union is commutative), error is
     the standard HLL bound ~``1.04 / sqrt(2^lgk)`` relative std-dev.
+
+    Composed from :func:`hll_bucket_sketches` + :func:`hll_window_union` so a
+    STREAM-maintained sketch table (``streaming/sketch_stream.py``) answers
+    the same windowed questions through the same union path.
     """
-    b = F.col(bucket_col)
-    daily = df.groupBy(bucket_col).agg(
-        F.hll_sketch_agg(F.col(value_col), F.lit(lgk)).alias("_sk")
+    return hll_window_union(
+        hll_bucket_sketches(df, bucket_col, value_col, lgk),
+        bucket_col,
+        window_buckets,
     )
-    anchors = daily.select(bucket_col)  # groupBy output: already distinct
-    contrib = daily.select(
+
+
+def hll_bucket_sketches(
+    df: DataFrame, bucket_col: str, value_col: str, lgk: int = 12
+) -> DataFrame:
+    """One HLL sketch per bucket: ``(bucket_col, sketch)`` with the sketch as
+    a binary column — constant ~``2^lgk`` bytes per bucket, mergeable with
+    ``hll_union_agg`` (so two of these relations union by re-aggregating,
+    which is what the streaming maintenance loop does per micro-batch)."""
+    return df.groupBy(bucket_col).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lgk)).alias("sketch")
+    )
+
+
+def hll_window_union(
+    sketches: DataFrame, bucket_col: str, window_buckets: int
+) -> DataFrame:
+    """Trailing-window distinct estimates from a per-bucket sketch relation
+    (``(bucket_col, sketch)``, e.g. :func:`hll_bucket_sketches` output or a
+    stream-maintained sketch table): each bucket's sketch is exploded to the
+    window anchors it serves, semi-joined to observed anchors, unioned per
+    anchor. Shuffles ``n_buckets * window_buckets`` sketch rows — never the
+    raw data."""
+    b = F.col(bucket_col)
+    anchors = sketches.select(bucket_col).distinct()
+    contrib = sketches.select(
         F.explode(F.sequence(b, b + F.lit(window_buckets - 1))).alias(bucket_col),
-        "_sk",
+        "sketch",
     )
     return (
         contrib.join(anchors, bucket_col, "left_semi")
         .groupBy(bucket_col)
-        .agg(F.hll_union_agg("_sk").alias("_sk"))
+        .agg(F.hll_union_agg("sketch").alias("_sk"))
         .select(bucket_col, F.hll_sketch_estimate("_sk").alias("approx_distinct"))
     )

@@ -220,3 +220,61 @@ def test_json_props_entry_plan_is_jvm_only(spark):
     plan = _entry_plan(spark, "events_json_props")
     assert _no_python_eval(plan)
     assert "SinglePartition" not in plan
+
+
+# ---------------------------------------------------------------------------
+# streaming HLL maintenance
+# ---------------------------------------------------------------------------
+
+
+def test_stream_hll_split_equals_batch(spark, tmp_path):
+    """HLL union is a lattice (per-register max), so a stream split into two
+    arbitrary drops yields the SAME estimates as one batch pass — and the
+    maintained table answers windowed questions through the identical
+    hll_window_union path the batch entry uses, with constant per-bucket
+    state."""
+    import os
+
+    from iceberg_ingestion_spark.operators.sketches import (
+        hll_bucket_sketches,
+        hll_window_union,
+    )
+    from iceberg_ingestion_spark.sinks import ParquetVersionedSink
+    from iceberg_ingestion_spark.streaming.hll_stream import stream_hll_maintenance
+
+    base = spark.range(0, 4000).select(
+        (F.col("id") % 10).alias("bucket"), (F.col("id") % 533).alias("user_id")
+    )
+    d1 = base.where(F.col("id") % 3 != 0)
+    d2 = base.where(F.col("id") % 3 == 0)
+    in_dir, ckpt, wh = (str(tmp_path / d) for d in ("in", "ckpt", "wh"))
+    os.makedirs(in_dir)
+    sink = ParquetVersionedSink(spark, wh)
+    d1.coalesce(1).write.mode("append").parquet(in_dir)
+    schema = spark.read.parquet(in_dir).schema
+
+    def run():
+        q = stream_hll_maintenance(
+            spark, in_dir, schema, sink, "db.hll", "bucket", "user_id",
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(120)
+
+    run()
+    d2.coalesce(1).write.mode("append").parquet(in_dir)
+    run()
+
+    maintained = sink.read("db.hll")
+    # constant state: one sketch row per observed bucket
+    assert maintained.count() == 10
+    streamed = {
+        (r.bucket, r.approx_distinct)
+        for r in hll_window_union(maintained, "bucket", 3).collect()
+    }
+    batch = {
+        (r.bucket, r.approx_distinct)
+        for r in hll_window_union(
+            hll_bucket_sketches(base, "bucket", "user_id"), "bucket", 3
+        ).collect()
+    }
+    assert streamed == batch
