@@ -116,9 +116,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     bag_diff machinery, pytest-pinned), and dedup_simhash (its entire
 #:     compute path — simhash60 signatures, banding, and the _simhash_sql
 #:     oracle CTE — executes in-window inside dedup_edit_distance's candidate
-#:     stage).
+#:     stage). A fifth late addition, ingest_changelog_scan_sink (the
+#:     changelog calculus driven through REAL sink commits + read_version
+#:     time travel — also restoring in-window changelog coverage after
+#:     ingest_changelog_versions rotated out), displaces text_fingerprint,
+#:     whose fingerprint_md5 path executes in-window inside
+#:     corpus_feed_health's duplicate-rate metric.
 _PRIORITY = [
     # SURVEY §2 core calculus + validation
+    "ingest_changelog_scan_sink",
     "ingest_scd2_history",
     "sketch_hll_windowed",
     "events_json_props",
@@ -165,7 +171,6 @@ _PRIORITY = [
     # r2-era evidence refresh (block c; analytics_tfidf_top_terms above is
     # the 25th of VERDICT r3's list)
     "text_lang_id",
-    "text_fingerprint",
     "text_pii_scrub",
     "text_repetition",
     "sim_knn_label_vote",

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 from collections.abc import Callable
+from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -232,6 +233,37 @@ def q_changelog_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = _merged_full(orders)
     ch = build_changelog(day1, merged, list(ORDERS_SPEC.natural_keys))
     return _orders_out(ch)
+
+
+def q_changelog_scan_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink-backed changelog scan with time travel: commit v1 (day1 first
+    load) and v2 (day2 snapshot merge) through ``IngestionJob`` into a
+    versioned-parquet sink, then count net changes per type from
+    ``sink.read_changes(1, 2)`` — Iceberg's ``table_changes`` analogue
+    executed against REAL committed versions (reference
+    ``iceberg.py:104-149`` commit modes). ``ingest_changelog_versions``
+    pinned the same calculus on in-memory fixtures; this entry drives the
+    commit log + ``read_version`` time-travel path the pytest suite
+    previously covered alone. The audit timestamp is the fixed fixture
+    literal on both commits, so the changelog's payload compare (which
+    includes audit columns) is deterministic."""
+    import tempfile
+
+    from iceberg_ingestion_spark.jobs import IngestionJob
+    from iceberg_ingestion_spark.model import IngestionType, TablePolicy
+    from iceberg_ingestion_spark.sinks import ParquetVersionedSink
+
+    orders = read_table(spark, sf_dir, "orders")
+    sink = ParquetVersionedSink(spark, tempfile.mkdtemp(prefix="tt_wh_"))
+    job = IngestionJob(sink, ORDERS_SPEC, TablePolicy())
+    name = "dev_clean_tpch.orders_tt"
+    ts = datetime.fromisoformat(INGESTION_TS.replace(" ", "T"))
+    job.run(fixtures.orders_day1(orders), name, IngestionType.FULL, ts)
+    job.run(fixtures.orders_day2(orders), name, IngestionType.FULL, ts)
+    ch = sink.read_changes(name, 1, 2, list(ORDERS_SPEC.natural_keys))
+    return ch.groupBy(F.col("_change_type").alias("change_type")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
 
 
 def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -482,6 +514,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "validate_bag_diff_strictness": q_bag_diff_clean,
     "validate_bag_diff_identity": q_bag_diff_identity,
     "ingest_changelog_versions": q_changelog_versions,
+    "ingest_changelog_scan_sink": q_changelog_scan_sink,
     "ingest_incremental_agg": q_incremental_agg_maintenance,
     "ingest_incremental_join_agg": q_incremental_join_agg,
     "ingest_incremental_two_sided": q_incremental_two_sided,
@@ -808,3 +841,11 @@ ORACLES: dict[str, str] = {
         GROUP BY n_name
     """,
 }
+
+# Sink-backed changelog scan: per-type counts of the SAME net change set the
+# fixture changelog oracle computes (the sink path commits exactly day1 ->
+# merged-full, and the fixed audit literal cannot produce spurious updates).
+ORACLES["ingest_changelog_scan_sink"] = (
+    f"SELECT _change_type AS change_type, count(*) AS n_rows FROM "
+    f"({ORACLES['ingest_changelog_versions']}) GROUP BY 1"
+)
