@@ -121,10 +121,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     time travel — also restoring in-window changelog coverage after
 #:     ingest_changelog_versions rotated out), displaces text_fingerprint,
 #:     whose fingerprint_md5 path executes in-window inside
-#:     corpus_feed_health's duplicate-rate metric.
+#:     corpus_feed_health's duplicate-rate metric. A sixth,
+#:     analytics_unpivot_measures (ANSI UNPIVOT / melt reshape), displaces
+#:     q12_return_class_priority — function-level byte-unchanged since its
+#:     r2-green row, TPC-H-family representation stays via the in-window
+#:     q11/q15 rewrites, and its conditional-aggregation shape is the same
+#:     CASE-sum family q1 pinned green in r1-r3.
 _PRIORITY = [
     # SURVEY §2 core calculus + validation
     "ingest_changelog_scan_sink",
+    "analytics_unpivot_measures",
     "ingest_scd2_history",
     "sketch_hll_windowed",
     "events_json_props",
@@ -179,7 +185,6 @@ _PRIORITY = [
     "cohort_retention",
     "data_split_counts",
     "multimodal_frame_sample",
-    "q12_return_class_priority",
     "analytics_running_totals",
     "asof_last_click_before_purchase",
     "rollup_revenue",

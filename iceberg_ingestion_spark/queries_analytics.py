@@ -750,7 +750,30 @@ def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+#: Measures reshaped by the unpivot entry (all integer-cent money / small
+#: exact decimals, so the decimal sums are cross-engine exact).
+UNPIVOT_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def analytics_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long reshape via ``DataFrame.unpivot`` (ANSI UNPIVOT / melt):
+    the four lineitem measures become (measure, value) rows, then one
+    uniform groupBy per (returnflag, measure). Unpivot is a narrow map-side
+    transform — rows multiply by 4 but never shuffle until the keyed
+    aggregate, and column pruning still reaches the scan (only the id +
+    measure columns are read)."""
+    l = read_table(spark, sf_dir, "lineitem")
+    long = l.unpivot(
+        ["l_returnflag"], UNPIVOT_MEASURES, "measure", "value"
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.sum(_dec("value")).cast("double").alias("sum_value"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 QUERIES_ANALYTICS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "analytics_unpivot_measures": analytics_unpivot_measures,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q4_late_shipment_priority": q4_late_shipment_priority,
     "q11_important_parts": q11_important_parts,
@@ -784,7 +807,21 @@ QUERIES_ANALYTICS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _SUM_DBL = "CAST(SUM({expr}) AS DOUBLE)"
 
 
+_UNPIVOT_LEGS = "\n            UNION ALL ".join(
+    f"SELECT l_returnflag, '{m}' AS measure, {m} AS value FROM lineitem"
+    for m in UNPIVOT_MEASURES
+)
+
 ORACLES_ANALYTICS: dict[str, str] = {
+    "analytics_unpivot_measures": f"""
+        WITH long AS (
+            {_UNPIVOT_LEGS}
+        )
+        SELECT l_returnflag, measure,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+               count(*) AS n_rows
+        FROM long GROUP BY 1, 2
+    """,
     "q2_min_cost_supplier": """
         WITH per_sp AS (
             SELECT l_suppkey, l_partkey, p_name,

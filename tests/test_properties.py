@@ -256,3 +256,94 @@ def test_property_boilerplate_scrub_invariants(spark, docs):
     for i, text_in in enumerate(docs):
         assert ident[i].n_removed == 0
         assert ident[i].cleaned_text == " ".join(text_in.strip().lower().split())
+
+
+# ---------------------------------------------------------------------------
+# SCD2 (r4 late block)
+# ---------------------------------------------------------------------------
+
+#: (key, ts) version events; duplicate (key, ts) pairs are collapsed so the
+#: version order is total per key (the operator's documented contract: the
+#: (ts, tiebreaks) order must be total).
+history = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 30)), min_size=1, max_size=15
+).map(lambda rows: sorted({(k, t) for k, t in rows}))
+
+
+@given(history)
+@PROP_SETTINGS
+def test_property_scd2_tiles_each_key_timeline(spark, hist):
+    """Over generated version histories: row count is preserved, each key's
+    ranges tile half-open with no gaps/overlaps, exactly one open (current)
+    version per key, and the as-of probe at any version ts returns exactly
+    that version."""
+    from iceberg_ingestion_spark.changes import scd2_from_history
+
+    df = spark.createDataFrame(hist, "k int, ts int")
+    out = scd2_from_history(df, ["k"], "ts").collect()
+    assert len(out) == len(hist)  # SCD2 keeps EVERY version
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r)
+    for k, rows in by_key.items():
+        rows.sort(key=lambda r: r.valid_from)
+        for prev, nxt in zip(rows, rows[1:]):
+            assert prev.valid_to == nxt.valid_from
+        assert rows[-1].valid_to is None
+        assert sum(r.is_current for r in rows) == 1
+        # as-of probe at each version's own ts yields exactly that version
+        for probe in rows:
+            hits = [
+                r for r in rows
+                if r.valid_from <= probe.valid_from
+                and (r.valid_to is None or probe.valid_from < r.valid_to)
+            ]
+            assert [h.valid_from for h in hits] == [probe.valid_from]
+
+
+# ---------------------------------------------------------------------------
+# edit-distance verify (r4 late block)
+# ---------------------------------------------------------------------------
+
+def _py_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+texts = st.text(alphabet="ab c", min_size=0, max_size=12)
+
+
+@given(st.lists(st.tuples(texts, texts), min_size=1, max_size=8))
+@PROP_SETTINGS
+def test_property_edit_distance_matches_reference_dp(spark, pairs):
+    """Spark's levenshtein + the operator's threshold filter agree with a
+    pure-Python DP over generated strings: every surviving pair's distance
+    is exact, and exactly the pairs within (1/5)·max(len) survive (empty
+    strings: max(len)=0 keeps only identical-empty pairs, dist 0)."""
+    from iceberg_ingestion_spark.operators.dedup import edit_distance_pairs
+
+    docs = [(2 * i, a) for i, (a, _) in enumerate(pairs)] + [
+        (2 * i + 1, b) for i, (_, b) in enumerate(pairs)
+    ]
+    cand = [(2 * i, 2 * i + 1) for i in range(len(pairs))]
+    out = edit_distance_pairs(
+        spark.createDataFrame(cand, "id_1 long, id_2 long"),
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        "doc_id",
+        F.col("text"),
+        max_dist_num=1,
+        max_dist_den=5,
+    ).collect()
+    got = {(r.id_1, r.id_2): r.edit_dist for r in out}
+    for i, (a, b) in enumerate(pairs):
+        d = _py_levenshtein(a, b)
+        expected_kept = d * 5 <= max(len(a), len(b)) * 1
+        key = (2 * i, 2 * i + 1)
+        assert (key in got) == expected_kept, (a, b, d)
+        if expected_kept:
+            assert got[key] == d, (a, b)

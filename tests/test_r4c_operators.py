@@ -278,3 +278,16 @@ def test_stream_hll_split_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_unpivot_entry_plan_prunes_scan_and_stays_jvm(spark):
+    """Unpivot (melt) is a narrow map-side transform: column pruning must
+    still reach the scan (only returnflag + the 4 measures read), no
+    SinglePartition exchange, no Python eval."""
+    import re
+
+    plan = _entry_plan(spark, "analytics_unpivot_measures")
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert scans and all(len(s.split(",")) <= 5 for s in scans), scans
+    assert "SinglePartition" not in plan
+    assert _no_python_eval(plan)
