@@ -122,3 +122,66 @@ def funnel_counts(
         [(s, i + 1, rows[f"n_{s}"]) for i, s in enumerate(stages)],
         "stage string, stage_index int, n_users long",
     )
+
+
+def sequence_match(
+    events: DataFrame,
+    pattern: str,
+    codes: dict[str, str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_us",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """MATCH_RECOGNIZE-style ordered pattern detection per user: encode each
+    event type as one character (``codes``), build the user's journey string
+    in exact (ts, tiebreak) order, and test it against a regex ``pattern``
+    (e.g. ``'v[^e]*c[^e]*p'`` = view, then click, then purchase, with no
+    error anywhere between view and purchase). Spark has no MATCH_RECOGNIZE;
+    this is the engine's equivalent for order-sensitive behavioral queries
+    that funnels (which only look at earliest-completion times) can't
+    express — "did X happen WITHOUT Y in between" is the canonical case.
+
+    Emits (user, n_events, journey, matched). ONE shuffle: group events per
+    user, sort the per-user array, join to a string, regex it — the same
+    bounded-per-user-state invariant as sessionization/funnels. The journey
+    string is one char per stage-relevant event, so memory per user is bytes,
+    not structs. Unknown event types (no code) are excluded.
+
+    Determinism: ordering is total via the integer (ts, tiebreak) pair, codes
+    are fixed single chars, regex is anchored only as written — identical
+    semantics in DuckDB via string_agg(... ORDER BY ts, tiebreak) +
+    regexp_matches, so the operator oracles exactly.
+    """
+    code_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in codes.items() for x in kv]),
+        F.col(type_col),
+    )
+    per_user = (
+        events.select(
+            F.col(user_col),
+            F.col(ts_col),
+            F.col(tiebreak_col),
+            code_expr.alias("_c"),
+        )
+        .filter(F.col("_c").isNotNull())
+        .groupBy(user_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(ts_col, tiebreak_col, "_c"))
+                    ),
+                    lambda e: e["_c"],
+                ),
+                "",
+            ).alias("journey"),
+        )
+    )
+    return per_user.select(
+        user_col,
+        "n_events",
+        "journey",
+        F.col("journey").rlike(pattern).alias("matched"),
+    )

@@ -257,3 +257,64 @@ def bigram_corpus_features(
         (F.col("sum_bg_df") / F.col("n_bigrams")).alias("mean_bg_df"),
         (F.col("n_rare") / F.col("n_bigrams")).alias("rare_rate"),
     )
+
+
+def pmi_top_collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k PMI-scored collocations (statistically-bound word pairs) over the
+    corpus — the classic phrase-mining primitive (Church & Hanks 1990) a
+    pretraining pipeline uses to build phrase vocabularies and spot templated
+    boilerplate (pathologically high-lift pairs = machine-generated text).
+
+    Emits (w1, w2, c_pair, c_first, c_second, lift) where ``lift`` is the PMI
+    argument N·c(w1,w2) / (c(w1,·)·c(·,w2)) over bigram-table marginals —
+    taking log is monotone, so top-k by lift IS top-k by PMI, and keeping the
+    raw ratio makes the result exact: every count is an integer, and lift is a
+    SINGLE double division of two exactly-representable products (no float
+    summation order anywhere), so rows are bit-identical across engines,
+    partitionings and row orders. Ties broken by (w1, w2) for a total order.
+
+    Plan shape: one bigram-count aggregation (map-side partials absorb the
+    zipfian head), two vocab-bounded re-aggregations of the COUNT TABLE (not
+    the corpus) for the marginals, equi-joins back (AQE broadcasts the
+    marginal tables — vocab-sized), a 1-row total cross-joined as a broadcast
+    literal (never a driver-side collect), then a global top-k which Spark
+    executes as per-partition TakeOrdered + a k-row merge — no full sort of
+    the pair table.
+    """
+    from iceberg_ingestion_spark.operators.dedup import shingle_occurrences
+
+    grams = shingle_occurrences(df, id_col, text_col, k=2).select(
+        F.split(F.col("shingle"), " ").alias("ws")
+    )
+    pairs = grams.select(
+        F.element_at("ws", 1).alias("w1"), F.element_at("ws", 2).alias("w2")
+    )
+    cnt = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_pair"))
+    first = cnt.groupBy("w1").agg(F.sum("c_pair").alias("c_first"))
+    second = cnt.groupBy("w2").agg(F.sum("c_pair").alias("c_second"))
+    total = cnt.agg(F.sum("c_pair").alias("n_total"))
+    return (
+        cnt.filter(F.col("c_pair") >= min_count)
+        .join(first, "w1")
+        .join(second, "w2")
+        .join(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "c_pair",
+            "c_first",
+            "c_second",
+            (
+                (F.col("c_pair") * F.col("n_total")).cast("double")
+                / (F.col("c_first") * F.col("c_second")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(k)
+    )

@@ -415,6 +415,41 @@ def q_validate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return expectation_report(df, rules)
 
 
+#: Columns profiled by the drift entry; the numeric subset gets decimal-exact
+#: value sums (q1 convention), the rest profile with NULL sums.
+DRIFT_COLUMNS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+_DRIFT_NUMERIC = {"o_orderkey", "o_custkey", "o_totalprice"}
+
+
+def q_validate_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot column-profile drift (``validate.profile_drift``)
+    between the day1 and day2 ingest fixtures: per column, row / NULL /
+    exact-distinct counts and decimal-exact sums for both sides plus the row
+    delta — the publish-gate metrics a daily pipeline alerts on. One scan per
+    side; the reshape runs on two 1-row aggregates."""
+    from iceberg_ingestion_spark.validate import profile_drift
+
+    orders = read_table(spark, sf_dir, "orders")
+    day1, day2 = fixtures.orders_day1(orders), fixtures.orders_day2(orders)
+    return profile_drift(day1, day2, DRIFT_COLUMNS)
+
+
+def _drift_side_sql(rel: str, suffix: str) -> str:
+    parts = []
+    for c in DRIFT_COLUMNS:
+        s = (
+            f"CAST(SUM(CAST({c} AS DECIMAL(30,2))) AS DOUBLE)"
+            if c in _DRIFT_NUMERIC
+            else "CAST(NULL AS DOUBLE)"
+        )
+        parts.append(
+            f'SELECT \'{c}\' AS "column", count(*) AS n_{suffix}, '
+            f"CAST(count(*) FILTER ({c} IS NULL) AS BIGINT) AS n_null_{suffix}, "
+            f"count(DISTINCT {c}) AS ndv_{suffix}, {s} AS sum_{suffix} FROM {rel}"
+        )
+    return " UNION ALL ".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # Analytics (engine breadth + bench anchors; decimal-exact aggregation)
 # ---------------------------------------------------------------------------
@@ -519,6 +554,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ingest_incremental_join_agg": q_incremental_join_agg,
     "ingest_incremental_two_sided": q_incremental_two_sided,
     "validate_expectations": q_validate_expectations,
+    "validate_drift_stats": q_validate_drift_stats,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_supplier_volume": q5_supplier_volume,
@@ -792,6 +828,12 @@ ORACLES: dict[str, str] = {
                    THEN 1 ELSE 0 END) AS BIGINT) = 0
         FROM base
     """,
+    "validate_drift_stats": fixtures.with_ctes(
+        f'SELECT a."column", a.n_a, a.n_null_a, a.ndv_a, a.sum_a, '
+        f"b.n_b, b.n_null_b, b.ndv_b, b.sum_b, b.n_b - a.n_a AS delta_rows "
+        f'FROM ({_drift_side_sql("day1", "a")}) a '
+        f'JOIN ({_drift_side_sql("day2", "b")}) b USING ("column")'
+    ),
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

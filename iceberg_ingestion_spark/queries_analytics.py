@@ -772,8 +772,44 @@ def analytics_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Pivot spine: o_orderstatus domain, pinned EXPLICITLY. Passing the value
+#: list to ``pivot()`` matters at scale — without it Spark runs a separate
+#: distinct-collect job over the pivot column before it can even plan.
+PIVOT_STATUSES = ["F", "O", "P"]
+
+
+def analytics_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long->wide reshape (the inverse of the unpivot entry): revenue and
+    order counts per priority, one column pair per order status. Pivot with a
+    pinned spine compiles to ONE conditional aggregation — a single shuffle
+    on the groupBy key, exactly the plan the hand-written CASE-sum form
+    produces, with map-side partials absorbing the fan-in. Decimal-exact
+    sums cast to double (q1 convention), NULL-filled to 0.0 so the result is
+    total (a priority with no orders in some status reads as zero revenue,
+    not a hole)."""
+    o = read_table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", PIVOT_STATUSES)
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .na.fill(0)
+    )
+    return wide.select(
+        "o_orderpriority",
+        *[
+            F.col(f"{s}_{m}").alias(f"{m}_{s.lower()}")
+            for s in PIVOT_STATUSES
+            for m in ("revenue", "n_orders")
+        ],
+    )
+
+
 QUERIES_ANALYTICS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "analytics_unpivot_measures": analytics_unpivot_measures,
+    "analytics_pivot_status": analytics_pivot_status,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q4_late_shipment_priority": q4_late_shipment_priority,
     "q11_important_parts": q11_important_parts,
@@ -821,6 +857,22 @@ ORACLES_ANALYTICS: dict[str, str] = {
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
                count(*) AS n_rows
         FROM long GROUP BY 1, 2
+    """,
+    "analytics_pivot_status": """
+        SELECT o_orderpriority,
+               COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
+                   AS revenue_f,
+               count(*) FILTER (o_orderstatus = 'F') AS n_orders_f,
+               COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
+                   AS revenue_o,
+               count(*) FILTER (o_orderstatus = 'O') AS n_orders_o,
+               COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
+                   AS revenue_p,
+               count(*) FILTER (o_orderstatus = 'P') AS n_orders_p
+        FROM orders GROUP BY o_orderpriority
     """,
     "q2_min_cost_supplier": """
         WITH per_sp AS (

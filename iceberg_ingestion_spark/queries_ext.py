@@ -499,6 +499,53 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(ev, ["view", "click", "purchase"])
 
 
+#: Single-char journey codes + the pattern for the sequence-match entry:
+#: view, later a click, later a purchase, with NO error anywhere between the
+#: matched view and purchase — the order-sensitive query funnels can't ask.
+SEQ_CODES = {"view": "v", "click": "c", "purchase": "p", "error": "e", "signup": "s"}
+SEQ_PATTERN = "v[^e]*c[^e]*p"
+
+
+def q_events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style ordered pattern detection per user (one grouped
+    journey string per user in exact (ts, event_id) order, then a regex)."""
+    from iceberg_ingestion_spark.operators.funnel import sequence_match
+
+    ev = read_events_us(spark, sf_dir)
+    return sequence_match(ev, SEQ_PATTERN, SEQ_CODES)
+
+
+def q_text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 PMI-scored collocations over the corpus (integer counts, single
+    double division, total tie-break order — exact across engines)."""
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    return text.pmi_top_collocations(d, min_count=5, k=50)
+
+
+#: Fixed-width histogram bin for the value-histogram entry (value in [0, 330)
+#: in the generated data; bins are exact integer floors, so counts oracle
+#: bit-identically).
+HIST_BIN_WIDTH = 25
+
+
+def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of ``value`` per event type — the engine's
+    histogram primitive: bin = floor(value / width) computed as an integer,
+    ONE groupBy shuffle on (event_type, bin), counts + decimal-exact bin
+    sums. The bin column is data, not a pivot — cardinality is bounded by
+    range/width, so the result relation stays tiny at any corpus scale."""
+    ev = read_events_us(spark, sf_dir)
+    bin_ = F.floor(F.col("value") / HIST_BIN_WIDTH).cast("long")
+    return (
+        ev.groupBy("event_type", bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .withColumn("bin_lo", (F.col("bin") * HIST_BIN_WIDTH).cast("double"))
+    )
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily cohort retention counts (integer day buckets, pivot on offset)."""
     from iceberg_ingestion_spark.operators.funnel import DAY_US, cohort_retention
@@ -1076,6 +1123,9 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_anomaly_daily": q_events_anomaly_daily,
     "events_rolling_7d": q_events_rolling_7d,
     "events_twap": q_events_twap,
+    "events_sequence_match": q_events_sequence_match,
+    "events_value_histogram": q_events_value_histogram,
+    "text_pmi_bigrams": q_text_pmi_bigrams,
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
     "data_split_counts": q_data_split_counts,
@@ -1434,6 +1484,50 @@ WHERE p.event_type = 'click'
         FROM seg
         GROUP BY user_id
         HAVING max(ts_us) - min(ts_us) > 0
+    """,
+    "events_sequence_match": f"""
+        WITH coded AS (
+            SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                   CASE event_type
+                       WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                       WHEN 'purchase' THEN 'p' WHEN 'error' THEN 'e'
+                       WHEN 'signup' THEN 's' END AS c
+            FROM events
+        )
+        SELECT user_id, count(*) AS n_events,
+               string_agg(c, '' ORDER BY ts_us, event_id) AS journey,
+               regexp_matches(string_agg(c, '' ORDER BY ts_us, event_id),
+                              '{SEQ_PATTERN}') AS matched
+        FROM coded WHERE c IS NOT NULL
+        GROUP BY user_id
+    """,
+    "events_value_histogram": f"""
+        SELECT event_type, CAST(floor(value / {HIST_BIN_WIDTH}) AS BIGINT) AS bin,
+               count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+               CAST(CAST(floor(value / {HIST_BIN_WIDTH}) AS BIGINT)
+                    * {HIST_BIN_WIDTH} AS DOUBLE) AS bin_lo
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "text_pmi_bigrams": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        pairs AS (
+            SELECT unnest([t[i] for i in range(1, len(t))]) AS w1,
+                   unnest([t[i+1] for i in range(1, len(t))]) AS w2
+            FROM toks WHERE len(t) >= 2
+        ),
+        cnt AS (SELECT w1, w2, count(*) AS c_pair FROM pairs GROUP BY 1, 2),
+        firsts AS (SELECT w1, CAST(sum(c_pair) AS BIGINT) AS c_first FROM cnt GROUP BY 1),
+        seconds AS (SELECT w2, CAST(sum(c_pair) AS BIGINT) AS c_second FROM cnt GROUP BY 1),
+        tot AS (SELECT CAST(sum(c_pair) AS BIGINT) AS n_total FROM cnt)
+        SELECT w1, w2, c_pair, c_first, c_second,
+               CAST(c_pair * n_total AS DOUBLE) / CAST(c_first * c_second AS DOUBLE)
+                   AS lift
+        FROM cnt JOIN firsts USING (w1) JOIN seconds USING (w2) CROSS JOIN tot
+        WHERE c_pair >= 5
+        ORDER BY lift DESC, w1, w2
+        LIMIT 50
     """,
     "events_anomaly_daily": f"""
         WITH counts AS (

@@ -89,3 +89,55 @@ def referential_violations(
     one-scan report is preferred."""
     keys = parent.select(F.col(pk).alias(fk)).distinct()
     return child.join(keys, on=fk, how="left_anti")
+
+
+def profile_drift(a: DataFrame, b: DataFrame, columns: list[str]) -> DataFrame:
+    """Column-profile drift between two snapshots of one relation (day-over-
+    day ingest monitoring): one row per profiled column with row count, NULL
+    count, exact distinct count and (numeric columns only) a decimal-exact
+    value sum for each side, plus the row-count delta. A pipeline gates a
+    publish on these deltas — sudden NULL-rate spikes or NDV collapses are
+    the classic silent upstream-extract failures the reference's ``--test``
+    equivalence check can't see (it compares a table to ITSELF one commit
+    later, not to yesterday's profile).
+
+    Each side is ONE scan producing a 1-row aggregate (conditional sums;
+    Spark plans the multi-column COUNT(DISTINCT) via a single expand —
+    k-profiled columns cost one k× expanded pass, not k jobs; swap in
+    approx_count_distinct at 100 TB if the expand dominates). The per-column
+    reshape happens on the two 1-row results via array+explode — column
+    names stay DATA, never identifiers — and the final join is on the
+    column-name key of two k-row relations (trivially broadcast).
+
+    Sums are DECIMAL(30,2)-exact then cast to double, so results are
+    bit-identical across engines and partitionings (the established q1
+    convention); non-numeric columns profile with NULL sums.
+    """
+    numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"} | {
+        d for _, d in a.dtypes if d.startswith("decimal")
+    }
+
+    def side(df: DataFrame, suffix: str) -> DataFrame:
+        dts = dict(df.dtypes)
+        structs = []
+        for c in columns:
+            s = (
+                F.sum(F.col(c).cast("decimal(30,2)")).cast("double")
+                if dts[c] in numeric
+                else F.lit(None).cast("double")
+            )
+            structs.append(
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.count(F.lit(1)).alias(f"n_{suffix}"),
+                    F.sum(F.col(c).isNull().cast("long")).alias(f"n_null_{suffix}"),
+                    F.count_distinct(F.col(c)).alias(f"ndv_{suffix}"),
+                    s.alias(f"sum_{suffix}"),
+                )
+            )
+        return df.agg(F.array(*structs).alias("_p")).select(
+            F.explode("_p").alias("p")
+        ).select("p.*")
+
+    out = side(a, "a").join(side(b, "b"), "column")
+    return out.withColumn("delta_rows", F.col("n_b") - F.col("n_a"))

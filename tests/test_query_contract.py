@@ -77,6 +77,9 @@ def test_no_unbounded_nested_loop_joins(spark):
         # exact baseline for its in-query recall check
         "embedding_kmeans_assign",
         "dedup_semantic_blocked",
+        # r4 late: bigram grand total joined back as a broadcast 1-row
+        # aggregate (PMI denominator) — the BNLJ side is exactly one row
+        "text_pmi_bigrams",
     }
     offenders = []
     for name, fn in entry_mod.queries().items():

@@ -1,0 +1,206 @@
+"""Round-4 latest additions: PMI collocations, sequence-pattern match,
+pivot reshape, value histogram, snapshot profile drift — correctness
+invariants + the plan shapes that matter at scale."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_ingestion_spark.operators.funnel import sequence_match
+from iceberg_ingestion_spark.operators.text import pmi_top_collocations
+from iceberg_ingestion_spark.validate import profile_drift
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_hand_computed(spark):
+    # corpus: "a b" x4, "a c" x2  -> bigrams: (a,b):4, (a,c):2, N=6
+    # c_first(a)=6; c_second(b)=4, c_second(c)=2
+    # lift(a,b) = 4*6/(6*4) = 1.0 ; lift(a,c) = 2*6/(6*2) = 1.0
+    docs = spark.createDataFrame(
+        [(i, "a b") for i in range(4)] + [(10 + i, "a c") for i in range(2)],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.w1, r.w2): r
+        for r in pmi_top_collocations(docs, min_count=1, k=10).collect()
+    }
+    assert rows[("a", "b")].c_pair == 4
+    assert rows[("a", "b")].c_first == 6
+    assert rows[("a", "b")].c_second == 4
+    assert rows[("a", "b")].lift == 1.0
+    assert rows[("a", "c")].lift == 1.0
+
+
+def test_pmi_ranks_bound_pairs_above_chance(spark):
+    # "x y" always co-occur (and nowhere else) -> lift >> 1; filler pairs
+    # built from a promiscuous token have lift ~1.
+    docs = spark.createDataFrame(
+        [(i, "x y") for i in range(5)]
+        + [(100 + i, f"f t{i % 3}") for i in range(9)],
+        "doc_id long, text string",
+    )
+    top = pmi_top_collocations(docs, min_count=2, k=1).collect()
+    assert (top[0].w1, top[0].w2) == ("x", "y")
+    assert top[0].lift > 1.0
+
+
+def test_pmi_min_count_filter(spark):
+    docs = spark.createDataFrame(
+        [(1, "rare pair"), (2, "c d"), (3, "c d")], "doc_id long, text string"
+    )
+    got = {(r.w1, r.w2) for r in pmi_top_collocations(docs, min_count=2, k=10).collect()}
+    assert got == {("c", "d")}
+
+
+def test_pmi_deterministic_total_order(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = pmi_top_collocations(docs, min_count=5, k=20).collect()
+    b = pmi_top_collocations(docs.repartition(7), min_count=5, k=20).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+# ---------------------------------------------------------------------------
+# Sequence pattern match
+# ---------------------------------------------------------------------------
+
+CODES = {"view": "v", "click": "c", "purchase": "p", "error": "e"}
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts_us long"
+    )
+
+
+def test_sequence_match_orders_by_ts_then_tiebreak(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, 1, "view", 10),
+            (1, 2, "click", 20),
+            (1, 3, "purchase", 30),
+            # user 2: same events but an error between click and purchase
+            (2, 4, "view", 10),
+            (2, 5, "click", 20),
+            (2, 6, "error", 25),
+            (2, 7, "purchase", 30),
+            # user 3: ts tie broken by event_id -> "vc" not "cv"
+            (3, 8, "view", 10),
+            (3, 9, "click", 10),
+        ],
+    )
+    got = {
+        r.user_id: (r.journey, r.matched)
+        for r in sequence_match(ev, "v[^e]*c[^e]*p", CODES).collect()
+    }
+    assert got[1] == ("vcp", True)
+    assert got[2] == ("vcep", False)
+    assert got[3] == ("vc", False)
+
+
+def test_sequence_match_excludes_uncoded_types(spark):
+    ev = _ev(spark, [(1, 1, "view", 10), (1, 2, "mystery", 15), (1, 3, "click", 20)])
+    row = sequence_match(ev, "vc", CODES).collect()[0]
+    assert row.journey == "vc"
+    assert row.n_events == 2
+    assert row.matched
+
+
+def test_sequence_match_single_shuffle(spark):
+    ev = _ev(spark, [(1, 1, "view", 10)])
+    plan = _plan(sequence_match(ev, "vc", CODES))
+    # one exchange for the user-key aggregate; no join, no extra shuffle
+    assert plan.count("Exchange") <= 2  # partial+final agg pair share one
+    assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Profile drift
+# ---------------------------------------------------------------------------
+
+
+def test_profile_drift_counts_and_sums(spark):
+    a = spark.createDataFrame(
+        [(1, 10.0, "x"), (2, None, "y"), (3, 30.0, "y")],
+        "k long, v double, s string",
+    )
+    b = spark.createDataFrame(
+        [(1, 10.0, "x"), (4, 40.0, None)], "k long, v double, s string"
+    )
+    rows = {r["column"]: r for r in profile_drift(a, b, ["k", "v", "s"]).collect()}
+    assert rows["k"].n_a == 3 and rows["k"].n_b == 2
+    assert rows["k"].ndv_a == 3 and rows["k"].ndv_b == 2
+    assert rows["v"].n_null_a == 1 and rows["v"].n_null_b == 0
+    assert rows["v"].sum_a == 40.0 and rows["v"].sum_b == 50.0
+    assert rows["s"].sum_a is None  # non-numeric: no sum
+    assert rows["s"].ndv_b == 1  # NULL not counted as a distinct value
+    assert rows["k"].delta_rows == -1
+
+
+def test_profile_drift_identical_sides_zero_delta(spark):
+    a = spark.read.parquet(f"{SF}/orders.parquet")
+    out = profile_drift(a, a, ["o_orderkey", "o_totalprice"]).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r.delta_rows == 0
+        assert (r.n_a, r.n_null_a, r.ndv_a, r.sum_a) == (
+            r.n_b,
+            r.n_null_b,
+            r.ndv_b,
+            r.sum_b,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Pivot entry plan shape
+# ---------------------------------------------------------------------------
+
+
+def test_pivot_is_single_aggregation_no_extra_job(spark):
+    """Pinned spine => no distinct-collect job: the pivot plan is one
+    aggregate pair (partial + final) over one exchange, same as a CASE-sum."""
+    from iceberg_ingestion_spark.queries_analytics import analytics_pivot_status
+
+    df = analytics_pivot_status(spark, SF)
+    plan = _plan(df)
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan
+    got = {r.o_orderpriority: r for r in df.collect()}
+    # row-count parity with a direct groupBy
+    base = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .groupBy("o_orderpriority")
+        .count()
+        .collect()
+    )
+    assert len(got) == len(base)
+    # status counts per priority sum to the priority's total orders
+    for r in base:
+        row = got[r.o_orderpriority]
+        assert row.n_orders_f + row.n_orders_o + row.n_orders_p == r["count"]
+
+
+# ---------------------------------------------------------------------------
+# Histogram entry
+# ---------------------------------------------------------------------------
+
+
+def test_value_histogram_bins_partition_the_data(spark):
+    from iceberg_ingestion_spark.queries_ext import q_events_value_histogram
+
+    hist = q_events_value_histogram(spark, SF).collect()
+    ev_n = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert sum(r.n for r in hist) == ev_n  # bins partition all rows
+    for r in hist:
+        assert r.bin_lo == r.bin * 25.0
