@@ -671,3 +671,77 @@ def edit_distance_pairs(
     # short-circuit for the hamming-0 bulk was measured at zero gain —
     # Spark's levenshtein already fast-paths equal strings.)
     return survivors.withColumn("edit_dist", dist).drop("_t1", "_t2")
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via PREFIX FILTERING (the SSJoin/PPJoin
+    candidate generator) — same output contract as
+    :func:`ngram_jaccard_pairs` ((id_1, id_2, jaccard), id_1 < id_2, exact
+    scores, no false positives), different scale mechanics.
+
+    Canonical order = ascending global shingle document-frequency (shingle
+    string as tie-break). For Jaccard >= t a pair must overlap in at least
+    ceil(t*|x|) shingles of EITHER side x, so (prefix lemma, Chaudhuri et al.
+    SSJoin / Xiao et al. PPJoin) the first |x| - ceil(t*|x|) + 1 canonical
+    shingles of the two sides must intersect — only those PREFIX shingles
+    enter the inverted-index self-join. Two consequences at scale:
+
+    - the joined relation shrinks to ~(1-t) of the full index, and
+    - prefixes are the RAREST shingles of each doc, so per-bucket collision
+      counts collapse: corpus-wide boilerplate (the quadratic hazard
+      ``max_shingle_df`` exists for in the full-index path) sorts LAST and
+      almost never reaches a prefix. No df cap, no exactness correction —
+      recall is exact by the lemma, not modulo a hot set.
+
+    A conservative length-ratio filter (|smaller| >= t*|larger| - eps, a
+    necessary condition for jacc >= t) prunes candidates before the exact
+    verify, which computes Jaccard from the cached full shingle arrays
+    (bounded candidate volumes — that is the point of the prefix step).
+
+    Cost shape: one shingle-df aggregation, one per-doc window (rank within
+    doc — the same id-keyed shuffle every per-doc op pays), the prefix-only
+    equi-join, then verify joins. Worst case remains a corpus of identical
+    docs (every prefix is the same shingle); the full-index path's
+    fractional-cap machinery is the tool for that pathology — these two
+    generators are complements, pinned pair-identical in pytest.
+    """
+    from pyspark.sql import Window
+
+    sets_ = shingle_sets(df, id_col, text_col, k).cache()
+    sh = sets_.select(F.col(id_col), F.explode("ss").alias("shingle"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = sh.join(dfreq, "shingle")
+    w = Window.partitionBy(id_col).orderBy("_df", "shingle")
+    prefix = (
+        ranked.withColumn("_pos", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+        .filter(
+            F.col("_pos")
+            <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+        )
+        .select(F.col(id_col), "shingle", "_n")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    n1, n2 = F.col("a._n"), F.col("b._n")
+    candidates = (
+        a.join(
+            b,
+            on=(F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            # necessary size condition for jacc >= t; eps keeps float
+            # rounding from ever pruning a true boundary pair
+            & (
+                F.least(n1, n2).cast("double")
+                >= F.lit(threshold) * F.greatest(n1, n2).cast("double") - F.lit(1e-9)
+            ),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2"))
+        .distinct()
+    )
+    return _verify_jaccard(candidates, sets_, id_col, threshold)

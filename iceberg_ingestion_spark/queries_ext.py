@@ -175,6 +175,17 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard pairs via PREFIX FILTERING (PPJoin-style candidate
+    generation: only each doc's |s|-ceil(t|s|)+1 globally-rarest shingles
+    enter the inverted-index join — boilerplate sorts last and never joins,
+    so no df cap and no correction machinery). Same oracle as the
+    capped-index entry: the exact pair set — recall is lossless by the
+    prefix lemma, not modulo a hot set."""
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    return dedup.jaccard_prefix_pairs(d, "doc_id", k=3, threshold=JACCARD_THRESHOLD)
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", spread=True)
     return dedup.minhash_lsh_pairs(d, "doc_id", k=3, threshold=MINHASH_THRESHOLD)
@@ -1109,6 +1120,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_fingerprint_groups": q_dedup_fingerprint_groups,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1352,6 +1364,10 @@ ORACLES_EXT: dict[str, str] = {
         FROM doubled GROUP BY 1 HAVING count(*) >= 2
     """,
     "dedup_ngram_jaccard": _JACCARD_CTE
+    + f"SELECT id_1, id_2, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}",
+    # prefix filtering is recall-lossless (prefix lemma), so the exact pair
+    # set is the oracle — identical to the capped-index entry's
+    "dedup_jaccard_prefix": _JACCARD_CTE
     + f"SELECT id_1, id_2, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}",
     # LSH banding at 32x4 misses a >=0.9-similar pair with prob ~1e-15 and the
     # candidates are exactly verified, so the oracle is the exact pair set.

@@ -204,3 +204,68 @@ def test_value_histogram_bins_partition_the_data(spark):
     assert sum(r.n for r in hist) == ev_n  # bins partition all rows
     for r in hist:
         assert r.bin_lo == r.bin * 25.0
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered Jaccard join
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_jaccard_hand_case(spark):
+    from iceberg_ingestion_spark.operators.dedup import jaccard_prefix_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),          # 3-shingles: {abc, bcd, cde}
+            (2, "a b c d e"),          # identical -> jaccard 1.0
+            (3, "a b c d x"),          # {abc, bcd, cdx} -> inter 2, union 4 -> 0.5
+            (4, "q r s t u"),          # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_1, r.id_2): r.jaccard
+        for r in jaccard_prefix_pairs(docs, "doc_id", k=3, threshold=0.5).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == 0.5
+    assert got[(2, 3)] == 0.5
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_prefix_jaccard_matches_inverted_index_path(spark):
+    """The two exact-Jaccard candidate generators (prefix filter vs full
+    inverted index) must produce the IDENTICAL pair set + scores on the
+    fixture corpus — they differ only in how candidates are generated."""
+    from iceberg_ingestion_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = {
+        (r.id_1, r.id_2): r.jaccard
+        for r in jaccard_prefix_pairs(docs, "doc_id", k=3, threshold=0.5).collect()
+    }
+    b = {
+        (r.id_1, r.id_2): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "doc_id", k=3, threshold=0.5).collect()
+    }
+    assert a == b
+    assert a  # non-vacuous: the fixture corpus has near-dup pairs
+
+
+def test_prefix_jaccard_threshold_one_still_finds_exact_dups(spark):
+    """t=1.0 -> prefix length is exactly 1 (the single rarest shingle);
+    identical docs must still pair."""
+    from iceberg_ingestion_spark.operators.dedup import jaccard_prefix_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "w x y z w2"), (2, "w x y z w2"), (3, "totally different text here")],
+        "doc_id long, text string",
+    )
+    got = [
+        (r.id_1, r.id_2)
+        for r in jaccard_prefix_pairs(docs, "doc_id", k=3, threshold=1.0).collect()
+    ]
+    assert got == [(1, 2)]
