@@ -135,3 +135,109 @@ def sessionize_stream(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+SEQUENCE_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("matched_at_us", LongType()),
+        StructField("match_seq", LongType()),
+    ]
+)
+
+#: per-key automaton state: (next stage index, last processed ts, matches so far)
+SEQUENCE_STATE = StructType(
+    [
+        StructField("stage_idx", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_matches", LongType()),
+    ]
+)
+
+
+def sequence_detect_stream(
+    stream: DataFrame,
+    stages: list[str],
+    reset_types: list[str] = (),
+) -> DataFrame:
+    """Continuous ordered-pattern detection (the streaming counterpart of
+    ``funnel.sequence_match``'s journey regex, CEP-style): emit a row the
+    moment a user completes ``stages`` in order — e.g. view → click →
+    purchase — where any ``reset_types`` event (e.g. an error) in between
+    aborts the attempt, matching the batch pattern ``v[^e]*c[^e]*p``.
+
+    Input stream needs ``user_id: long``, ``event_type: string``,
+    ``ts_us: long``. Output: (user_id, matched_at_us, match_seq) per
+    completed, NON-OVERLAPPING match (the automaton restarts at stage 0
+    after emitting — the greedy leftmost semantics a funnel alert wants).
+
+    Scale posture — the reason this exists instead of "rerun the batch regex
+    per batch": per-key state is THREE INTEGERS (automaton stage, last ts,
+    match count), not the journey string, which grows with user activity and
+    would make a regex-over-state approach unbounded. Events advance the
+    automaton one at a time: stage-matching event → advance (emit + restart
+    on the final stage); reset-type event → back to stage 0; anything else —
+    including uncoded types — is ignored, exactly like the batch regex's
+    ``[^e]*`` wildcard over coded events. Within a batch events process in
+    (ts_us, arrival) order; across batches the stored ``last_us`` drops
+    older late arrivals (the same poor-man's-watermark contract as
+    ``sessionize_stream``; add ``withWatermark`` upstream to bound
+    disorder). Batch/stream parity and split-invariance are pinned in
+    tests/test_streaming_windowed_stateful.py.
+    """
+    if len(set(stages)) != len(stages):
+        # the advance rule keys each event type to ONE stage index; a stage
+        # list like [a, b, a] needs a real NFA, not this three-int automaton
+        raise ValueError(f"sequence_detect_stream: stages must be distinct, got {stages}")
+    stage_of = {s: i for i, s in enumerate(stages)}
+    resets = set(reset_types)
+    n_stages = len(stages)
+
+    def fold(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            stage_idx, last, n_matches = state.get
+        else:
+            stage_idx, last, n_matches = 0, None, 0
+        # (ts, event_id, type) — the same total order as the batch operator's
+        # journey string; event_id is optional in the stream schema (ties
+        # then break on the type string, still deterministic)
+        events: list[tuple[int, int, str]] = sorted(
+            (int(t), int(i), str(e))
+            for pdf in pdfs
+            for t, i, e in zip(
+                pdf["ts_us"],
+                pdf["event_id"] if "event_id" in pdf.columns else [0] * len(pdf),
+                pdf["event_type"],
+            )
+        )
+        if last is not None:
+            events = [ev for ev in events if ev[0] >= last]
+        matches: list[tuple[int, int, int]] = []
+        for ts, _i, et in events:
+            last = ts
+            if et in resets:
+                stage_idx = 0
+            elif stage_of.get(et) == stage_idx:
+                stage_idx += 1
+                if stage_idx == n_stages:
+                    n_matches += 1
+                    matches.append((user_id, ts, n_matches))
+                    stage_idx = 0
+        state.update((stage_idx, last, n_matches))
+        if matches:
+            yield pd.DataFrame(
+                matches, columns=["user_id", "matched_at_us", "match_seq"]
+            )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=SEQUENCE_OUTPUT,
+        stateStructType=SEQUENCE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -312,3 +312,89 @@ def test_interval_join_stream_matches_batch_across_batches(spark, tmp_path):
     assert (7, 2, 1, 30 * 60 * 1_000_000) in streamed     # same-batch pair
     assert (8, 4, 3, 105 * 60 * 1_000_000) in streamed    # cross-batch pair
     assert not any(c == 6 for (_, c, _, _) in streamed)   # outside lag window
+
+
+SEQ_DDL = "user_id long, event_id long, event_type string, ts_us long"
+
+
+def test_sequence_detect_stream_across_batches_with_reset(spark, tmp_path):
+    from iceberg_ingestion_spark.streaming.stateful import sequence_detect_stream
+
+    input_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    os.makedirs(input_dir)
+    tf = lambda st: sequence_detect_stream(
+        st, ["view", "click", "purchase"], reset_types=["error"]
+    )
+
+    # batch 1: user 1 completes view+click (automaton mid-flight in state);
+    # user 2 completes a FULL match in-batch; user 3 views then errors.
+    _drop(spark, input_dir, SEQ_DDL, [
+        (1, 1, "view", 10), (1, 2, "click", 20),
+        (2, 3, "view", 10), (2, 4, "click", 20), (2, 5, "purchase", 30),
+        (3, 6, "view", 10), (3, 7, "error", 20),
+    ])
+    _drain(spark, input_dir, SEQ_DDL, out_dir, ckpt, tf)
+    got = {(r.user_id, r.matched_at_us, r.match_seq)
+           for r in spark.read.parquet(out_dir).collect()}
+    assert got == {(2, 30, 1)}
+
+    # batch 2: user 1's purchase completes the match carried in state; user
+    # 3's click+purchase do NOT match (the error reset their view); user 2
+    # starts and completes a SECOND match -> match_seq increments.
+    _drop(spark, input_dir, SEQ_DDL, [
+        (1, 8, "purchase", 30),
+        (3, 9, "click", 30), (3, 10, "purchase", 40),
+        (2, 11, "view", 40), (2, 12, "click", 50), (2, 13, "purchase", 60),
+    ])
+    _drain(spark, input_dir, SEQ_DDL, out_dir, ckpt, tf)
+    got = {(r.user_id, r.matched_at_us, r.match_seq)
+           for r in spark.read.parquet(out_dir).collect()}
+    assert got == {(2, 30, 1), (1, 30, 1), (2, 60, 2)}
+
+
+def test_sequence_detect_stream_split_invariant_and_batch_parity(spark, tmp_path):
+    """Feeding the fixture event log in 1 drop vs 3 drops yields identical
+    matches, and both equal a reference automaton run over the fully-sorted
+    log — the CEP operator is micro-batch-split invariant."""
+    from iceberg_ingestion_spark.streaming.stateful import sequence_detect_stream
+
+    rows = [
+        (int(r.user_id), int(r.event_id), r.event_type, int(r.ts_us))
+        for r in spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+        .select("user_id", "event_id", "event_type", "ts_us")
+        .collect()
+    ]
+    stages, resets = ["view", "click", "purchase"], {"error"}
+    stage_of = {s: i for i, s in enumerate(stages)}
+
+    # reference: one pass over the globally-sorted log
+    expected = set()
+    state: dict[int, tuple[int, int]] = {}
+    for uid, eid, et, ts in sorted(rows, key=lambda r: (r[0], r[3], r[1])):
+        idx, n = state.get(uid, (0, 0))
+        if et in resets:
+            idx = 0
+        elif stage_of.get(et) == idx:
+            idx += 1
+            if idx == len(stages):
+                n += 1
+                expected.add((uid, ts, n))
+                idx = 0
+        state[uid] = (idx, n)
+
+    tf = lambda st: sequence_detect_stream(st, stages, reset_types=["error"])
+    by_ts = sorted(rows, key=lambda r: r[3])
+    for label, chunks in [("one", [by_ts]), ("three", [by_ts[:300], by_ts[300:700], by_ts[700:]])]:
+        input_dir, out_dir, ckpt = (
+            str(tmp_path / f"{label}_{d}") for d in ("in", "out", "ckpt")
+        )
+        os.makedirs(input_dir)
+        for chunk in chunks:
+            _drop(spark, input_dir, SEQ_DDL, chunk)
+            _drain(spark, input_dir, SEQ_DDL, out_dir, ckpt, tf)
+        got = {
+            (r.user_id, r.matched_at_us, r.match_seq)
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        assert got == expected, label
