@@ -713,6 +713,11 @@ def jaccard_prefix_pairs(
     """
     from pyspark.sql import Window
 
+    if not 0.0 < threshold <= 1.0:
+        # t<=0 degenerates the prefix to the WHOLE set: a full uncapped
+        # inverted-index join with none of ngram_jaccard_pairs' skew
+        # machinery — refuse rather than run the quadratic plan
+        raise ValueError(f"jaccard_prefix_pairs: threshold must be in (0, 1], got {threshold}")
     sets_ = shingle_sets(df, id_col, text_col, k).cache()
     sh = sets_.select(F.col(id_col), F.explode("ss").alias("shingle"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))

@@ -153,6 +153,8 @@ def sequence_match(
     semantics in DuckDB via string_agg(... ORDER BY ts, tiebreak) +
     regexp_matches, so the operator oracles exactly.
     """
+    if not codes:
+        raise ValueError("sequence_match: codes must be non-empty")
     code_expr = F.element_at(
         F.create_map(*[F.lit(x) for kv in codes.items() for x in kv]),
         F.col(type_col),

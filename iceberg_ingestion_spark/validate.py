@@ -113,6 +113,8 @@ def profile_drift(a: DataFrame, b: DataFrame, columns: list[str]) -> DataFrame:
     bit-identical across engines and partitionings (the established q1
     convention); non-numeric columns profile with NULL sums.
     """
+    if not columns:
+        raise ValueError("profile_drift: columns must be non-empty")
     numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"} | {
         d for _, d in a.dtypes if d.startswith("decimal")
     }

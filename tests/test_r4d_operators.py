@@ -269,3 +269,28 @@ def test_prefix_jaccard_threshold_one_still_finds_exact_dups(spark):
         for r in jaccard_prefix_pairs(docs, "doc_id", k=3, threshold=1.0).collect()
     ]
     assert got == [(1, 2)]
+
+
+# ---------------------------------------------------------------------------
+# Input guards
+# ---------------------------------------------------------------------------
+
+
+def test_new_operator_input_guards(spark):
+    from iceberg_ingestion_spark.operators.dedup import jaccard_prefix_pairs
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    ev = _ev(spark, [(1, 1, "view", 10)])
+    with pytest.raises(ValueError, match="threshold"):
+        jaccard_prefix_pairs(docs, "doc_id", threshold=0.0)
+    with pytest.raises(ValueError, match="columns"):
+        profile_drift(docs, docs, [])
+    with pytest.raises(ValueError, match="codes"):
+        sequence_match(ev, "x", {})
+
+
+def test_sequence_detect_stream_rejects_duplicate_stages():
+    from iceberg_ingestion_spark.streaming.stateful import sequence_detect_stream
+
+    with pytest.raises(ValueError, match="distinct"):
+        sequence_detect_stream(None, ["a", "b", "a"])

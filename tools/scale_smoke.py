@@ -378,9 +378,52 @@ def late_curve(mults: list[int]) -> int:
     return 0
 
 
+def prefix_ab(mults: list[int]) -> int:
+    """Prefix-filter vs inverted-index A/B on the boilerplate-hazard corpus
+    (fresh growth + a 10%-of-corpus boilerplate head — the caps_ab headline
+    scenario). The claim under test: the prefix join needs NO cap because
+    boilerplate shingles (highest df) sort last in the rarest-first canonical
+    order and never enter its candidate join, so its curve should track the
+    FRACTIONALLY-CAPPED index, not the quadratic uncapped one."""
+    from iceberg_ingestion_spark.operators import dedup
+    from iceberg_ingestion_spark.session import build_session
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = build_session(app_name="scale-smoke-prefix")
+    spark.range(10_000).repartition(64).mapInPandas(lambda it: it, "id long").count()
+    base = spark.read.parquet(f"{sf}/documents.parquet").repartition(32)
+
+    for mult in mults:
+        docs = with_boilerplate(
+            base if mult == 1 else fresh_blow_up(base, mult)
+        ).cache()
+        n = docs.count()
+        print(f"\n== prefix A/B {mult}x: {n} docs (flat body df, 10% boilerplate head) ==")
+        bench_cancelable(
+            spark, f"prefix filter (no cap) {mult}x",
+            lambda: dedup.jaccard_prefix_pairs(docs, "doc_id", threshold=0.5),
+        )
+        bench_cancelable(
+            spark, f"index cap=2%PROP       {mult}x",
+            lambda: dedup.ngram_jaccard_pairs(
+                docs, "doc_id", threshold=0.5, max_shingle_df_frac=0.02,
+            ),
+        )
+        if mult <= 5:
+            bench_cancelable(
+                spark, f"index UNCAPPED         {mult}x",
+                lambda: dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.5),
+            )
+        docs.unpersist()
+    spark.stop()
+    return 0
+
+
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--caps-ab":
         return caps_ab([int(a) for a in sys.argv[2:]] or [5, 20])
+    if len(sys.argv) > 1 and sys.argv[1] == "--prefix-ab":
+        return prefix_ab([int(a) for a in sys.argv[2:]] or [1, 5, 20])
     if len(sys.argv) > 1 and sys.argv[1] == "--ann":
         return ann_curve([int(a) for a in sys.argv[2:]] or [1, 5, 20])
     if len(sys.argv) > 1 and sys.argv[1] == "--late":
