@@ -347,3 +347,114 @@ def test_property_edit_distance_matches_reference_dp(spark, pairs):
         assert (key in got) == expected_kept, (a, b, d)
         if expected_kept:
             assert got[key] == d, (a, b)
+
+
+# ---------------------------------------------------------------------------
+# r4-final operators: sequence match, PMI, prefix-filtered Jaccard
+# ---------------------------------------------------------------------------
+
+ev_row = st.tuples(
+    st.integers(min_value=0, max_value=3),            # user
+    st.integers(min_value=0, max_value=30),           # ts
+    st.sampled_from(["view", "click", "purchase", "error", "other"]),
+)
+
+
+@given(events=st.lists(ev_row, min_size=0, max_size=25))
+@PROP_SETTINGS
+def test_sequence_match_equals_reference_regex(spark, events):
+    """The one-shuffle journey build + rlike equals a plain-Python rebuild of
+    each user's journey and re.search — over random event streams, including
+    ts ties (broken by event_id) and uncoded types."""
+    import re
+
+    from iceberg_ingestion_spark.operators.funnel import sequence_match
+
+    codes = {"view": "v", "click": "c", "purchase": "p", "error": "e"}
+    pattern = "v[^e]*c[^e]*p"
+    rows = [(u, i, et, ts) for i, (u, ts, et) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows or [(None, None, None, None)],
+        "user_id int, event_id int, event_type string, ts_us int",
+    ).filter(F.col("user_id").isNotNull())
+    got = {
+        r.user_id: (r.n_events, r.journey, r.matched)
+        for r in sequence_match(df, pattern, codes).collect()
+    }
+    expected: dict[int, str] = {}
+    for u, i, et, ts in sorted(rows, key=lambda r: (r[3], r[1])):
+        if et in codes:
+            expected[u] = expected.get(u, "") + codes[et]
+    assert set(got) == set(expected)
+    for u, j in expected.items():
+        assert got[u] == (len(j), j, re.search(pattern, j) is not None)
+
+
+doc_row = st.tuples(
+    st.integers(min_value=0, max_value=99),
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=8).map(" ".join),
+)
+
+
+@given(docs=st.lists(doc_row, min_size=0, max_size=10, unique_by=lambda d: d[0]))
+@PROP_SETTINGS
+def test_prefix_jaccard_equals_bruteforce(spark, docs):
+    """Prefix filtering loses NOTHING: over random tiny corpora (tiny
+    vocabulary -> dense collisions, empty/short docs included) the pair set
+    and scores equal the all-pairs Python computation."""
+    from iceberg_ingestion_spark.operators.dedup import jaccard_prefix_pairs
+
+    k, t = 2, 0.5
+    df = spark.createDataFrame(
+        docs or [(None, None)], "doc_id int, text string"
+    ).filter(F.col("doc_id").isNotNull())
+    got = {
+        (r.id_1, r.id_2): r.jaccard
+        for r in jaccard_prefix_pairs(df, "doc_id", k=k, threshold=t).collect()
+    }
+    sets_ = {}
+    for did, text in docs:
+        toks = text.strip().lower().split()
+        sets_[did] = {
+            " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+        }
+    expected = {}
+    ids = sorted(sets_)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets_[a] & sets_[b])
+            union = len(sets_[a] | sets_[b])
+            if union and inter / union >= t:
+                expected[(a, b)] = inter / union
+    assert got == expected
+
+
+@given(docs=st.lists(doc_row, min_size=0, max_size=10, unique_by=lambda d: d[0]))
+@PROP_SETTINGS
+def test_pmi_marginals_are_consistent(spark, docs):
+    """With no min-count filter and k large enough to keep every pair:
+    c_pair <= min(c_first, c_second), lift is exactly c_pair*N/(c1*c2), and
+    each first-word marginal equals the sum of its pairs' counts."""
+    from collections import Counter
+
+    from iceberg_ingestion_spark.operators.text import pmi_top_collocations
+
+    df = spark.createDataFrame(
+        docs or [(None, None)], "doc_id int, text string"
+    ).filter(F.col("doc_id").isNotNull())
+    rows = pmi_top_collocations(df, min_count=1, k=10_000).collect()
+    bigrams = Counter()
+    for _did, text in docs:
+        toks = text.strip().lower().split()
+        for i in range(len(toks) - 1):
+            bigrams[(toks[i], toks[i + 1])] += 1
+    n_total = sum(bigrams.values())
+    assert {(r.w1, r.w2) for r in rows} == set(bigrams)
+    first = Counter()
+    for (w1, _w2), c in bigrams.items():
+        first[w1] += c
+    for r in rows:
+        assert r.c_pair == bigrams[(r.w1, r.w2)]
+        assert r.c_pair <= min(r.c_first, r.c_second)
+        assert r.c_first == first[r.w1]
+        assert r.lift == (r.c_pair * n_total) / (r.c_first * r.c_second)
