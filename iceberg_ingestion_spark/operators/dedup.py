@@ -653,7 +653,6 @@ def edit_distance_pairs(
     # Repartition node back into the coalesced join stage.
     spread = candidates.repartition(default_parallelism())
     paired = spread.join(t1, "id_1").join(t2, "id_2")
-    dist = F.levenshtein("_t1", "_t2")
     bound = F.greatest(F.length("_t1"), F.length("_t2"))
     # Cheap lower bound before the DP: levenshtein >= |len_a - len_b|, so
     # pairs whose lengths already differ past the budget never run it.
@@ -662,15 +661,25 @@ def edit_distance_pairs(
     # are nearly identical — it pruned <0.1% while paying an interpreted
     # higher-order-function pass per pair.)
     len_gap = F.abs(F.length("_t1") - F.length("_t2"))
-    survivors = paired.filter(len_gap * max_dist_den <= bound * max_dist_num).filter(
-        dist * max_dist_den <= bound * max_dist_num
+    paired = paired.filter(len_gap * max_dist_den <= bound * max_dist_num)
+    # BANDED DP: Spark's three-arg levenshtein takes a per-row threshold and
+    # runs the O(len * threshold) diagonal-band algorithm, returning -1 past
+    # the band — the returned distance is EXACT whenever it is kept, and for
+    # integer dist, dist <= bound*num DIV den  <=>  dist*den <= bound*num,
+    # so "edit_dist >= 0" is the same predicate the full DP evaluated.
+    # Measured at sf0.1 (simhash-banded candidates, num/den = 1/5): 7.4 s ->
+    # 2.6 s warm — the band is ~2*len/5 of the len^2 table, and far-apart
+    # pairs exit as soon as the band saturates. The DP also runs ONCE per
+    # pair total (the filter reads the projected column, no recompute).
+    dist = F.expr(
+        "levenshtein(_t1, _t2, CAST(greatest(length(_t1), length(_t2)) "
+        f"* {int(max_dist_num)} DIV {int(max_dist_den)} AS INT))"
     )
-    # edit_dist is projected AFTER the filter: the DP runs once per
-    # candidate in the filter and once more only for the (tiny) surviving
-    # pair set — never twice per candidate. (An explicit _t1 = _t2
-    # short-circuit for the hamming-0 bulk was measured at zero gain —
-    # Spark's levenshtein already fast-paths equal strings.)
-    return survivors.withColumn("edit_dist", dist).drop("_t1", "_t2")
+    return (
+        paired.withColumn("edit_dist", dist)
+        .filter(F.col("edit_dist") >= 0)
+        .drop("_t1", "_t2")
+    )
 
 
 def jaccard_prefix_pairs(
