@@ -529,7 +529,9 @@ def simhash_band_values(sig: Column, max_hamming: int, bits: int = 60) -> list[C
     cols, lo = [], 0
     for i in range(n_bands):
         width = base + (1 if i < extra else 0)
-        mask = F.lit((1 << width) - 1).cast("long")
+        # width == 64 (bits=64, max_hamming=0): (1<<64)-1 overflows a signed
+        # long — all-ones is -1 in two's complement
+        mask = F.lit(-1 if width >= 64 else (1 << width) - 1).cast("long")
         cols.append(F.shiftright(sig, lo).bitwiseAND(mask))
         lo += width
     return cols

@@ -133,3 +133,70 @@ def real_decode(payload: bytes) -> dict:
             "image decode requires PIL/pillow, not available in this environment"
         ) from exc
     raise NotImplementedError("plug real decoder here")  # pragma: no cover
+
+
+AHASH_SCHEMA = "doc_id long, phash long"
+
+
+def ahash64(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """64-bit average-hash (aHash) per binary payload — the perceptual-hash
+    half of an image near-dup pipeline. A real deployment decodes the image
+    and downscales to an 8x8 luma grid; here the grid is a DETERMINISTIC,
+    LOCALITY-PRESERVING stand-in (mean byte value of each of 64 contiguous
+    payload blocks), so payloads differing in a few bytes — the binary
+    analogue of re-encoded/lightly-edited images — land within small hamming
+    distance, which is the property the downstream banding join needs. Swap
+    ``grid()`` for the real decode; every bit of the Spark plumbing and the
+    pairing math is unchanged.
+
+    Integer-exact: block luma is an integer floor-mean, and bit i is set iff
+    ``luma_i * 64 > sum(lumas)`` (cross-multiplied mean threshold — no float
+    anywhere), so hashes are bit-identical across engines and partitionings.
+    Empty payloads hash to 0.
+    """
+
+    def grid(b: bytes) -> list[int]:
+        n = len(b)
+        if n == 0:
+            return [0] * 64
+        out = []
+        for j in range(64):
+            lo = (j * n) // 64
+            hi = max(lo + 1, ((j + 1) * n) // 64)  # short payloads: 1+ byte/block
+            block = b[lo:hi]
+            out.append(sum(block) // len(block))
+        return out
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for b in pdf[payload_col]:
+                g = grid(bytes(b))
+                total = sum(g)
+                h = 0
+                for i, v in enumerate(g):
+                    if v * 64 > total:
+                        h |= 1 << i
+                # two's-complement into a signed 64-bit long for Spark
+                hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame({"doc_id": pdf[id_col], "phash": pd.array(hashes, dtype="int64")})
+
+    return df.select(id_col, payload_col).mapInPandas(_hash, AHASH_SCHEMA)
+
+
+def phash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Image near-dup pairs by perceptual hash: aHash each payload, then the
+    SAME pigeonhole banding machinery the text pipeline uses
+    (:func:`dedup.simhash_pairs` with ``bits=64``) — candidates from a
+    (band, value) equi-join, exact ``bit_count(xor)`` verify, zero false
+    negatives within the radius. One hash pass + one banding join: the
+    at-scale shape for billion-image dedup (no pairwise scan anywhere)."""
+    from iceberg_ingestion_spark.operators import dedup
+
+    sigs = ahash64(df, id_col, payload_col).withColumnRenamed("phash", "simhash")
+    return dedup.simhash_pairs(sigs, id_col, max_hamming=max_hamming, bits=64)

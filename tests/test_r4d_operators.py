@@ -294,3 +294,68 @@ def test_sequence_detect_stream_rejects_duplicate_stages():
 
     with pytest.raises(ValueError, match="distinct"):
         sequence_detect_stream(None, ["a", "b", "a"])
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image near-dup (multimodal)
+# ---------------------------------------------------------------------------
+
+
+def _payload_df(spark, items):
+    return spark.createDataFrame(items, "doc_id long, payload binary")
+
+
+def test_ahash_deterministic_and_empty_payload(spark):
+    from iceberg_ingestion_spark.operators.multimodal import ahash64
+
+    base = bytes(range(256)) * 4
+    df = _payload_df(spark, [(1, base), (2, base), (3, b"")])
+    rows = {r.doc_id: r.phash for r in ahash64(df).collect()}
+    assert rows[1] == rows[2]          # same bytes -> same hash
+    assert rows[3] == 0                # empty payload -> 0
+    rows2 = {r.doc_id: r.phash for r in ahash64(df.repartition(5)).collect()}
+    assert rows == rows2               # partitioning-independent
+
+
+def test_phash_near_dup_pairs_small_edit_vs_unrelated(spark):
+    from iceberg_ingestion_spark.operators.multimodal import (
+        ahash64,
+        phash_near_dup_pairs,
+    )
+
+    base = bytearray((i * 37) % 256 for i in range(4096))
+    edited = bytearray(base)
+    for k in range(0, 64, 16):         # touch a few bytes: a "light re-encode"
+        edited[k] = (edited[k] + 7) % 256
+    unrelated = bytes(((i * i) ^ 123) % 256 for i in range(4096))
+    df = _payload_df(spark, [(1, bytes(base)), (2, bytes(edited)), (3, unrelated)])
+    pairs = {
+        (r.id_1, r.id_2): r.hamming
+        for r in phash_near_dup_pairs(df, max_hamming=6).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    # exactness: hamming equals the Python popcount of the xored hashes
+    h = {r.doc_id: r.phash for r in ahash64(df).collect()}
+    assert pairs[(1, 2)] == bin((h[1] ^ h[2]) & ((1 << 64) - 1)).count("1")
+
+
+def test_phash_pipeline_from_text_payloads(spark):
+    """End-to-end through the documented payload attach: duplicate texts pair
+    at hamming 0; the banding join (not an all-pairs scan) generates them."""
+    from iceberg_ingestion_spark.operators.multimodal import (
+        attach_binary_payload,
+        phash_near_dup_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    doubled = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    pairs = phash_near_dup_pairs(
+        attach_binary_payload(doubled), max_hamming=0
+    ).collect()
+    exact = {(r.id_1, r.id_2) for r in pairs if r.hamming == 0}
+    # every doc pairs with its shifted twin at hamming 0
+    twin = {(r.doc_id, r.doc_id + 1_000_000) for r in docs.collect()}
+    assert twin <= exact
