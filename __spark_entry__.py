@@ -161,6 +161,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     this session's post-change full sf0.01 sweep (BASELINE.md r4-final
 #:     consolidation). dedup_edit_distance (in-window) pins the same
 #:     function live, plus the banded-Levenshtein rewrite of its verify.
+#: (g) r4 final: multimodal_phash_pairs (aHash64 + 64-bit pigeonhole
+#:     banding — the ONLY driver exposure of the r4-new ahash64 kernel and
+#:     the width>=64 band branch; oracle re-derives the hash integer-exactly
+#:     in SQL and was verified at sf0.001/0.01/0.1 this session). Displaces
+#:     text_repetition: defined once in r1, byte-unchanged since, green in
+#:     BOTH its r1 and r2 driver rows, re-passed this session's tri-SF
+#:     sweeps, and the text family keeps six in-window representatives
+#:     (lang_id, pii_scrub, bigram_corpus_freq, pmi_bigrams,
+#:     boilerplate_scrub, token_quantile_filter).
 _PRIORITY = [
     # r4 final additions (block f)
     "dedup_jaccard_prefix",
@@ -219,7 +228,7 @@ _PRIORITY = [
     # the 25th of VERDICT r3's list)
     "text_lang_id",
     "text_pii_scrub",
-    "text_repetition",
+    "multimodal_phash_pairs",  # block (g): r4-new aHash64 + 64-bit banding
     "sim_knn_label_vote",
     "sessionize_stats",
     "data_split_counts",

@@ -985,6 +985,29 @@ def q_multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Hamming radius for the 64-bit perceptual-hash pairing. 10 is the classic
+#: aHash near-dup threshold; on this corpus it yields a non-empty exact pair
+#: set at every driver SF (1 / 3 / 269 pairs at sf0.001/0.01/0.1) while the
+#: 11-band pigeonhole join stays bounded (~3.7M pre-distinct candidates at
+#: sf0.1, measured).
+PHASH_MAX_HAMMING = 10
+
+
+def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs by 64-bit perceptual hash (aHash): an Arrow
+    mapInPandas hash pass over the binary payloads, then the SAME pigeonhole
+    banding machinery as the text SimHash pipeline (bits=64) with an exact
+    ``bit_count(xor)`` verify. Recall within the radius is a pigeonhole
+    guarantee, so the oracle is the exact pair set — DuckDB re-derives the
+    integer-exact aHash in SQL (docs are pure ASCII, so VARCHAR positions ==
+    payload byte positions) and does the quadratic self-join."""
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    withbin = multimodal.attach_binary_payload(d)
+    return multimodal.phash_near_dup_pairs(
+        withbin, "doc_id", max_hamming=PHASH_MAX_HAMMING
+    )
+
+
 # ---------------------------------------------------------------------------
 # r4 late additions: mergeable-sketch windows, SCD2, JSON props, edit-distance
 # ---------------------------------------------------------------------------
@@ -1157,6 +1180,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_resize_plan": q_multimodal_resize_plan,
+    "multimodal_phash_pairs": q_multimodal_phash_pairs,  # aHash64 + pigeonhole banding
     "corpus_shard_stats": q_corpus_shard_stats,
     "text_boilerplate_scrub": q_text_boilerplate_scrub,
     "sketch_count_min": q_sketch_count_min,  # md5-CMS: oracle recomputes the sketch
@@ -1818,6 +1842,45 @@ WHERE p.event_type = 'click'
                     AS target_height,
                greatest(fake_width, fake_height) > 128 AS resized
         FROM d
+    """,
+    # Integer-exact SQL re-derivation of ahash64 (multimodal.py): 64 blocks of
+    # contiguous byte positions (overlapping for short docs, hi = max(lo+1, ..)
+    # exactly as the pandas kernel), floor-mean luma per block, bit i set iff
+    # luma_i * 64 > sum(lumas), two's-complement into a signed BIGINT (the
+    # j = 63 term adds -2^63 — identical to the kernel's h - 2^64 wrap). The
+    # banded Spark join provably loses nothing within the radius (pigeonhole),
+    # so the quadratic bit_count(xor) self-join is a valid oracle.
+    "multimodal_phash_pairs": f"""
+        WITH docs AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        pos AS (
+            SELECT doc_id, i, ascii(substr(text, CAST(i + 1 AS INT), 1)) AS byte
+            FROM docs, unnest(range(n)) AS u(i)
+        ),
+        blocks AS (
+            SELECT doc_id, j, (j * n) // 64 AS lo,
+                   greatest((j * n) // 64 + 1, ((j + 1) * n) // 64) AS hi
+            FROM docs, unnest(range(64)) AS u(j)
+        ),
+        lumas AS (
+            SELECT b.doc_id, b.j, sum(p.byte) // count(*) AS luma
+            FROM blocks b
+            JOIN pos p ON p.doc_id = b.doc_id AND p.i >= b.lo AND p.i < b.hi
+            GROUP BY b.doc_id, b.j
+        ),
+        hashes AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN luma * 64 > tot THEN
+                        CASE WHEN j = 63 THEN -9223372036854775808
+                             ELSE (1::BIGINT << CAST(j AS INT)) END
+                        ELSE 0 END) AS BIGINT) AS phash
+            FROM (SELECT doc_id, j, luma,
+                         sum(luma) OVER (PARTITION BY doc_id) AS tot FROM lumas)
+            GROUP BY doc_id
+        )
+        SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+               CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+        FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}
     """,
     "corpus_shard_stats": f"""
         WITH sharded AS (
