@@ -576,6 +576,99 @@ def simhash_pairs(
     )
 
 
+def simhash_pairs_grouped(
+    simhashed: DataFrame,
+    id_col: str,
+    max_hamming: int = 8,
+    bits: int = 60,
+    equal_expansion: str = "pairs",
+) -> DataFrame:
+    """:func:`simhash_pairs` with identical signatures factored OUT of the
+    banding join — the duplicate-robust variant for corpora where many items
+    share one signature (exact-duplicate images under a perceptual hash,
+    boilerplate documents under SimHash).
+
+    Hazard being removed: per-item banding pays candidate mass quadratic in
+    SIGNATURE MULTIPLICITY — a clique of B items sharing one signature
+    collides in every band, emitting ~B^2 candidate rows x (max_hamming+1)
+    bands before `.distinct()` (the MinHash hot-bucket hazard, but with a
+    pigeonhole join; tools/scale_smoke.py --phash measures the blow-up).
+    Here the banding join runs over DISTINCT signatures (one row per value,
+    whatever the multiplicity), verified pairs of signatures expand back to
+    item pairs through two hash-equi-joins, and equal-signature cliques
+    re-enter as hamming-0 output by ``equal_expansion``:
+
+    - ``"pairs"`` (default): all within-clique pairs — byte-identical output
+      to :func:`simhash_pairs` (pytest-pinned). Output-bound: a clique of B
+      REALLY HAS ~B^2/2 near-dup pairs; no join machinery can shrink output.
+    - ``"star"``: one ``(min_id, other_id, 0)`` spanning-star edge per clique
+      member — linear in clique size, same connected components (the only
+      thing a dedup/clustering consumer reads from hamming-0 edges), the
+      at-scale choice.
+
+    The signature relation is cached (id + one long per row — constant
+    per-item size at any corpus scale) because four legs consume it; the
+    equal-expansion legs never shuffle more than (signature -> ids) joins.
+    Lossless either way: grouping changes WHERE pairs are generated, never
+    whether they are."""
+    if equal_expansion not in ("pairs", "star"):
+        raise ValueError(
+            f"simhash_pairs_grouped: equal_expansion must be 'pairs' or 'star',"
+            f" got {equal_expansion!r}"
+        )
+    sigs = simhashed.select(F.col(id_col), F.col("simhash")).cache()
+    uniq = sigs.select("simhash").distinct()
+    bands = simhash_band_values(F.col("simhash"), max_hamming, bits)
+    entries = uniq.select(
+        F.col("simhash"), F.posexplode(F.array(*bands)).alias("band", "band_val")
+    )
+    a = entries.select(F.col("simhash").alias("sh_1"), "band", "band_val")
+    b = entries.select(F.col("simhash").alias("sh_2"), "band", "band_val")
+    ham = F.bit_count(F.col("sh_1").bitwiseXOR(F.col("sh_2"))).cast("int")
+    near_sigs = (
+        a.join(b, on=["band", "band_val"])
+        .filter(F.col("sh_1") < F.col("sh_2"))
+        .select("sh_1", "sh_2")
+        .distinct()
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    # expand verified signature pairs to item pairs (signatures differ, so the
+    # two sides are disjoint id sets; each unordered item pair appears exactly
+    # once because signature pairs are sh_1 < sh_2 canonical)
+    left = sigs.select(F.col(id_col).alias("_ida"), F.col("simhash").alias("sh_1"))
+    right = sigs.select(F.col(id_col).alias("_idb"), F.col("simhash").alias("sh_2"))
+    cross = (
+        near_sigs.join(left, "sh_1")
+        .join(right, "sh_2")
+        .select(
+            F.least("_ida", "_idb").alias("id_1"),
+            F.greatest("_ida", "_idb").alias("id_2"),
+            "hamming",
+        )
+    )
+    if equal_expansion == "star":
+        reps = sigs.groupBy("simhash").agg(F.min(id_col).alias("_rep"))
+        eq = (
+            sigs.join(reps, "simhash")
+            .filter(F.col(id_col) != F.col("_rep"))
+            .select(
+                F.col("_rep").alias("id_1"),
+                F.col(id_col).alias("id_2"),
+                F.lit(0).cast("int").alias("hamming"),
+            )
+        )
+    else:
+        ea = sigs.select(F.col(id_col).alias("id_1"), "simhash")
+        eb = sigs.select(F.col(id_col).alias("id_2"), "simhash")
+        eq = (
+            ea.join(eb, "simhash")
+            .filter(F.col("id_1") < F.col("id_2"))
+            .select("id_1", "id_2", F.lit(0).cast("int").alias("hamming"))
+        )
+    return cross.unionByName(eq)
+
+
 def survivors_by_priority(
     df: DataFrame,
     id_col: str,

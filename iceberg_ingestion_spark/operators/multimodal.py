@@ -191,12 +191,18 @@ def phash_near_dup_pairs(
     max_hamming: int = 6,
 ) -> DataFrame:
     """Image near-dup pairs by perceptual hash: aHash each payload, then the
-    SAME pigeonhole banding machinery the text pipeline uses
-    (:func:`dedup.simhash_pairs` with ``bits=64``) — candidates from a
-    (band, value) equi-join, exact ``bit_count(xor)`` verify, zero false
-    negatives within the radius. One hash pass + one banding join: the
+    SAME pigeonhole banding machinery the text pipeline uses — in the
+    DUPLICATE-ROBUST grouped form (:func:`dedup.simhash_pairs_grouped` with
+    ``bits=64``): the banding join runs over DISTINCT hash values, so a
+    million exact-duplicate images (one shared aHash — routine in real image
+    corpora: logos, flat frames, re-posts) cost ONE row in the join instead
+    of a quadratic band-bucket blow-up; equal-hash cliques re-enter as
+    hamming-0 pairs by expansion. Candidates from a (band, value) equi-join,
+    exact ``bit_count(xor)`` verify, zero false negatives within the radius
+    (pigeonhole + lossless grouping, pytest-pinned pair-identical to the
+    per-item join). One hash pass + one distinct-hash banding join: the
     at-scale shape for billion-image dedup (no pairwise scan anywhere)."""
     from iceberg_ingestion_spark.operators import dedup
 
     sigs = ahash64(df, id_col, payload_col).withColumnRenamed("phash", "simhash")
-    return dedup.simhash_pairs(sigs, id_col, max_hamming=max_hamming, bits=64)
+    return dedup.simhash_pairs_grouped(sigs, id_col, max_hamming=max_hamming, bits=64)

@@ -359,3 +359,72 @@ def test_phash_pipeline_from_text_payloads(spark):
     # every doc pairs with its shifted twin at hamming 0
     twin = {(r.doc_id, r.doc_id + 1_000_000) for r in docs.collect()}
     assert twin <= exact
+
+def test_simhash_pairs_grouped_identical_to_per_item_join(spark):
+    """The duplicate-robust distinct-signature banding join is LOSSLESS: on
+    real corpus signatures (simhash60) and on a duplicate-heavy corpus it
+    returns the byte-identical pair set of the per-item join."""
+    from iceberg_ingestion_spark.operators import dedup, text
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = text.simhash60(docs, "doc_id")
+    ref = {
+        (r.id_1, r.id_2, r.hamming)
+        for r in dedup.simhash_pairs(sigs, "doc_id", max_hamming=6).collect()
+    }
+    got = {
+        (r.id_1, r.id_2, r.hamming)
+        for r in dedup.simhash_pairs_grouped(sigs, "doc_id", max_hamming=6).collect()
+    }
+    assert got == ref and len(ref) > 0
+    # duplicate-heavy: clone 10 copies of 5 docs -> identical signatures
+    clones = docs.limit(5)
+    heavy = docs
+    for i in range(1, 11):
+        heavy = heavy.unionByName(
+            clones.withColumn("doc_id", F.col("doc_id") + i * 10_000_000)
+        )
+    hsigs = text.simhash60(heavy, "doc_id")
+    ref2 = {
+        (r.id_1, r.id_2, r.hamming)
+        for r in dedup.simhash_pairs(hsigs, "doc_id", max_hamming=4).collect()
+    }
+    got2 = {
+        (r.id_1, r.id_2, r.hamming)
+        for r in dedup.simhash_pairs_grouped(hsigs, "doc_id", max_hamming=4).collect()
+    }
+    assert got2 == ref2
+
+
+def test_simhash_pairs_grouped_star_same_components(spark):
+    """equal_expansion='star' emits a linear spanning star per equal-signature
+    clique; connected components equal the quadratic 'pairs' expansion's."""
+    from iceberg_ingestion_spark.operators import dedup, text
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(40)
+    heavy = docs
+    for i in range(1, 6):
+        heavy = heavy.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + i * 10_000_000)
+        )
+    sigs = text.simhash60(heavy, "doc_id")
+    pairs = dedup.simhash_pairs_grouped(sigs, "doc_id", max_hamming=4)
+    star = dedup.simhash_pairs_grouped(
+        sigs, "doc_id", max_hamming=4, equal_expansion="star"
+    )
+    # star edge count within cliques is linear: n-1 per clique, vs n(n-1)/2
+    assert star.count() < pairs.count()
+    cc_p = {
+        (r.id, r.component)
+        for r in dedup.connected_components(pairs.select("id_1", "id_2")).collect()
+    }
+    cc_s = {
+        (r.id, r.component)
+        for r in dedup.connected_components(star.select("id_1", "id_2")).collect()
+    }
+    assert cc_p == cc_s
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        dedup.simhash_pairs_grouped(sigs, "doc_id", equal_expansion="clique")

@@ -419,6 +419,64 @@ def prefix_ab(mults: list[int]) -> int:
     return 0
 
 
+def phash_ab(mults: list[int]) -> int:
+    """Per-item vs distinct-signature (grouped) banding join A/B on the
+    duplicate-heavy corpus — the perceptual-hash hazard: exact-duplicate
+    payloads share ONE aHash, so a clique of B items collides in every band
+    and the per-item join pays ~B^2 x (bands) candidate rows; the grouped
+    join pays ONE row per distinct hash. Cluster SIZE scales with the
+    multiplier (the hazard dimension); the fresh body stays fixed so curve
+    growth isolates the clique term. 'grouped star' additionally removes the
+    output-bound within-clique pair expansion (spanning star, same connected
+    components — pytest-pinned)."""
+    from iceberg_ingestion_spark.operators import dedup
+    from iceberg_ingestion_spark.operators.multimodal import (
+        ahash64,
+        attach_binary_payload,
+    )
+    from iceberg_ingestion_spark.session import build_session
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = build_session(app_name="scale-smoke-phash")
+    spark.range(10_000).repartition(64).mapInPandas(lambda it: it, "id long").count()
+    base = spark.read.parquet(f"{sf}/documents.parquet").repartition(32)
+
+    for mult in mults:
+        docs = with_hot_clusters(base, spark, n_clusters=100, size=32 * mult).cache()
+        n = docs.count()
+        sigs = (
+            ahash64(attach_binary_payload(docs), "doc_id")
+            .withColumnRenamed("phash", "simhash")
+            .cache()
+        )
+        sigs.count()  # hash pass outside the timer: the A/B is the JOIN
+        print(
+            f"\n== phash A/B {mult}x: {n} docs "
+            f"(100 identical-payload cliques of {32 * mult}) ==",
+            flush=True,
+        )
+        bench_cancelable(
+            spark, f"per-item banding       {mult}x",
+            lambda: dedup.simhash_pairs(sigs, "doc_id", max_hamming=10, bits=64),
+        )
+        bench_cancelable(
+            spark, f"grouped (pairs)        {mult}x",
+            lambda: dedup.simhash_pairs_grouped(
+                sigs, "doc_id", max_hamming=10, bits=64
+            ),
+        )
+        bench_cancelable(
+            spark, f"grouped (star)         {mult}x",
+            lambda: dedup.simhash_pairs_grouped(
+                sigs, "doc_id", max_hamming=10, bits=64, equal_expansion="star"
+            ),
+        )
+        sigs.unpersist()
+        docs.unpersist()
+    spark.stop()
+    return 0
+
+
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--caps-ab":
         return caps_ab([int(a) for a in sys.argv[2:]] or [5, 20])
@@ -428,6 +486,8 @@ def main() -> int:
         return ann_curve([int(a) for a in sys.argv[2:]] or [1, 5, 20])
     if len(sys.argv) > 1 and sys.argv[1] == "--late":
         return late_curve([int(a) for a in sys.argv[2:]] or [1, 5, 20])
+    if len(sys.argv) > 1 and sys.argv[1] == "--phash":
+        return phash_ab([int(a) for a in sys.argv[2:]] or [1, 5, 20])
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
