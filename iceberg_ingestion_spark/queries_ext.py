@@ -1119,6 +1119,12 @@ def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     whitespace-normalized text. The quadratic edit-distance kernel only ever
     touches the banded candidate set — never all pairs."""
     d = read_table(spark, sf_dir, "documents", spread=True)
+    # per-item banding is the corpus-appropriate default here (signatures are
+    # nearly distinct at every driver SF; measured min-of-2 at sf0.1: 2.9s
+    # per-item vs 3.5s grouped — the grouped form's expansion joins buy
+    # nothing without duplicates). For duplicate-heavy corpora swap in
+    # dedup.simhash_pairs_grouped — byte-identical candidate set
+    # (pytest-pinned), flat join cost in clique size (--phash curve).
     cand = dedup.simhash_pairs(
         text.simhash60(d, "doc_id"), "doc_id", max_hamming=EDIT_MAX_HAMMING
     )
