@@ -834,23 +834,54 @@ def jaccard_prefix_pairs(
             F.col("_pos")
             <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
         )
-        .select(F.col(id_col), "shingle", "_n")
+        .select(F.col(id_col), "shingle", "_pos", "_n")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     n1, n2 = F.col("a._n"), F.col("b._n")
+    joined = a.join(
+        b,
+        on=(F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        # necessary size condition for jacc >= t; eps keeps float
+        # rounding from ever pruning a true boundary pair
+        & (
+            F.least(n1, n2).cast("double")
+            >= F.lit(threshold) * F.greatest(n1, n2).cast("double") - F.lit(1e-9)
+        ),
+    )
+    # PPJoin POSITIONAL FILTER (Xiao et al., "Efficient Similarity Joins for
+    # Near Duplicate Detection"): within each doc the canonical rank order is
+    # the same global (df, shingle) order, so across a pair the minimum _pos
+    # on either side is attained by the SAME shingle s* — the rank-least
+    # common prefix shingle — and s* has no common shingle before it in
+    # either list (prefixes are rank-closed: a lower-ranked common shingle
+    # would itself sit in both prefixes, contradicting minimality). Hence
+    # overlap <= 1 + min(n1 - pos_a(s*), n2 - pos_b(s*)), while jacc >= t
+    # needs overlap >= t*(n1+n2)/(1+t). Pairs whose bound can't reach the
+    # requirement are pruned BEFORE the exact array-intersect verify — the
+    # verify is the dominant cost on near-dup-dense corpora. groupBy replaces
+    # the old `.distinct()` (same shuffle key, same width), so the filter is
+    # free at the shuffle level; recall stays exact by the bound argument.
     candidates = (
-        a.join(
-            b,
-            on=(F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            # necessary size condition for jacc >= t; eps keeps float
-            # rounding from ever pruning a true boundary pair
-            & (
-                F.least(n1, n2).cast("double")
-                >= F.lit(threshold) * F.greatest(n1, n2).cast("double") - F.lit(1e-9)
-            ),
+        joined.groupBy(
+            F.col(f"a.{id_col}").alias("id_1"),
+            F.col(f"b.{id_col}").alias("id_2"),
+            n1.alias("_n1"),
+            n2.alias("_n2"),
         )
-        .select(F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2"))
-        .distinct()
+        .agg(F.min("a._pos").alias("_pa"), F.min("b._pos").alias("_pb"))
+        .filter(
+            (
+                1
+                + F.least(
+                    F.col("_n1") - F.col("_pa"), F.col("_n2") - F.col("_pb")
+                )
+            ).cast("double")
+            >= F.lit(threshold)
+            * (F.col("_n1") + F.col("_n2")).cast("double")
+            / F.lit(1.0 + threshold)
+            - F.lit(1e-9)
+        )
+        .select("id_1", "id_2")
     )
     return _verify_jaccard(candidates, sets_, id_col, threshold)
