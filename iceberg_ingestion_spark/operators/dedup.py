@@ -434,6 +434,129 @@ def minhash_lsh_pairs(
     return _verify_jaccard(candidates, sets_, id_col, threshold)
 
 
+def minhash_lsh_pairs_grouped(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+    max_band_bucket_size: int | None = None,
+    equal_expansion: str = "pairs",
+) -> DataFrame:
+    """:func:`minhash_lsh_pairs` with EXACT-DUPLICATE shingle sets factored
+    out before the LSH machinery — the lossless counterpart of the bucket
+    cap for the identical-document hazard.
+
+    Identical shingle sets produce identical signatures, hence identical
+    buckets in EVERY band: a clique of B copies emits ~B^2 candidate rows x
+    32 bands, which is what ``max_band_bucket_size`` bounds — lossily (the
+    cap can also drop near-identical non-equal docs sharing a hot bucket).
+    Here docs are grouped by a canonical set key (md5 over the SORTED
+    shingle array, so token order never splits a set; md5 collisions are
+    cryptographically negligible), the signature kernel + banding join run
+    over ONE representative per distinct set, and clique members re-enter
+    as jaccard-1.0 output by ``equal_expansion`` (``"pairs"`` = the exact
+    pair-set contract, pytest-pinned identical to the per-item join
+    uncapped; ``"star"`` = linear spanning star, same connected
+    components). Cross-set pairs expand through set-key joins — valid
+    because Jaccard is a function of the SET, so every member inherits its
+    representative's score exactly.
+
+    The cap still composes (it now counts DISTINCT SETS per bucket — the
+    more meaningful unit: a boilerplate cluster counts once), covering the
+    residual near-identical-but-not-equal hot buckets. Empty shingle sets
+    are excluded up front, matching the per-item kernel's skip. Also the
+    signature kernel — the dominant cost of the uncapped path — runs once
+    per distinct set instead of once per document."""
+    if equal_expansion not in ("pairs", "star"):
+        raise ValueError(
+            f"minhash_lsh_pairs_grouped: equal_expansion must be 'pairs' or"
+            f" 'star', got {equal_expansion!r}"
+        )
+    sets_ = shingle_sets(df, id_col, text_col, k).filter(F.size("ss") > 0)
+    keyed = sets_.withColumn(
+        "_setkey", F.md5(F.concat_ws("\x1f", F.sort_array(F.col("ss"))))
+    ).cache()
+    reps = (
+        keyed.groupBy("_setkey")
+        .agg(F.min(id_col).alias(id_col), F.first("ss").alias("ss"))
+        .cache()
+    )
+    band_entries = minhash_band_entries(
+        reps.select(id_col, "ss"), id_col, num_hashes, bands
+    )
+    if max_band_bucket_size is not None:
+        band_entries = band_entries.cache()
+        band_entries.count()
+        hot = (
+            band_entries.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_band_bucket_size)
+            .select("band", "bucket")
+        )
+        band_entries = band_entries.join(hot, ["band", "bucket"], "left_anti")
+    ca, cb = band_entries.alias("a"), band_entries.alias("b")
+    candidates = (
+        ca.join(
+            cb,
+            on=(F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2"))
+        .distinct()
+    )
+    rep_pairs = _verify_jaccard(candidates, reps.select(id_col, "ss"), id_col, threshold)
+    # expand representative pairs to member pairs through the set keys; each
+    # unordered member pair appears once (set-key pairs are canonical via the
+    # rep-id order, and a member belongs to exactly one set)
+    rep_key = reps.select(F.col(id_col).alias("_rid"), "_setkey")
+    members = keyed.select(F.col(id_col).alias("_mid"), "_setkey")
+    p = rep_pairs.join(
+        rep_key.select(F.col("_rid").alias("id_1"), F.col("_setkey").alias("_k1")),
+        "id_1",
+    ).join(
+        rep_key.select(F.col("_rid").alias("id_2"), F.col("_setkey").alias("_k2")),
+        "id_2",
+    )
+    cross = (
+        p.join(
+            members.select(F.col("_mid").alias("_ma"), F.col("_setkey").alias("_k1")),
+            "_k1",
+        )
+        .join(
+            members.select(F.col("_mid").alias("_mb"), F.col("_setkey").alias("_k2")),
+            "_k2",
+        )
+        .select(
+            F.least("_ma", "_mb").alias("id_1"),
+            F.greatest("_ma", "_mb").alias("id_2"),
+            "jaccard",
+        )
+    )
+    if equal_expansion == "star":
+        eq = (
+            keyed.join(rep_key, "_setkey")
+            .filter(F.col(id_col) != F.col("_rid"))
+            .select(
+                F.col("_rid").alias("id_1"),
+                F.col(id_col).alias("id_2"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+    else:
+        ea = keyed.select(F.col(id_col).alias("id_1"), "_setkey")
+        eb = keyed.select(F.col(id_col).alias("id_2"), "_setkey")
+        eq = (
+            ea.join(eb, "_setkey")
+            .filter(F.col("id_1") < F.col("id_2"))
+            .select("id_1", "id_2", F.lit(1.0).alias("jaccard"))
+        )
+    return cross.unionByName(eq)
+
+
 def connected_components(
     pairs: DataFrame,
     max_iterations: int = 20,

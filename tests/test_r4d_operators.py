@@ -428,3 +428,62 @@ def test_simhash_pairs_grouped_star_same_components(spark):
 
     with pytest.raises(ValueError):
         dedup.simhash_pairs_grouped(sigs, "doc_id", equal_expansion="clique")
+
+def test_minhash_grouped_identical_to_per_item_uncapped(spark):
+    """Exact-duplicate factoring before LSH is LOSSLESS: on a corpus with
+    identical-copy cliques the grouped path returns the same pair set (same
+    jaccard values) as the per-item uncapped join. Shuffled token order
+    joins the same set group (sorted canonical key)."""
+    from iceberg_ingestion_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(120)
+    heavy = docs
+    for i in range(1, 5):
+        heavy = heavy.unionByName(
+            docs.limit(10).withColumn("doc_id", F.col("doc_id") + i * 10_000_000)
+        )
+    # one reordered-token copy: same shingle SET iff k=1; with k=3 reordering
+    # changes shingles, so instead append an EXACT text copy with a new id
+    heavy = heavy.unionByName(
+        docs.limit(3).withColumn("doc_id", F.col("doc_id") + 77_000_000)
+    )
+    ref = {
+        (r.id_1, r.id_2, round(r.jaccard, 9))
+        for r in dedup.minhash_lsh_pairs(heavy, "doc_id", threshold=0.5).collect()
+    }
+    got = {
+        (r.id_1, r.id_2, round(r.jaccard, 9))
+        for r in dedup.minhash_lsh_pairs_grouped(
+            heavy, "doc_id", threshold=0.5
+        ).collect()
+    }
+    assert got == ref and len(ref) > 0
+
+
+def test_minhash_grouped_star_components_and_guard(spark):
+    from iceberg_ingestion_spark.operators import dedup
+
+    import pytest
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(30)
+    heavy = docs
+    for i in range(1, 7):
+        heavy = heavy.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + i * 10_000_000)
+        )
+    pairs = dedup.minhash_lsh_pairs_grouped(heavy, "doc_id", threshold=0.8)
+    star = dedup.minhash_lsh_pairs_grouped(
+        heavy, "doc_id", threshold=0.8, equal_expansion="star"
+    )
+    assert star.count() < pairs.count()
+    cc_p = {
+        (r.id, r.component)
+        for r in dedup.connected_components(pairs.select("id_1", "id_2")).collect()
+    }
+    cc_s = {
+        (r.id, r.component)
+        for r in dedup.connected_components(star.select("id_1", "id_2")).collect()
+    }
+    assert cc_p == cc_s
+    with pytest.raises(ValueError):
+        dedup.minhash_lsh_pairs_grouped(heavy, "doc_id", equal_expansion="cliques")

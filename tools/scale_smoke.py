@@ -252,6 +252,18 @@ def caps_ab(mults: list[int]) -> int:
             spark, f"minhash UNCAPPED      {mult}x",
             lambda: dedup.minhash_lsh_pairs(clustered, "doc_id", threshold=0.8),
         )
+        bench_cancelable(
+            spark, f"minhash GROUPED       {mult}x",
+            lambda: dedup.minhash_lsh_pairs_grouped(
+                clustered, "doc_id", threshold=0.8
+            ),
+        )
+        bench_cancelable(
+            spark, f"minhash GROUPED star  {mult}x",
+            lambda: dedup.minhash_lsh_pairs_grouped(
+                clustered, "doc_id", threshold=0.8, equal_expansion="star"
+            ),
+        )
         clustered.unpersist()
     spark.stop()
     return 0
