@@ -557,6 +557,127 @@ def minhash_lsh_pairs_grouped(
     return cross.unionByName(eq)
 
 
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+) -> tuple[DataFrame, DataFrame]:
+    """``(shingle_sets, band_entries)`` for a corpus version — the dedup
+    INDEX. Persist both relations once per corpus version (entries bucketed
+    by (band, bucket), sets by id); every subsequent increment probes them
+    via :func:`minhash_lsh_pairs_incremental` without touching the corpus
+    raw text again — the index is a few hundred bytes per doc vs the full
+    document payload, and the signature kernel (the dominant cost) never
+    re-runs over old docs."""
+    sets_ = shingle_sets(df, id_col, text_col, k)
+    return sets_, minhash_band_entries(sets_, id_col, num_hashes, bands)
+
+
+def minhash_lsh_pairs_incremental(
+    old_df: DataFrame | None,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+    old_index: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING THE INCREMENT only: new x new and new x old,
+    never old x old — the daily-crawl shape. Deduping a fresh batch against
+    a 100 TB corpus must not re-pair the corpus against itself; with LSH the
+    existing corpus's band entries are a precomputable index (in production:
+    persisted once per corpus version, bucketed by (band, bucket) so the
+    daily probe joins shuffle-free), and each increment needs only
+
+    - its own band entries self-joined (new x new), and
+    - its band entries probed against the corpus index (new x old) — at a
+      steady daily rate this join's cost tracks |increment| x collision
+      rate, independent of corpus size.
+
+    Output contract: exactly :func:`minhash_lsh_pairs` over
+    ``old UNION new`` RESTRICTED to pairs touching at least one new id
+    (pytest-pinned), with the same (id_1 < id_2, exact jaccard) columns.
+    Ids must be globally unique across both sides (the ingestion calculus'
+    natural-key contract); the exact verify reads shingle sets from both
+    sides, so false positives remain impossible.
+
+    This is the dedup leg of incremental ingestion: compose with
+    ``incremental.apply_changelog_to_agg`` / the MERGE calculus to maintain
+    a deduplicated corpus version-over-version without full recomputes.
+
+    Pass ``old_index`` (from :func:`minhash_index`, persisted once per
+    corpus version) to make the increment's cost INDEPENDENT of the old
+    corpus's raw text: with it, nothing on the old side is re-shingled or
+    re-hashed — the probe joins read the index relations only (the
+    convenience form without it builds the index inline, paying one full
+    old-side kernel pass)."""
+    if old_index is not None:
+        old_sets, old_entries = old_index
+    else:
+        if old_df is None:
+            raise ValueError(
+                "minhash_lsh_pairs_incremental: pass old_df or old_index"
+            )
+        old_sets = shingle_sets(old_df, id_col, text_col, k).cache()
+        old_entries = minhash_band_entries(old_sets, id_col, num_hashes, bands)
+    new_sets = shingle_sets(new_df, id_col, text_col, k).cache()
+    # cache + materialize: three consumers (self-join two legs + broadcast
+    # probe) would otherwise each re-run the signature kernel
+    new_entries = minhash_band_entries(new_sets, id_col, num_hashes, bands).cache()
+    new_entries.count()
+
+    na, nb = new_entries.alias("a"), new_entries.alias("b")
+    new_new = (
+        na.join(
+            nb,
+            on=(F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2"))
+    )
+    oa = old_entries.alias("o")
+    # new x old: the increment's entries BROADCAST against the corpus index —
+    # the premise of this operator is |increment| << |corpus|, so the old
+    # side must never reshuffle (scan-only probe; with the index persisted
+    # bucketed by (band, bucket), even the scan prunes to touched buckets).
+    # No id inequality (the sides are disjoint); canonicalize afterwards.
+    new_old = (
+        F.broadcast(na).join(
+            oa,
+            on=(F.col("a.band") == F.col("o.band"))
+            & (F.col("a.bucket") == F.col("o.bucket")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"o.{id_col}")).alias("id_1"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"o.{id_col}")).alias("id_2"),
+        )
+    )
+    # cache + materialize the (increment-bounded) candidate pairs: they feed
+    # both the id-pruning broadcast below and the verify join — uncached,
+    # each consumer would replay the banding joins
+    candidates = new_new.unionByName(new_old).distinct().cache()
+    candidates.count()
+    # verify against ONLY the docs that appear in candidates: candidate ids
+    # are increment-bounded, so a broadcast semi-join prunes the old corpus'
+    # shingle sets to the touched docs WITHOUT shuffling them — the verify
+    # then joins tiny relations instead of re-shuffling corpus-sized arrays
+    cand_ids = (
+        candidates.select(F.col("id_1").alias(id_col))
+        .unionByName(candidates.select(F.col("id_2").alias(id_col)))
+        .distinct()
+    )
+    all_sets = old_sets.unionByName(new_sets).join(
+        F.broadcast(cand_ids), id_col, "left_semi"
+    )
+    return _verify_jaccard(candidates, all_sets, id_col, threshold)
+
+
 def connected_components(
     pairs: DataFrame,
     max_iterations: int = 20,

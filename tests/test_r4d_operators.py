@@ -487,3 +487,71 @@ def test_minhash_grouped_star_components_and_guard(spark):
     assert cc_p == cc_s
     with pytest.raises(ValueError):
         dedup.minhash_lsh_pairs_grouped(heavy, "doc_id", equal_expansion="cliques")
+
+def test_minhash_incremental_equals_full_minus_old_old(spark):
+    """Increment dedup contract: pairs(old UNION new) restricted to pairs
+    touching a new id == incremental(old, new); no old x old pair appears."""
+    from iceberg_ingestion_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    # increment: held-out docs plus exact copies of some OLD docs (cross-side
+    # duplicates) and of its own rows (in-increment duplicates)
+    fresh = docs.filter(F.col("doc_id") % 5 == 0)
+    new = (
+        fresh.unionByName(
+            old.limit(7).withColumn("doc_id", F.col("doc_id") + 50_000_000)
+        )
+        .unionByName(
+            fresh.limit(4).withColumn("doc_id", F.col("doc_id") + 60_000_000)
+        )
+    )
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    full = {
+        (r.id_1, r.id_2, round(r.jaccard, 9))
+        for r in dedup.minhash_lsh_pairs(
+            old.unionByName(new), "doc_id", threshold=0.5
+        ).collect()
+    }
+    expected = {p for p in full if p[0] in new_ids or p[1] in new_ids}
+    got = {
+        (r.id_1, r.id_2, round(r.jaccard, 9))
+        for r in dedup.minhash_lsh_pairs_incremental(
+            old, new, "doc_id", threshold=0.5
+        ).collect()
+    }
+    assert got == expected and len(expected) > 0
+    # the cross-side exact copies are found at jaccard 1.0
+    assert any(j == 1.0 for (_, _, j) in got)
+    # and nothing old x old leaked
+    assert all(p[0] in new_ids or p[1] in new_ids for p in got)
+
+def test_minhash_incremental_prebuilt_index_same_output(spark):
+    """The production form (precomputed minhash_index for the old corpus)
+    returns the same pairs as the inline convenience form."""
+    from iceberg_ingestion_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(200)
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0).unionByName(
+        old.limit(5).withColumn("doc_id", F.col("doc_id") + 50_000_000)
+    )
+    inline = {
+        (r.id_1, r.id_2, round(r.jaccard, 9))
+        for r in dedup.minhash_lsh_pairs_incremental(
+            old, new, "doc_id", threshold=0.5
+        ).collect()
+    }
+    idx = dedup.minhash_index(old, "doc_id")
+    via_index = {
+        (r.id_1, r.id_2, round(r.jaccard, 9))
+        for r in dedup.minhash_lsh_pairs_incremental(
+            None, new, "doc_id", threshold=0.5, old_index=idx
+        ).collect()
+    }
+    assert via_index == inline and len(inline) > 0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        dedup.minhash_lsh_pairs_incremental(None, new, "doc_id")

@@ -489,6 +489,63 @@ def phash_ab(mults: list[int]) -> int:
     return 0
 
 
+def incr_ab(mults: list[int]) -> int:
+    """Incremental-dedup A/B: a FIXED daily increment deduped against an old
+    corpus that grows with the multiplier. The claim under test: with the
+    old corpus's minhash_index precomputed (the production shape — persisted
+    once per corpus version), the increment's wall time is INDEPENDENT of
+    old-corpus size, while the from-scratch full-union dedup grows with it.
+    The index build itself is timed separately (paid once per version, not
+    per increment)."""
+    from iceberg_ingestion_spark.operators import dedup
+    from iceberg_ingestion_spark.session import build_session
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = build_session(app_name="scale-smoke-incr")
+    spark.range(10_000).repartition(64).mapInPandas(lambda it: it, "id long").count()
+    base = spark.read.parquet(f"{sf}/documents.parquet").repartition(32)
+    # fixed increment: 10% of base, half fresh ids + half exact copies of
+    # old docs (cross-side duplicates to find)
+    inc = (
+        base.filter(F.col("doc_id") % 20 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 900_000_000)
+        .unionByName(
+            base.filter(F.col("doc_id") % 20 == 1).withColumn(
+                "doc_id", F.col("doc_id") + 910_000_000
+            )
+        )
+        .cache()
+    )
+    n_inc = inc.count()
+
+    for mult in mults:
+        old = (base if mult == 1 else fresh_blow_up(base, mult)).cache()
+        n_old = old.count()
+        print(f"\n== incr A/B {mult}x: old={n_old} docs, increment={n_inc} ==", flush=True)
+        t0 = time.time()
+        sets_, entries = dedup.minhash_index(old, "doc_id")
+        sets_ = sets_.cache()
+        entries = entries.cache()
+        sets_.count(), entries.count()
+        print(f"index build (once per corpus version)        {time.time()-t0:7.1f}s",
+              flush=True)
+        bench_cancelable(
+            spark, f"incremental (prebuilt index) {mult}x",
+            lambda: dedup.minhash_lsh_pairs_incremental(
+                None, inc, "doc_id", threshold=0.8, old_index=(sets_, entries)
+            ),
+        )
+        bench_cancelable(
+            spark, f"full union from scratch      {mult}x",
+            lambda: dedup.minhash_lsh_pairs(
+                old.unionByName(inc), "doc_id", threshold=0.8
+            ),
+        )
+        sets_.unpersist(); entries.unpersist(); old.unpersist()
+    spark.stop()
+    return 0
+
+
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--caps-ab":
         return caps_ab([int(a) for a in sys.argv[2:]] or [5, 20])
@@ -500,6 +557,8 @@ def main() -> int:
         return late_curve([int(a) for a in sys.argv[2:]] or [1, 5, 20])
     if len(sys.argv) > 1 and sys.argv[1] == "--phash":
         return phash_ab([int(a) for a in sys.argv[2:]] or [1, 5, 20])
+    if len(sys.argv) > 1 and sys.argv[1] == "--incr":
+        return incr_ab([int(a) for a in sys.argv[2:]] or [1, 5, 20])
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
