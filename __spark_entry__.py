@@ -169,7 +169,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     BOTH its r1 and r2 driver rows, re-passed this session's tri-SF
 #:     sweeps, and the text family keeps six in-window representatives
 #:     (lang_id, pii_scrub, bigram_corpus_freq, pmi_bigrams,
-#:     boilerplate_scrub, token_quantile_filter).
+#:     boilerplate_scrub, token_quantile_filter). A second block-(g) entry,
+#:     dedup_incremental_minhash (NEW operator: increment-vs-corpus dedup
+#:     probing a persisted minhash index, never re-pairing old x old;
+#:     near-flat in corpus size at 20x — BASELINE.md --incr), displaces
+#:     data_split_counts: defined once, byte-unchanged, green r2 row,
+#:     re-passed this session's tri-SF sweeps, md5-bucket machinery stays
+#:     in-window via corpus_shard_stats. The compensating evidence for both
+#:     displacements is this session's WHOLE-SUITE sweeps at sf0.001, 0.01
+#:     AND 0.1 (111/111 PASS, BASELINE.md) — every rotated-out entry has
+#:     session-dated green evidence even without a driver row.
 _PRIORITY = [
     # r4 final additions (block f)
     "dedup_jaccard_prefix",
@@ -231,7 +240,7 @@ _PRIORITY = [
     "multimodal_phash_pairs",  # block (g): r4-new aHash64 + 64-bit banding
     "sim_knn_label_vote",
     "sessionize_stats",
-    "data_split_counts",
+    "dedup_incremental_minhash",  # block (g): NEW index-probe increment dedup
     "asof_last_click_before_purchase",
 ]
 

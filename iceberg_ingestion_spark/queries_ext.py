@@ -204,6 +204,26 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(text.simhash60(d, "doc_id"), "doc_id", max_hamming=SIMHASH_MAX_HAMMING)
 
 
+def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the daily-crawl shape: docs split old (doc_id %
+    5 != 0) / increment (% 5 == 0); the increment's band entries self-join
+    and broadcast-probe the old corpus's minhash index; ONLY pairs touching
+    an increment doc are produced, and the old corpus is never re-paired
+    against itself (measured near-flat in old-corpus size at 20x —
+    BASELINE.md --incr table). Oracle: the exact Jaccard pair set
+    restricted to pairs touching an increment id — valid because the
+    operator is pytest-pinned identical to `minhash_lsh_pairs(old UNION
+    new)` under that restriction, and LSH banding at 32x4 misses a
+    >=0.8-pair with negligible probability (same argument as the
+    dedup_minhash_lsh entry)."""
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    old = d.filter(F.col("doc_id") % 5 != 0)
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    return dedup.minhash_lsh_pairs_incremental(
+        old, new, "doc_id", k=3, threshold=MINHASH_THRESHOLD
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: MinHash-LSH pairs -> connected components ->
     (doc_id, component, keep) — the decision step of a dedup pipeline (keep
@@ -1151,6 +1171,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_incremental_minhash": q_dedup_incremental_minhash,  # index-probe increment dedup
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_clusters": q_dedup_clusters,
@@ -1403,6 +1424,14 @@ ORACLES_EXT: dict[str, str] = {
     # candidates are exactly verified, so the oracle is the exact pair set.
     "dedup_minhash_lsh": _JACCARD_CTE
     + f"SELECT id_1, id_2, jaccard FROM jac WHERE jaccard >= {MINHASH_THRESHOLD}",
+    # the exact pair set restricted to pairs touching an increment doc
+    # (id % 5 = 0): the operator contract is exactly this restriction of the
+    # full-union pair set (pytest-pinned), and banding recall at 32x4 makes
+    # the exact set a valid oracle (same argument as dedup_minhash_lsh)
+    "dedup_incremental_minhash": _JACCARD_CTE
+    + f"""SELECT id_1, id_2, jaccard FROM jac
+        WHERE jaccard >= {MINHASH_THRESHOLD}
+          AND (id_1 % 5 = 0 OR id_2 % 5 = 0)""",
     "dedup_simhash": _simhash_sql(),
     # exact pair set: the banded candidate join provably loses nothing
     # (pigeonhole), so the quadratic DuckDB self-join is a valid oracle.
