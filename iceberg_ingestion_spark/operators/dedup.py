@@ -763,6 +763,58 @@ def connected_components(
     return labels
 
 
+def incremental_components(
+    old_labels: DataFrame,
+    new_pairs: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Updated ``(id, component)`` after an increment's near-dup pairs
+    arrive — the decision step of incremental dedup, touching only the
+    affected subgraph (compose with
+    :func:`minhash_lsh_pairs_incremental`: index-probe pairs in, updated
+    cluster labels out, corpus-version over corpus-version).
+
+    ``old_labels`` is the previous version's ``(id, component)`` relation
+    (:func:`connected_components` convention: component = min reachable id;
+    ids absent from it are singletons). Every old cluster's connectivity is
+    fully captured by its SPANNING STAR (component—member edges), so
+    running label propagation over ``new_pairs ∪ stars(touched old
+    clusters)`` reproduces exactly what full CC over ``old_pairs ∪
+    new_pairs`` would assign to every id reachable from the increment —
+    including old clusters MERGING through a bridge of new docs — while
+    untouched clusters pass through without a single job touching them.
+    Touched = clusters holding an endpoint of a new pair; endpoints are
+    increment-bounded, so the touched-cluster resolution is two broadcast
+    joins against the labels relation (scan-only, never reshuffled).
+
+    Label identity with the from-scratch CC holds because an old cluster's
+    component IS its min member and the star includes the component node:
+    the merged subgraph's min equals the min over all constituent members
+    and new ids — pytest-pinned against full CC on the union graph."""
+    ep = (
+        new_pairs.select(F.col("id_1").alias("id"))
+        .unionByName(new_pairs.select(F.col("id_2").alias("id")))
+        .distinct()
+    )
+    touched_comps = (
+        old_labels.join(F.broadcast(ep), "id", "left_semi")
+        .select("component")
+        .distinct()
+    )
+    touched_members = old_labels.join(F.broadcast(touched_comps), "component")
+    star_edges = touched_members.filter(F.col("id") != F.col("component")).select(
+        F.col("component").alias("id_1"), F.col("id").alias("id_2")
+    )
+    merged = connected_components(
+        new_pairs.select("id_1", "id_2").unionByName(star_edges),
+        max_iterations=max_iterations,
+    )
+    untouched = old_labels.join(F.broadcast(touched_comps), "component", "left_anti")
+    return untouched.select("id", "component").unionByName(
+        merged.select("id", "component")
+    )
+
+
 def simhash_band_values(sig: Column, max_hamming: int, bits: int = 60) -> list[Column]:
     """Split a ``bits``-bit signature into ``max_hamming + 1`` contiguous bit
     bands (widths differing by at most one). Pigeonhole: two signatures within

@@ -555,3 +555,65 @@ def test_minhash_incremental_prebuilt_index_same_output(spark):
 
     with pytest.raises(ValueError):
         dedup.minhash_lsh_pairs_incremental(None, new, "doc_id")
+
+def test_incremental_components_equals_full_cc(spark):
+    """Label identity: incremental_components(old CC labels, new pairs) ==
+    connected_components(old pairs UNION new pairs) for every id — including
+    old clusters MERGING through a bridge of new docs — and untouched
+    clusters pass through."""
+    from iceberg_ingestion_spark.operators import dedup
+
+    old_pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (30, 31)], "id_1 long, id_2 long"
+    )
+    # new doc 100 bridges clusters {1,2,3} and {10,11}; new docs 200-201 form
+    # a fresh cluster; old cluster {20,21} is touched without merging; {30,31}
+    # is untouched
+    new_pairs = spark.createDataFrame(
+        [(3, 100), (100, 10), (200, 201), (21, 300)], "id_1 long, id_2 long"
+    )
+    old_labels = dedup.connected_components(old_pairs)
+    got = {
+        (r.id, r.component)
+        for r in dedup.incremental_components(old_labels, new_pairs).collect()
+    }
+    full = {
+        (r.id, r.component)
+        for r in dedup.connected_components(
+            old_pairs.unionByName(new_pairs)
+        ).collect()
+    }
+    assert got == full
+    # the merged bridge cluster took the global min label
+    assert (100, 1) in got and (11, 1) in got and (300, 20) in got
+    assert (30, 30) in got and (31, 30) in got  # untouched passthrough
+
+def test_incremental_dedup_pipeline_end_to_end(spark):
+    """The full incremental composition — index-probe pairs in, updated
+    cluster labels out — matches the from-scratch pipeline on real docs."""
+    from iceberg_ingestion_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0).unionByName(
+        old.limit(6).withColumn("doc_id", F.col("doc_id") + 50_000_000)
+    )
+    scratch = {
+        (r.id, r.component)
+        for r in dedup.connected_components(
+            dedup.minhash_lsh_pairs(
+                old.unionByName(new), "doc_id", threshold=0.5
+            ).select("id_1", "id_2")
+        ).collect()
+    }
+    old_labels = dedup.connected_components(
+        dedup.minhash_lsh_pairs(old, "doc_id", threshold=0.5).select("id_1", "id_2")
+    )
+    inc_pairs = dedup.minhash_lsh_pairs_incremental(old, new, "doc_id", threshold=0.5)
+    got = {
+        (r.id, r.component)
+        for r in dedup.incremental_components(
+            old_labels, inc_pairs.select("id_1", "id_2")
+        ).collect()
+    }
+    assert got == scratch and len(scratch) > 0
