@@ -763,6 +763,70 @@ def connected_components(
     return labels
 
 
+def simhash_pairs_incremental(
+    old_sigs: DataFrame,
+    new_sigs: DataFrame,
+    id_col: str,
+    max_hamming: int = 8,
+    bits: int = 60,
+) -> DataFrame:
+    """Hamming-near pairs INVOLVING THE INCREMENT only (new x new and
+    new x old, never old x old) — the signature-level counterpart of
+    :func:`minhash_lsh_pairs_incremental`, shared by the text SimHash
+    pipeline (``bits=60``) and the perceptual-hash image pipeline
+    (``ahash64`` signatures, ``bits=64``): a persisted ``(id, simhash)``
+    relation IS the whole index (one BIGINT per item — band values derive
+    from it in-flight), so a daily increment needs only its own banding
+    self-join plus a broadcast probe of the corpus signatures.
+
+    Output: exactly :func:`simhash_pairs` over ``old UNION new`` restricted
+    to pairs touching a new id (pytest-pinned) — (id_1 < id_2, exact
+    hamming), pigeonhole-lossless within the radius. Ids must be globally
+    unique across the two sides. The broadcast is sound under the stated
+    premise |increment| << |corpus|; the old side is never reshuffled."""
+    bands = simhash_band_values(F.col("simhash"), max_hamming, bits)
+
+    def entries(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.posexplode(F.array(*bands)).alias("band", "band_val"),
+        )
+
+    new_entries = entries(new_sigs)
+    old_entries = entries(old_sigs)
+    na = new_entries.select(
+        F.col(id_col).alias("_ida"), F.col("simhash").alias("sh_1"), "band", "band_val"
+    )
+    nb = new_entries.select(
+        F.col(id_col).alias("_idb"), F.col("simhash").alias("sh_2"), "band", "band_val"
+    )
+    new_new = (
+        na.join(nb, on=["band", "band_val"])
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select("_ida", "_idb", "sh_1", "sh_2")
+    )
+    ob = old_entries.select(
+        F.col(id_col).alias("_idb"), F.col("simhash").alias("sh_2"), "band", "band_val"
+    )
+    new_old = (
+        F.broadcast(na)
+        .join(ob, on=["band", "band_val"])
+        .select("_ida", "_idb", "sh_1", "sh_2")
+    )
+    candidates = new_new.unionByName(new_old).distinct()
+    ham = F.bit_count(F.col("sh_1").bitwiseXOR(F.col("sh_2"))).cast("int")
+    return (
+        candidates.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.least("_ida", "_idb").alias("id_1"),
+            F.greatest("_ida", "_idb").alias("id_2"),
+            "hamming",
+        )
+    )
+
+
 def incremental_components(
     old_labels: DataFrame,
     new_pairs: DataFrame,

@@ -617,3 +617,48 @@ def test_incremental_dedup_pipeline_end_to_end(spark):
         ).collect()
     }
     assert got == scratch and len(scratch) > 0
+
+def test_simhash_pairs_incremental_restriction_contract(spark):
+    """simhash_pairs_incremental == simhash_pairs(old UNION new) restricted
+    to pairs touching a new id — on both text SimHash60 and aHash64 image
+    signatures (the two production signature widths)."""
+    from iceberg_ingestion_spark.operators import dedup, text
+    from iceberg_ingestion_spark.operators.multimodal import (
+        ahash64,
+        attach_binary_payload,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    old_docs = docs.filter(F.col("doc_id") % 4 != 0)
+    new_docs = docs.filter(F.col("doc_id") % 4 == 0).unionByName(
+        old_docs.limit(5).withColumn("doc_id", F.col("doc_id") + 50_000_000)
+    )
+    for name, sig_fn, bits, mh in (
+        ("simhash60", lambda d: text.simhash60(d, "doc_id"), 60, 6),
+        (
+            "ahash64",
+            lambda d: ahash64(attach_binary_payload(d), "doc_id").withColumnRenamed(
+                "phash", "simhash"
+            ),
+            64,
+            10,
+        ),
+    ):
+        old_sigs, new_sigs = sig_fn(old_docs), sig_fn(new_docs)
+        new_ids = {r.doc_id for r in new_docs.select("doc_id").collect()}
+        full = {
+            (r.id_1, r.id_2, r.hamming)
+            for r in dedup.simhash_pairs(
+                sig_fn(old_docs.unionByName(new_docs)), "doc_id",
+                max_hamming=mh, bits=bits,
+            ).collect()
+        }
+        expected = {p for p in full if p[0] in new_ids or p[1] in new_ids}
+        got = {
+            (r.id_1, r.id_2, r.hamming)
+            for r in dedup.simhash_pairs_incremental(
+                old_sigs, new_sigs, "doc_id", max_hamming=mh, bits=bits
+            ).collect()
+        }
+        assert got == expected, name
+        assert len(expected) > 0, name
