@@ -12,6 +12,83 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def near_dup_stream_batch_fn(
+    index_dir: str,
+    pairs_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 6,
+):
+    """``foreachBatch`` function for STREAMING near-dup detection against a
+    growing corpus: each micro-batch SimHashes its docs, probes the
+    persisted signature index for increment-vs-corpus pairs (plus its own
+    in-batch pairs via :func:`dedup.simhash_pairs_incremental` /
+    :func:`dedup.simhash_pairs`), appends the pairs, and appends its
+    signatures to the index.
+
+    State lives in the INDEX TABLE, not Spark streaming state: one BIGINT
+    per doc ever seen, readable by any other job, and a restart resumes
+    from it — the at-scale alternative to holding corpus-sized state in
+    the state store. Invariant (pytest-pinned): over a run, every
+    within-radius pair is emitted EXACTLY ONCE — in the micro-batch where
+    its later member arrives — so the union of all emitted pairs equals
+    the batch :func:`dedup.simhash_pairs` over the full corpus.
+
+    Replay safety: both writes are partitioned by ``_batch_id`` with
+    dynamic partition overwrite, so a re-run of a failed batch overwrites
+    its own partitions instead of duplicating rows (the standard
+    foreachBatch idempotency idiom); the index probe drops duplicate ids
+    defensively besides."""
+    from iceberg_ingestion_spark.operators import dedup, text
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        spark = batch_df.sparkSession
+        sigs = text.simhash60(batch_df, id_col).cache()
+        try:
+            # exclude this batch's own (replayed) partition and anything
+            # later: a re-run must see exactly the index state the original
+            # run saw, or it would pair the batch against its own previous
+            # write (self/duplicate pollution)
+            old = (
+                spark.read.parquet(index_dir)
+                .filter(F.col("_batch_id") < F.lit(batch_id))
+                .dropDuplicates([id_col])
+                .select(id_col, "simhash")
+            )
+            have_index = True
+        except Exception:  # first batch: no index yet
+            have_index = False
+        if have_index:
+            pairs = dedup.simhash_pairs_incremental(
+                old, sigs, id_col, max_hamming=max_hamming
+            )
+        else:
+            pairs = dedup.simhash_pairs(sigs, id_col, max_hamming=max_hamming)
+        with_conf = spark.conf
+        prev = with_conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        with_conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                pairs.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("_batch_id")
+                .parquet(pairs_dir)
+            )
+            (
+                sigs.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("_batch_id")
+                .parquet(index_dir)
+            )
+        finally:
+            with_conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        sigs.unpersist()
+
+    return fn
+
+
 def exact_dedup_stream(
     stream: DataFrame,
     subset: list[str],

@@ -7,6 +7,8 @@ from __future__ import annotations
 import os
 from datetime import datetime
 
+from pyspark.sql import functions as F
+
 from iceberg_ingestion_spark.operators import corpus, text
 from iceberg_ingestion_spark.streaming.corpus_stream import (
     stream_corpus_prep,
@@ -123,3 +125,81 @@ def test_corpus_feed_health_metrics(spark, tmp_path):
     assert abs(r["contamination_rate"] - 2 / 7) < 1e-9
     # docs 2 and 3 are content-identical; HLL at 7 keys is exact in practice
     assert abs(r["dup_rate"] - 1 / 7) < 0.05
+
+def test_near_dup_stream_emits_each_pair_exactly_once(spark, tmp_path):
+    """Streaming near-dup against the growing signature index: over a
+    multi-batch run, the union of emitted pairs equals the batch
+    simhash_pairs over the full corpus — each pair exactly once, in the
+    micro-batch where its later member arrived."""
+    from iceberg_ingestion_spark.operators import dedup, text
+    from iceberg_ingestion_spark.streaming.dedup_stream import (
+        near_dup_stream_batch_fn,
+    )
+
+    input_dir = str(tmp_path / "in")
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(input_dir)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    first = docs.filter("doc_id % 2 = 0")
+    second = docs.filter("doc_id % 2 = 1").unionByName(
+        first.limit(5).withColumn("doc_id", F.col("doc_id") + 50_000_000)
+    )
+    first.coalesce(1).write.mode("append").parquet(input_dir)
+    second.coalesce(1).write.mode("append").parquet(input_dir)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            near_dup_stream_batch_fn(index_dir, pairs_dir, max_hamming=6)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.id_1, r.id_2, r.hamming)
+        for r in spark.read.parquet(pairs_dir).select("id_1", "id_2", "hamming").collect()
+    }
+    all_docs = first.unionByName(second)
+    expected = {
+        (r.id_1, r.id_2, r.hamming)
+        for r in dedup.simhash_pairs(
+            text.simhash60(all_docs, "doc_id"), "doc_id", max_hamming=6
+        ).collect()
+    }
+    assert got == expected and len(expected) > 0
+    # the index now holds one signature per doc ever seen
+    n_idx = spark.read.parquet(index_dir).dropDuplicates(["doc_id"]).count()
+    assert n_idx == all_docs.count()
+
+def test_near_dup_stream_batch_replay_is_idempotent(spark, tmp_path):
+    """A replayed micro-batch (same batch_id) overwrites its own partitions
+    and probes only earlier index partitions — outputs are unchanged."""
+    from iceberg_ingestion_spark.streaming.dedup_stream import (
+        near_dup_stream_batch_fn,
+    )
+
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    b0 = docs.filter("doc_id % 2 = 0")
+    b1 = docs.filter("doc_id % 2 = 1").unionByName(
+        b0.limit(4).withColumn("doc_id", F.col("doc_id") + 50_000_000)
+    )
+    fn = near_dup_stream_batch_fn(index_dir, pairs_dir, max_hamming=6)
+    fn(b0, 0)
+    fn(b1, 1)
+    snap = lambda d: {tuple(r) for r in spark.read.parquet(d).collect()}  # noqa: E731
+    pairs_before, index_before = snap(pairs_dir), snap(index_dir)
+    fn(b1, 1)  # replay
+    assert snap(pairs_dir) == pairs_before
+    assert snap(index_dir) == index_before
