@@ -44,6 +44,8 @@ def near_dup_stream_batch_fn(
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
 
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         sigs = text.simhash60(batch_df, id_col).cache()
         try:
@@ -58,7 +60,11 @@ def near_dup_stream_batch_fn(
                 .select(id_col, "simhash")
             )
             have_index = True
-        except Exception:  # first batch: no index yet
+        except AnalysisException:
+            # ONLY the path-missing case (first batch, no index yet) may
+            # downgrade to in-batch pairing; any other read failure must
+            # FAIL the batch — silently skipping the probe would drop every
+            # new-vs-corpus pair of this batch without a trace
             have_index = False
         if have_index:
             pairs = dedup.simhash_pairs_incremental(
