@@ -1191,8 +1191,14 @@ def jaccard_prefix_pairs(
         ranked.withColumn("_pos", F.row_number().over(w))
         .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
         .filter(
+            # eps matches the convention of the length/positional filters:
+            # float t*n can land a hair ABOVE an exact integer (0.8*5 ->
+            # 4.0000000000000002), which would ceil one too high and shorten
+            # the prefix by one — losing exact-boundary pairs (jacc == t)
             F.col("_pos")
-            <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+            <= F.col("_n")
+            - F.ceil(F.lit(threshold) * F.col("_n") - F.lit(1e-9))
+            + 1
         )
         .select(F.col(id_col), "shingle", "_pos", "_n")
     )

@@ -57,14 +57,31 @@ def near_dup_stream_batch_fn(
                 spark.read.parquet(index_dir)
                 .filter(F.col("_batch_id") < F.lit(batch_id))
                 .dropDuplicates([id_col])
+                # an id re-delivered by an at-least-once source in a LATER
+                # micro-batch also sits in the index; pairing it against
+                # itself would emit a degenerate (X, X, 0) row and violate
+                # simhash_pairs_incremental's disjoint-ids premise — the
+                # index side drops the batch's own ids before probing
+                .join(sigs.select(id_col), on=id_col, how="left_anti")
                 .select(id_col, "simhash")
             )
             have_index = True
-        except AnalysisException:
+        except AnalysisException as e:
             # ONLY the path-missing case (first batch, no index yet) may
-            # downgrade to in-batch pairing; any other read failure must
-            # FAIL the batch — silently skipping the probe would drop every
-            # new-vs-corpus pair of this batch without a trace
+            # downgrade to in-batch pairing; any other AnalysisException
+            # (schema drift, corrupt index — e.g. a missing simhash or
+            # _batch_id column raises here too) must FAIL the batch, or
+            # every new-vs-corpus pair of the batch would vanish silently
+            cond = None
+            for getter in ("getCondition", "getErrorClass"):
+                try:
+                    cond = getattr(e, getter)()
+                except Exception:
+                    continue
+                if cond is not None:
+                    break
+            if cond != "PATH_NOT_FOUND":
+                raise
             have_index = False
         if have_index:
             pairs = dedup.simhash_pairs_incremental(

@@ -115,17 +115,20 @@ def profile_drift(a: DataFrame, b: DataFrame, columns: list[str]) -> DataFrame:
     """
     if not columns:
         raise ValueError("profile_drift: columns must be non-empty")
-    numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"} | {
-        d for _, d in a.dtypes if d.startswith("decimal")
-    }
+    numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
 
     def side(df: DataFrame, suffix: str) -> DataFrame:
         dts = dict(df.dtypes)
         structs = []
         for c in columns:
+            # numeric-ness is decided PER SIDE: if b drifted to a decimal
+            # precision/scale a never had (exactly the schema drift this
+            # monitors), b's sum must still populate — a set derived from
+            # a.dtypes alone would silently NULL it and fake a value drift
+            is_num = dts[c] in numeric or dts[c].startswith("decimal")
             s = (
                 F.sum(F.col(c).cast("decimal(30,2)")).cast("double")
-                if dts[c] in numeric
+                if is_num
                 else F.lit(None).cast("double")
             )
             structs.append(
