@@ -680,19 +680,116 @@ def minhash_lsh_pairs_incremental(
 
 def connected_components(
     pairs: DataFrame,
-    max_iterations: int = 20,
+    max_iterations: int = 30,
 ) -> DataFrame:
     """(id, component) for every id in a pair list — component = minimum id
     reachable through the pair graph (the canonical-survivor convention of a
     dedup pipeline: keep ``id == component``, drop the rest).
 
-    Iterative min-label propagation: each round every node takes the min of
-    its own label and its neighbors' labels; converged when no label changes.
-    Rounds needed = graph diameter — near-dup clusters are shallow (stars and
-    short chains), so this converges in a handful of rounds; each round is one
-    equi-join + min-aggregate on the (tiny, pairs-only) label relation, never
-    the corpus. ``localCheckpoint`` truncates the iterative lineage so plans
-    don't grow with the loop (the standard Spark iterative-algorithm idiom).
+    Alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): each round
+    rewires every node's larger neighbors (large-star) then its smaller
+    neighbors (small-star) to the minimum of the local neighborhood, so
+    chains halve in height every round and convergence is O(log n) rounds
+    REGARDLESS of graph diameter — the scale-hardened replacement for
+    min-label propagation, whose round count equals the diameter and is
+    unbounded on adversarial transitive-near-dup chains (corpus-wide
+    boilerplate). Each round is two groupBy+join passes over the (tiny,
+    pairs-only) edge relation, never the corpus; ``localCheckpoint``
+    truncates the iterative lineage. Works for any orderable id type
+    (no integral-sum convergence trick needed: the fixpoint check is
+    edge-set equality, which is exact).
+
+    Label identity with the propagation kernel is pytest-pinned on
+    adversarial graphs (long path + giant star);
+    :func:`connected_components_propagation` is kept as the differential-
+    testing reference.
+    """
+    # canonical orientation (u = bigger endpoint, v = smaller), distinct set
+    e = (
+        pairs.select(
+            F.greatest("id_1", "id_2").alias("u"), F.least("id_1", "id_2").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    id_type = e.schema["u"].dataType.simpleString()
+    empty = pairs.sparkSession.createDataFrame(
+        [], f"id {id_type}, component {id_type}"
+    )
+    if not e.take(1):
+        return empty
+    cnt = e.count()
+    for _ in range(max_iterations):
+        # LARGE-STAR: per node a over its FULL neighborhood, link every
+        # strictly-larger neighbor b to m = min(N(a) ∪ {a}); every edge has
+        # exactly one orientation with b > a, so the emission covers each
+        # edge once and b > a >= m keeps the (big, small) orientation with
+        # no self-loops
+        nbrs = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+            e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+        )
+        mins = nbrs.groupBy("a").agg(F.min("b").alias("_mn"))
+        m = F.least(F.col("_mn"), F.col("a"))
+        e1 = (
+            nbrs.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("u"), m.alias("v"))
+            .distinct()
+        )
+        # SMALL-STAR: per node u over its SMALLER neighbors, link every one
+        # of them (and u itself) to m = min of that set; v >= m and u > m
+        # preserve orientation, v == m would be a self-loop
+        mins2 = e1.groupBy("u").agg(F.min("v").alias("_mn"))
+        e2 = (
+            e1.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("_mn").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .unionByName(mins2.select("u", F.col("_mn").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_cnt = e2.count()
+        # fixpoint = the oriented edge SET is unchanged (exact, any id
+        # type); both relations are distinct, so equal counts + one-sided
+        # emptiness imply set equality — and the exceptAll probe is skipped
+        # whenever the counts already differ
+        if new_cnt == cnt and not e2.exceptAll(e).take(1):
+            e = e2
+            break
+        e, cnt = e2, new_cnt
+    else:
+        # still contracting when the round budget ran out — the returned
+        # stars would be incomplete (over-split components) and dedup
+        # survivors derived from them silently wrong: fail loudly. At
+        # O(log n) convergence, hitting this means max_iterations was set
+        # far below log2(|ids|).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "star-contraction rounds; raise max_iterations (rounds needed "
+            "grow logarithmically in the node count)"
+        )
+    # fixpoint is a union of stars: every src points at its component's
+    # minimum id, and every dst IS a component minimum
+    return e.select(F.col("u").alias("id"), F.col("v").alias("component")).unionByName(
+        e.select(F.col("v").alias("id"), F.col("v").alias("component")).distinct()
+    )
+
+
+def connected_components_propagation(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(id, component) by iterative min-label propagation — the pre-round-5
+    :func:`connected_components` kernel, kept as the differential-testing
+    reference for the star-contraction implementation (same contract:
+    component = minimum reachable id, one row per id appearing in ``pairs``).
+
+    Rounds needed = graph DIAMETER (each round every node takes the min of
+    its own and its neighbors' labels), which is fine for shallow near-dup
+    clusters but unbounded on adversarial long chains — that is why the
+    production entrypoint is star contraction.
     """
     edges = (
         pairs.select(F.col("id_1").alias("src"), F.col("id_2").alias("dst"))
@@ -830,7 +927,7 @@ def simhash_pairs_incremental(
 def incremental_components(
     old_labels: DataFrame,
     new_pairs: DataFrame,
-    max_iterations: int = 20,
+    max_iterations: int = 30,
 ) -> DataFrame:
     """Updated ``(id, component)`` after an increment's near-dup pairs
     arrive — the decision step of incremental dedup, touching only the
@@ -842,8 +939,8 @@ def incremental_components(
     (:func:`connected_components` convention: component = min reachable id;
     ids absent from it are singletons). Every old cluster's connectivity is
     fully captured by its SPANNING STAR (component—member edges), so
-    running label propagation over ``new_pairs ∪ stars(touched old
-    clusters)`` reproduces exactly what full CC over ``old_pairs ∪
+    running :func:`connected_components` over ``new_pairs ∪ stars(touched
+    old clusters)`` reproduces exactly what full CC over ``old_pairs ∪
     new_pairs`` would assign to every id reachable from the increment —
     including old clusters MERGING through a bridge of new docs — while
     untouched clusters pass through without a single job touching them.

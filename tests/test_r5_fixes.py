@@ -109,3 +109,65 @@ def test_near_dup_stream_redelivered_id_no_self_pair(spark, tmp_path):
     pairs = spark.read.parquet(pairs_dir)
     assert pairs.filter(F.col("id_1") >= F.col("id_2")).count() == 0
     assert pairs.filter(F.col("id_1") == F.col("id_2")).count() == 0
+
+
+def test_cc_star_contraction_logarithmic_rounds_on_adversarial_path(spark):
+    """The round-5 scale-hardening pin: a 10k-node PATH (diameter 10k — the
+    adversarial transitive-near-dup chain that makes min-label propagation
+    crawl) converges in <= ceil(log2 n) + 2 star-contraction rounds, with
+    component = global min for every node."""
+    import math
+
+    from iceberg_ingestion_spark.operators import dedup
+
+    n = 10_000
+    # relabel nodes by a multiplicative hash so ids are scattered, not sorted
+    lab = [(i * 2654435761) % (1 << 31) for i in range(n)]
+    pairs = spark.createDataFrame(
+        [(lab[i], lab[i + 1]) for i in range(n - 1)], "id_1 long, id_2 long"
+    ).repartition(8)
+    budget = math.ceil(math.log2(n)) + 2  # 16
+    labels = dedup.connected_components(pairs, max_iterations=budget)
+    mn = min(lab)
+    comps = labels.groupBy("component").count().collect()
+    assert [(r.component, r["count"]) for r in comps] == [(mn, n)]
+
+
+def test_cc_star_contraction_label_identical_to_propagation(spark):
+    """Differential pin against the kept propagation kernel on a mixed
+    adversarial graph: giant star + long chain + isolated pairs + a dense
+    clique, integer AND string ids."""
+    from iceberg_ingestion_spark.operators import dedup
+
+    star = [(1000, 1000 + i) for i in range(1, 80)]  # giant star, center NOT min
+    chain = [(2000 + i, 2000 + i + 1) for i in range(60)]
+    bridge = [(1003, 2031)]  # star and chain merge through a bridge
+    pairs_list = star + chain + bridge + [(7, 9), (5, 7), (42, 41)]
+    clique = [(3000 + i, 3000 + j) for i in range(8) for j in range(i + 1, 8)]
+    pairs = spark.createDataFrame(pairs_list + clique, "id_1 long, id_2 long")
+    a = {
+        (r.id, r.component)
+        for r in dedup.connected_components(pairs, max_iterations=20).collect()
+    }
+    b = {
+        (r.id, r.component)
+        for r in dedup.connected_components_propagation(
+            pairs, max_iterations=100
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+    s_pairs = spark.createDataFrame(
+        [(f"d{x:05d}", f"d{y:05d}") for x, y in pairs_list],
+        "id_1 string, id_2 string",
+    )
+    sa = {
+        (r.id, r.component)
+        for r in dedup.connected_components(s_pairs, max_iterations=20).collect()
+    }
+    sb = {
+        (r.id, r.component)
+        for r in dedup.connected_components_propagation(
+            s_pairs, max_iterations=100
+        ).collect()
+    }
+    assert sa == sb and len(sa) > 0
