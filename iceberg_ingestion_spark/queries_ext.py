@@ -306,6 +306,23 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_check(exact, approx)
 
 
+def q_ann_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a k-means-TRAINED codebook (VERDICT r4 next-round #2):
+    deterministic hash-sample → few Lloyd rounds → broadcast codebook →
+    identical probe path. Same recall bound-check oracle as the hash-spread
+    entry; the trained-vs-hashed recall/latency A/B at 20x scale lives in
+    tools/scale_smoke.py ann_curve and BASELINE.md."""
+    e = read_table(spark, sf_dir, "embeddings", spread=True)
+    flt = F.col("vec_id") % 50 == 0
+    exact = similarity.topk_bruteforce(e, "vec_id", "embedding", EMBED_DIM, ANN_K, flt)
+    cb = similarity.train_ivf_codebook(e, "vec_id", "embedding", EMBED_DIM, 16)
+    approx = similarity.topk_ivf(
+        e, "vec_id", "embedding", EMBED_DIM, ANN_K, flt, n_cells=16, nprobe=4,
+        codebook=cb,
+    )
+    return _ann_recall_check(exact, approx)
+
+
 def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings", spread=True)
     topk = similarity.topk_bruteforce(
@@ -1179,6 +1196,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_topk_bruteforce": q_ann_topk_bruteforce,
     "sim_ann_topk_lsh": q_ann_topk_lsh,  # recall bound-check vs brute force
     "sim_ann_topk_ivf": q_ann_topk_ivf,  # recall bound-check vs brute force
+    "sim_ann_topk_ivf_trained": q_ann_topk_ivf_trained,  # k-means codebook
     "sim_knn_label_vote": q_knn_label_vote,
     "events_interval_join": q_events_interval_join,
     "events_gap_fill": q_events_gap_fill,
@@ -1473,6 +1491,7 @@ ORACLES_EXT: dict[str, str] = {
     # DuckDB from the brute-force top-k; recall_ok is TRUE by the pinned floor.
     "sim_ann_topk_lsh": _ANN_RECALL_ORACLE,
     "sim_ann_topk_ivf": _ANN_RECALL_ORACLE,
+    "sim_ann_topk_ivf_trained": _ANN_RECALL_ORACLE,
     # Sketch bound-checks: the exact-side columns recomputed by DuckDB plus
     # TRUE for the in-query error-bound boolean.
     "sketch_approx_distinct": """

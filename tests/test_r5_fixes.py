@@ -171,3 +171,41 @@ def test_cc_star_contraction_label_identical_to_propagation(spark):
         ).collect()
     }
     assert sa == sb and len(sa) > 0
+
+
+def test_ivf_trained_codebook_beats_hash_spread_at_equal_nprobe(spark):
+    """VERDICT r4 #2: at a corpus large enough for training to matter
+    (sf0.01, 5k vectors), the k-means-trained codebook's recall vs the exact
+    brute-force baseline strictly improves on the hash-spread draw at equal
+    nprobe. (At sf0.001's 1k vectors the difference is sampling noise — the
+    20x A/B lives in tools/scale_smoke.py ann_curve.)"""
+    from iceberg_ingestion_spark.operators import similarity
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    flt = F.col("vec_id") % 50 == 0
+    exact = similarity.topk_bruteforce(e, "vec_id", "embedding", 64, 5, flt).cache()
+    n_exact = exact.count()
+
+    def recall(approx):
+        hits = exact.join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        ).count()
+        return hits / n_exact
+
+    hashed = recall(
+        similarity.topk_ivf(
+            e, "vec_id", "embedding", 64, 5, flt, n_cells=16, nprobe=4
+        )
+    )
+    cb = similarity.train_ivf_codebook(e, "vec_id", "embedding", 64, 16)
+    assert cb.count() == 16  # full codebook, broadcast-sized
+    trained = recall(
+        similarity.topk_ivf(
+            e, "vec_id", "embedding", 64, 5, flt, n_cells=16, nprobe=4, codebook=cb
+        )
+    )
+    exact.unpersist()
+    assert trained > hashed, (trained, hashed)
+    assert trained >= 0.5  # comfortable margin over the 0.3 oracle floor

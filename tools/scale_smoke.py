@@ -294,6 +294,17 @@ def ann_curve(mults: list[int]) -> int:
         qf = F.col("vec_id") % 1000 == 0
         print(f"\n== ANN {mult}x: {n} vectors, {n // 1000} queries ==", flush=True)
         results = {}
+        def _trained():
+            # trained-vs-hashed A/B at equal nprobe (VERDICT r4 #2): the
+            # codebook train (hash-sample + 3 Lloyd rounds) is INSIDE the
+            # timed region, so the printed latency is the honest end-to-end
+            # cost of the trained path
+            cb = similarity.train_ivf_codebook(vecs, "vec_id", "embedding", 64, 16)
+            return similarity.topk_ivf(
+                vecs, "vec_id", "embedding", 64, 5, qf,
+                n_cells=16, nprobe=4, codebook=cb,
+            )
+
         for name, fn in [
             ("brute", lambda: similarity.topk_bruteforce(
                 vecs, "vec_id", "embedding", 64, 5, qf)),
@@ -301,6 +312,7 @@ def ann_curve(mults: list[int]) -> int:
                 vecs, "vec_id", "embedding", 64, 5, qf)),
             ("ivf", lambda: similarity.topk_ivf(
                 vecs, "vec_id", "embedding", 64, 5, qf, n_cells=16, nprobe=4)),
+            ("ivf_trained", _trained),
         ]:
             t0 = time.time()
             try:
@@ -313,7 +325,7 @@ def ann_curve(mults: list[int]) -> int:
         if "brute" in results:
             exact_pairs = results["brute"].select("query_id", "neighbor_id")
             n_exact = exact_pairs.count()
-            for name in ("lsh", "ivf"):
+            for name in ("lsh", "ivf", "ivf_trained"):
                 if name not in results:
                     continue
                 hits = exact_pairs.join(
