@@ -209,3 +209,24 @@ def test_ivf_trained_codebook_beats_hash_spread_at_equal_nprobe(spark):
     exact.unpersist()
     assert trained > hashed, (trained, hashed)
     assert trained >= 0.5  # comfortable margin over the 0.3 oracle floor
+
+
+def test_multimodal_real_decode_seam_contract():
+    """VERDICT r4 #8: the real-decoder seam. If PIL ever becomes installable
+    the stub must be wired and golden-tested; until then the contract is that
+    calling it names the missing dependency explicitly (so a user hitting the
+    seam knows exactly what to install), chained from the ImportError."""
+    from iceberg_ingestion_spark.operators.multimodal import real_decode
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip(
+            "PIL is installed: wire real_decode to it and replace this "
+            "contract test with a golden decode test (VERDICT r4 #8)"
+        )
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="PIL/pillow") as ei:
+        real_decode(b"\x89PNG fake")
+    assert isinstance(ei.value.__cause__, ImportError)

@@ -341,6 +341,102 @@ def ann_curve(mults: list[int]) -> int:
     return 0
 
 
+def skew_curve(mults: list[int]) -> int:
+    """Skew stress A/B (VERDICT r4 next-round #6): a 1000x-hot key at growing
+    data multipliers, salted vs unsalted, for both the shuffle JOIN and the
+    groupBy AGGREGATION shapes.
+
+    Data: events blown up mult x, re-keyed deterministically so key 0 holds
+    ~50% of all rows and 1000 cold keys share the rest — key 0 is ~1000x any
+    cold key. The dim side is one row per key (1001 rows) — broadcastable in
+    real life, so the shuffle-join variants force
+    ``autoBroadcastJoinThreshold=-1`` to expose the skew shape AQE/salting
+    must solve when the dim side genuinely can't broadcast.
+
+    Variants per multiplier (wall-clock; all materialized via noop write):
+    - join_broadcast: the honest best plan when the dim fits (baseline);
+    - join_smj_aqe: sort-merge join, AQE skew-join splitting ON (default);
+    - join_smj_noskew: SMJ with skew splitting OFF — the unmitigated funnel;
+    - join_salted: ``salted_join_hot_keys`` (skew splitting off, so the
+      measured effect is the salt's alone);
+    - agg_plain vs agg_salted: groupBy sum/count on the hot key —
+      EXPECTED near-equal, because hash aggregation's map-side partial
+      combine already neutralizes skew for decomposable aggregates; the
+      honest conclusion is that ``salted_sum_count`` pays off only where
+      partial combine can't (collect_list-style, exact distinct), and that
+      is recorded in BASELINE.md rather than wished away.
+    """
+    from iceberg_ingestion_spark.operators.skew import salted_join_hot_keys, salted_sum_count
+    from iceberg_ingestion_spark.queries_ext import read_events_us
+    from iceberg_ingestion_spark.session import build_session
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = build_session(app_name="scale-smoke-skew")
+    spark.range(10_000).repartition(64).mapInPandas(lambda it: it, "id long").count()
+    base = read_events_us(spark, sf)
+
+    def set_conf(broadcast: bool, skew: bool) -> None:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", "10485760" if broadcast else "-1"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(skew).lower())
+
+    for mult in mults:
+        ev = base if mult == 1 else blow_up(base, ["event_id", "user_id"], mult)
+        # deterministic 1000x-hot re-key: ~half the rows land on key 0, the
+        # other half spread over 1000 cold keys
+        fact = ev.withColumn(
+            "k",
+            F.when(F.pmod(F.xxhash64("event_id"), F.lit(2)) == 0, F.lit(0)).otherwise(
+                F.lit(1) + F.pmod(F.xxhash64("event_id", "user_id"), F.lit(1000))
+            ),
+        ).select("k", "event_id", "value").cache()
+        n = fact.count()
+        dim = (
+            spark.range(0, 1001)
+            .select(F.col("id").alias("k"), (F.col("id") * 7).alias("dim_payload"))
+            .cache()
+        )
+        dim.count()
+        hot_n = fact.filter("k = 0").count()
+        print(
+            f"\n== SKEW {mult}x: {n} rows, hot key 0 = {hot_n} rows "
+            f"(~{hot_n * 1000 // max(n - hot_n, 1)}x a cold key) ==",
+            flush=True,
+        )
+
+        set_conf(broadcast=True, skew=True)
+        bench_cancelable(spark, f"join_broadcast   {mult}x",
+                         lambda: fact.join(dim, "k"))
+        set_conf(broadcast=False, skew=True)
+        bench_cancelable(spark, f"join_smj_aqe     {mult}x",
+                         lambda: fact.join(dim, "k"))
+        set_conf(broadcast=False, skew=False)
+        bench_cancelable(spark, f"join_smj_noskew  {mult}x",
+                         lambda: fact.join(dim, "k"))
+        bench_cancelable(
+            spark, f"join_salted      {mult}x",
+            lambda: salted_join_hot_keys(fact, dim, "k", hot_keys=[0], n_salts=32),
+        )
+        set_conf(broadcast=True, skew=True)
+        aggs = {
+            "n": F.count(F.lit(1)),
+            "sum_value": F.sum(F.col("value").cast("decimal(18,2)")),
+        }
+        bench_cancelable(
+            spark, f"agg_plain        {mult}x",
+            lambda: fact.groupBy("k").agg(*[e.alias(c) for c, e in aggs.items()]),
+        )
+        bench_cancelable(
+            spark, f"agg_salted       {mult}x",
+            lambda: salted_sum_count(fact, ["k"], aggs, n_salts=32),
+        )
+        fact.unpersist()
+        dim.unpersist()
+    spark.stop()
+    return 0
+
+
 def late_curve(mults: list[int]) -> int:
     """Scale curves for the round-4 late block: SCD2 build, HLL sliding
     windows, edit-distance verify.
@@ -565,6 +661,8 @@ def main() -> int:
         return prefix_ab([int(a) for a in sys.argv[2:]] or [1, 5, 20])
     if len(sys.argv) > 1 and sys.argv[1] == "--ann":
         return ann_curve([int(a) for a in sys.argv[2:]] or [1, 5, 20])
+    if len(sys.argv) > 1 and sys.argv[1] == "--skew":
+        return skew_curve([int(a) for a in sys.argv[2:]] or [1, 20])
     if len(sys.argv) > 1 and sys.argv[1] == "--late":
         return late_curve([int(a) for a in sys.argv[2:]] or [1, 5, 20])
     if len(sys.argv) > 1 and sys.argv[1] == "--phash":
