@@ -179,12 +179,32 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     displacements is this session's WHOLE-SUITE sweeps at sf0.001, 0.01
 #:     AND 0.1 (111/111 PASS, BASELINE.md) — every rotated-out entry has
 #:     session-dated green evidence even without a driver row.
+#: (h) ROUND-5 window update. In by rule (1):
+#:     - ingest_stream_cdc_merge (NEW: executes two real Structured
+#:       Streaming runs of stream_cdc_merge; oracle = the batch cdc-merge
+#:       SQL — the driver's first streaming-executed row);
+#:     - sim_ann_topk_ivf_trained (NEW: k-means-trained IVF codebook);
+#:     and the r5-changed paths already in-window: dedup_jaccard_prefix
+#:     (prefix-length float guard), validate_drift_stats (per-side decimal),
+#:     dedup_clusters + dedup_incremental_minhash (star-contraction
+#:     connected components), sim_ann_topk_ivf (topk_ivf codebook branch).
+#:     The r5 split of queries_ext.py into themed modules MOVES function
+#:     bytes without changing them (VERDICT r4 #7: rotation unaffected).
+#:     Displaced for the two additions, both function-level byte-unchanged
+#:     since their r4-green rows (CORRECTNESS_r04 hash_match) and re-passed
+#:     in this session's post-split oracle sample: analytics_pivot_status
+#:     (`.pivot()` machinery pytest-pinned; the reshape family keeps
+#:     analytics_unpivot_measures in-window) and events_sequence_match
+#:     (regex sequence match; the events family keeps seven in-window
+#:     representatives: gap_fill, anomaly_daily, twap, rolling_7d,
+#:     json_props, value_histogram, interval via asof).
 _PRIORITY = [
+    # r5 additions (block h)
+    "ingest_stream_cdc_merge",
+    "sim_ann_topk_ivf_trained",
     # r4 final additions (block f)
     "dedup_jaccard_prefix",
-    "analytics_pivot_status",
     "text_pmi_bigrams",
-    "events_sequence_match",
     "events_value_histogram",
     "validate_drift_stats",
     # SURVEY §2 core calculus + validation
