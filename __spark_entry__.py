@@ -190,6 +190,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     connected components), sim_ann_topk_ivf (topk_ivf codebook branch).
 #:     The r5 split of queries_ext.py into themed modules MOVES function
 #:     bytes without changing them (VERDICT r4 #7: rotation unaffected).
+#:     Also in by rule (1): q1_pricing_summary — its ORACLE changed in r5
+#:     (decimal->double via VARCHAR so DuckDB's cast is correctly rounded
+#:     at >=17 significant digits; root-caused on the sf1 sweep, verified
+#:     green at sf0.001/0.01/0.1/sf1 this session). It displaces
+#:     events_value_histogram (r4-green, byte-unchanged; binning is plain
+#:     width_bucket-style arithmetic and the events family keeps six
+#:     in-window representatives).
 #:     Displaced for the two additions, both function-level byte-unchanged
 #:     since their r4-green rows (CORRECTNESS_r04 hash_match) and re-passed
 #:     in this session's post-split oracle sample: analytics_pivot_status
@@ -202,10 +209,10 @@ _PRIORITY = [
     # r5 additions (block h)
     "ingest_stream_cdc_merge",
     "sim_ann_topk_ivf_trained",
+    "q1_pricing_summary",
     # r4 final additions (block f)
     "dedup_jaccard_prefix",
     "text_pmi_bigrams",
-    "events_value_histogram",
     "validate_drift_stats",
     # SURVEY §2 core calculus + validation
     "ingest_changelog_scan_sink",

@@ -899,20 +899,25 @@ ORACLES: dict[str, str] = {
         f'FROM ({_drift_side_sql("day1", "a")}) a '
         f'JOIN ({_drift_side_sql("day2", "b")}) b USING ("column")'
     ),
+    # decimal -> double goes through VARCHAR: DuckDB's direct decimal cast is
+    # hugeint/10^s double-rounded and drifts 1 ulp from Spark's correctly-
+    # rounded BigDecimal.doubleValue once a sum needs >= 17 significant
+    # digits (first seen on sum_charge at sf1 — BASELINE.md r5); the string
+    # parse is correctly rounded, so both engines agree at any magnitude.
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                 * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+            CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+            CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS VARCHAR) AS DOUBLE)
                  AS sum_disc_price,
-            CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+            CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                  * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
-                 * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE)
+                 * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS VARCHAR) AS DOUBLE)
                  AS sum_charge,
             count(*) AS count_order,
-            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
-            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty,
+            CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_price
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
