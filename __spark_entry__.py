@@ -205,11 +205,31 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     (regex sequence match; the events family keeps seven in-window
 #:     representatives: gap_fill, anomaly_daily, twap, rolling_7d,
 #:     json_props, value_histogram, interval via asof).
+#: (i) ROUND-5 continuation: three NEW entries, in by rule (1) —
+#:     dedup_containment (directed set-containment pairs via the one-sided
+#:     prefix lemma), sim_bm25_topk (Okapi BM25 keyword retrieval; scoring
+#:     expression string shared verbatim with the oracle, idf quantized to
+#:     1e-9 to pin the one cross-engine-divergent primitive, ln), and
+#:     text_vocab_coverage (top-K vocabulary + cumulative coverage curve).
+#:     All three verified vs their DuckDB oracles at sf0.001/0.01/0.1 this
+#:     session. They displace three r4-green rows (CORRECTNESS_r04
+#:     hash_match, functions and oracles byte-unchanged since — this
+#:     continuation only APPENDS new functions): text_pii_scrub and
+#:     text_lang_id (the text family keeps five in-window representatives —
+#:     bigram_corpus_freq, pmi_bigrams, boilerplate_scrub,
+#:     token_quantile_filter, and the NEW vocab_coverage) and
+#:     sim_knn_label_vote (its topk_able machinery stays pytest-pinned; the
+#:     similarity family keeps sim_ann_topk_ivf, sim_ann_topk_ivf_trained,
+#:     and the NEW sim_bm25_topk in-window).
 _PRIORITY = [
     # r5 additions (block h)
     "ingest_stream_cdc_merge",
     "sim_ann_topk_ivf_trained",
     "q1_pricing_summary",
+    # r5 continuation additions (block i)
+    "dedup_containment",
+    "sim_bm25_topk",
+    "text_vocab_coverage",
     # r4 final additions (block f)
     "dedup_jaccard_prefix",
     "text_pmi_bigrams",
@@ -262,10 +282,7 @@ _PRIORITY = [
     "events_rolling_7d",
     # r2-era evidence refresh (block c; analytics_tfidf_top_terms above is
     # the 25th of VERDICT r3's list)
-    "text_lang_id",
-    "text_pii_scrub",
     "multimodal_phash_pairs",  # block (g): r4-new aHash64 + 64-bit banding
-    "sim_knn_label_vote",
     "sessionize_stats",
     "dedup_incremental_minhash",  # block (g): NEW index-probe increment dedup
     "asof_last_click_before_purchase",

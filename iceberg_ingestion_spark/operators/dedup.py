@@ -1348,3 +1348,99 @@ def jaccard_prefix_pairs(
         .select("id_1", "id_2")
     )
     return _verify_jaccard(candidates, sets_, id_col, threshold)
+
+
+def containment_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """DIRECTED containment-similar pairs: C(a -> b) = |S_a ∩ S_b| / |S_a|
+    >= t, a != b — the asymmetric cousin of :func:`jaccard_prefix_pairs` for
+    "document a is (mostly) contained in document b": quote extraction,
+    subset/boilerplate absorption, and train-on-test contamination where the
+    benchmark item is a fragment of a longer crawl document.
+
+    Candidate generation is the set-containment adaptation of the prefix
+    lemma (Chaudhuri et al. SSJoin; Xiao et al. PPJoin): containment only
+    constrains the SOURCE side — if |S_a ∩ S_b| >= ceil(t*|S_a|), then among
+    a's first |S_a| - ceil(t*|S_a|) + 1 shingles in the global canonical
+    order (ascending document frequency, shingle tie-break) at least one is
+    in S_b. So only a's PREFIX probes the inverted index, but the probed side
+    must be each doc's FULL shingle list (no symmetric prefix shrink — the
+    container gets no length budget of its own). Two prunes apply before the
+    exact verify:
+
+    - size filter: |S_b| >= t*|S_a| - eps (necessary: the intersection can't
+      exceed |S_b|);
+    - positional filter: within the global rank order the rank-least common
+      shingle s* gives overlap <= 1 + min(n_a - pos_a(s*), n_b - pos_b(s*)),
+      which must reach ceil(t*n_a) — same argument as the Jaccard path's
+      bound, with the one-sided requirement on the right.
+
+    Verify recomputes containment exactly from the cached shingle arrays.
+    At scale the cost shape matches jaccard_prefix_pairs: one df aggregation,
+    one per-doc rank window, a prefix-to-full-index equi-join whose probe
+    side is (1-t) of the index, and a bounded-candidate verify. Epsilon
+    convention (1e-9) matches the sibling filters: float t*n can land a hair
+    above an exact integer and must never shorten a prefix or prune a true
+    boundary pair.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(
+            f"containment_prefix_pairs: threshold must be in (0, 1], got {threshold}"
+        )
+    sets_ = shingle_sets(df, id_col, text_col, k).cache()
+    sh = sets_.select(F.col(id_col), F.explode("ss").alias("shingle"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = sh.join(dfreq, "shingle")
+    w = Window.partitionBy(id_col).orderBy("_df", "shingle")
+    full = (
+        ranked.withColumn("_pos", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+        .select(F.col(id_col), "shingle", "_pos", "_n")
+    )
+    prefix = full.filter(
+        F.col("_pos")
+        <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n") - F.lit(1e-9)) + 1
+    )
+    a, b = prefix.alias("a"), full.alias("b")
+    na, nb = F.col("a._n"), F.col("b._n")
+    joined = a.join(
+        b,
+        on=(F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        # necessary size condition: |S_a ∩ S_b| <= |S_b|, so t*n_a <= n_b
+        & (nb.cast("double") >= F.lit(threshold) * na.cast("double") - F.lit(1e-9)),
+    )
+    candidates = (
+        joined.groupBy(
+            F.col(f"a.{id_col}").alias("src_id"),
+            F.col(f"b.{id_col}").alias("dst_id"),
+            na.alias("_na"),
+            nb.alias("_nb"),
+        )
+        .agg(F.min("a._pos").alias("_pa"), F.min("b._pos").alias("_pb"))
+        # positional bound must reach the required overlap ceil(t*n_a)
+        .filter(
+            (1 + F.least(F.col("_na") - F.col("_pa"), F.col("_nb") - F.col("_pb")))
+            .cast("double")
+            >= F.lit(threshold) * F.col("_na").cast("double") - F.lit(1e-9)
+        )
+        .select("src_id", "dst_id")
+    )
+    s1 = sets_.select(F.col(id_col).alias("src_id"), F.col("ss").alias("ss_src"))
+    s2 = sets_.select(F.col(id_col).alias("dst_id"), F.col("ss").alias("ss_dst"))
+    n_inter = F.size(F.array_intersect(F.col("ss_src"), F.col("ss_dst")))
+    cont = n_inter / F.size(F.col("ss_src"))
+    return (
+        candidates.join(s1, "src_id")
+        .join(s2, "dst_id")
+        .withColumn("containment", cont)
+        .filter(F.col("containment") >= threshold)
+        .select("src_id", "dst_id", "containment")
+    )

@@ -33,6 +33,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_fingerprint_groups": q_dedup_fingerprint_groups,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+    "dedup_containment": q_dedup_containment,  # directed |A∩B|/|A| prefix join
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_incremental_minhash": q_dedup_incremental_minhash,  # index-probe increment dedup
     "dedup_simhash": q_dedup_simhash,
@@ -44,6 +45,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_topk_ivf": q_ann_topk_ivf,  # recall bound-check vs brute force
     "sim_ann_topk_ivf_trained": q_ann_topk_ivf_trained,  # k-means codebook
     "sim_knn_label_vote": q_knn_label_vote,
+    "sim_bm25_topk": q_sim_bm25_topk,  # Okapi BM25 keyword retrieval, shared-expr oracle
     "events_interval_join": q_events_interval_join,
     "events_gap_fill": q_events_gap_fill,
     "events_anomaly_daily": q_events_anomaly_daily,
@@ -52,6 +54,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sequence_match": q_events_sequence_match,
     "events_value_histogram": q_events_value_histogram,
     "text_pmi_bigrams": q_text_pmi_bigrams,
+    "text_vocab_coverage": q_text_vocab_coverage,  # top-K vocab + coverage curve
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
     "data_split_counts": q_data_split_counts,

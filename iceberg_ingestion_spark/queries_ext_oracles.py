@@ -98,6 +98,62 @@ ORACLES_EXT: dict[str, str] = {
     # set is the oracle — identical to the capped-index entry's
     "dedup_jaccard_prefix": _JACCARD_CTE
     + f"SELECT id_1, id_2, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}",
+    # cum window runs over the LIMITed top-K prefix of the (freq desc, token)
+    # order — identical to Spark's window over the post-limit relation
+    "text_vocab_coverage": f"""
+        WITH occ AS (SELECT unnest({_TOKS}) AS token FROM documents),
+        counts AS (SELECT token, count(*) AS freq FROM occ GROUP BY token),
+        tot AS (SELECT CAST(sum(freq) AS DOUBLE) AS total FROM counts),
+        top AS (SELECT token, freq FROM counts ORDER BY freq DESC, token LIMIT {VOCAB_TOP_K})
+        SELECT token, freq,
+               CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank,
+               CAST(sum(freq) OVER (ORDER BY freq DESC, token
+                                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / total AS cum_share
+        FROM top CROSS JOIN tot
+    """,
+    # the scoring expression is the SAME string Spark parses (bm25_score_expr)
+    # over identically-typed BIGINT stats, so every double is bit-equal
+    "sim_bm25_topk": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        f AS (
+            SELECT doc_id, len(toks) AS _dl,
+                   {", ".join(f"len(list_filter(toks, x -> x = '{term}')) AS _tf{i}" for i, term in enumerate(BM25_TERMS))}
+            FROM t
+        ),
+        s AS (
+            SELECT CAST(count(*) AS BIGINT) AS _sn,
+                   CAST(sum(_dl) AS BIGINT) AS _sumdl,
+                   {", ".join(f"CAST(sum(CASE WHEN _tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS _sdf{i}" for i in range(len(BM25_TERMS)))}
+            FROM f
+        ),
+        scored AS (
+            SELECT doc_id,
+                   {bm25_score_expr("_sn", "_sumdl", "_dl", [f"_tf{i}" for i in range(len(BM25_TERMS))], [f"_sdf{i}" for i in range(len(BM25_TERMS))])} AS bm25
+            FROM f CROSS JOIN s
+        )
+        SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
+        ORDER BY bm25 DESC, doc_id LIMIT {BM25_K}
+    """,
+    # the exact DIRECTED containment pair set: candidates are lossless by the
+    # one-sided prefix lemma and the verify is exact, so Spark == this SQL
+    "dedup_containment": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS ss
+            FROM toks
+        ),
+        ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+        inter AS (
+            SELECT a.doc_id AS src_id, b.doc_id AS dst_id, count(*) AS n_inter
+            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT src_id, dst_id, n_inter * 1.0 / la.c AS containment
+        FROM inter
+        JOIN (SELECT doc_id, len(ss) AS c FROM sh) la ON la.doc_id = src_id
+        WHERE n_inter * 1.0 / la.c >= {CONTAINMENT_THRESHOLD}
+    """,
     # LSH banding at 32x4 misses a >=0.9-similar pair with prob ~1e-15 and the
     # candidates are exactly verified, so the oracle is the exact pair set.
     "dedup_minhash_lsh": _JACCARD_CTE

@@ -24,6 +24,7 @@ from iceberg_ingestion_spark.queries import TS_FMT_SPARK, read_table
 EMBED_DIM = 64
 COSINE_THRESHOLD = 0.4
 JACCARD_THRESHOLD = 0.5
+CONTAINMENT_THRESHOLD = 0.8
 MINHASH_THRESHOLD = 0.8
 SESSION_GAP_US = 8 * 3600 * 1_000_000  # 8 hours in microseconds
 ANN_K = 5
@@ -181,6 +182,145 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix lemma, not modulo a hot set."""
     d = read_table(spark, sf_dir, "documents", spread=True)
     return dedup.jaccard_prefix_pairs(d, "doc_id", k=3, threshold=JACCARD_THRESHOLD)
+
+
+VOCAB_TOP_K = 50
+
+
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build + coverage curve: top-K corpus tokens by occurrence
+    count with each token's cumulative share of all occurrences — the
+    tokenizer-vocabulary sizing report of a training-data pipeline. Plan
+    shape at scale: the token count is the classic wordcount (map-side
+    partial agg), the grand total is ONE 1-row aggregate broadcast back, and
+    top-K is TakeOrderedAndProject; the cumulative window runs over the
+    already-LIMITed K-row relation (driver-sized by construction — this is
+    NOT a corpus-wide global window). Ties break by token."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    occ = d.select(F.explode(text.tokens("text")).alias("token"))
+    counts = occ.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    total = counts.agg(F.sum("freq").cast("double").alias("_total"))
+    top = counts.orderBy(F.col("freq").desc(), "token").limit(VOCAB_TOP_K)
+    w = Window.orderBy(F.col("freq").desc(), "token")
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum_share",
+            (F.sum("freq").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+            .cast("double")
+            / F.col("_total"),
+        )
+        .select("token", "freq", "rank", "cum_share")
+    )
+
+
+# BM25 retrieval scenario: a fixed keyword query scored over the corpus.
+# Okapi parameters are the textbook defaults; k1+1 is emitted as the literal
+# "2.2" (never computed — 1.2+1.0 is a round-to-even tie in binary64, so the
+# SAME literal string must reach both engines' parsers).
+BM25_TERMS = ("spark", "join", "vector", "stream", "window")
+BM25_K = 20
+
+
+def bm25_score_expr(n: str, sumdl: str, dl: str, tfs: list[str], dfs: list[str]) -> str:
+    """Okapi BM25 scoring expression over pre-computed per-doc term
+    frequencies — ONE string used verbatim by BOTH the Spark side (F.expr)
+    and the DuckDB oracle, so every literal parses to the identical double
+    and every IEEE op associates identically. All fractional literals are
+    CAST(... AS DOUBLE) because bare decimal literals are DECIMAL-typed in
+    both SQL dialects (decimal arithmetic would diverge from the double
+    path). ``ln`` is the one primitive whose result is NOT identical across
+    engines — JVM ``Math.log`` and DuckDB's libm disagree by 1 ulp on some
+    inputs (observed on this corpus) — so the idf is QUANTIZED to 1e-9 in
+    pure double arithmetic, ``floor(x*1e9 + 0.5)/1e9``: floor/multiply/
+    divide are exact-or-correctly-rounded identically in both engines, and
+    a 1-ulp ln divergence (~2e-16 relative) only changes the quantized
+    value if it straddles a 1e-9 grid boundary (~4e-7 probability per
+    distinct idf; there are |terms| of them per corpus, and the gate
+    validates the actual datasets). Every double after the quantize is
+    bit-equal by construction.
+
+    idf_t = ln(1 + (N - df_t + 0.5)/(df_t + 0.5))       (Robertson/Lucene)
+    w_t   = tf_t*(k1+1) / (tf_t + k1*(1 - b + b*dl/avgdl)),  avgdl = Σdl/N
+    """
+    parts = []
+    for tf, df_ in zip(tfs, dfs):
+        raw_idf = (
+            f"ln(CAST(1.0 AS DOUBLE) + ({n} - {df_} + CAST(0.5 AS DOUBLE))"
+            f" / ({df_} + CAST(0.5 AS DOUBLE)))"
+        )
+        idf = (
+            f"(floor({raw_idf} * CAST(1000000000.0 AS DOUBLE)"
+            f" + CAST(0.5 AS DOUBLE)) / CAST(1000000000.0 AS DOUBLE))"
+        )
+        denom = (
+            f"({tf} + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)"
+            f" + CAST(0.75 AS DOUBLE) * (CAST({dl} AS DOUBLE)"
+            f" / (CAST({sumdl} AS DOUBLE) / {n}))))"
+        )
+        parts.append(f"{idf} * (({tf} * CAST(2.2 AS DOUBLE)) / {denom})")
+    return " + ".join(parts)
+
+
+def q_sim_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval for a fixed keyword query — the lexical
+    retrieval op of a training-data pipeline (quality-targeted subcorpus
+    pulls, eval-set mining). Plan shape at scale: per-doc tf/dl are
+    map-side expressions, corpus stats (N, Σdl, df_t) are ONE 1-row
+    aggregate broadcast back (the q11/q15 pattern — no corpus-wide
+    shuffle), and top-k is TakeOrderedAndProject. Ties break by doc_id."""
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    toks = text.tokens("text")
+
+    def tf(term: str) -> F.Column:
+        # factory, not a default-arg lambda: F.filter treats a 2-arg lambda
+        # as (element, index) and would bind the index over the term
+        return F.size(F.filter(F.col("_toks"), lambda x: x == F.lit(term)))
+
+    feats = d.select(F.col("doc_id"), toks.alias("_toks")).select(
+        "doc_id",
+        F.size("_toks").alias("_dl"),
+        *[tf(t).alias(f"_tf{i}") for i, t in enumerate(BM25_TERMS)],
+    )
+    stats = feats.agg(
+        F.count(F.lit(1)).alias("_sn"),
+        F.sum("_dl").alias("_sumdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_sdf{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    score = F.expr(
+        bm25_score_expr(
+            "_sn",
+            "_sumdl",
+            "_dl",
+            [f"_tf{i}" for i in range(len(BM25_TERMS))],
+            [f"_sdf{i}" for i in range(len(BM25_TERMS))],
+        )
+    )
+    return (
+        feats.crossJoin(F.broadcast(stats))
+        .withColumn("bm25", score)
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_K)
+        .select("doc_id", "bm25")
+    )
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED set-containment pairs |S_src ∩ S_dst| / |S_src| >= t — the
+    asymmetric dedup op (quote/fragment absorption, benchmark-fragment
+    contamination). Candidates come from the one-sided prefix lemma: only the
+    source's rarest |s|-ceil(t|s|)+1 shingles probe the FULL inverted index
+    (the container side gets no prefix), with size + positional prunes before
+    the exact verify. Oracle = the exact directed pair set."""
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    return dedup.containment_prefix_pairs(d, "doc_id", k=3, threshold=CONTAINMENT_THRESHOLD)
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -80,6 +80,15 @@ def test_no_unbounded_nested_loop_joins(spark):
         # r4 late: bigram grand total joined back as a broadcast 1-row
         # aggregate (PMI denominator) — the BNLJ side is exactly one row
         "text_pmi_bigrams",
+        # r5: the k-means-TRAINED IVF — same designed plan shape as
+        # sim_ann_topk_ivf (broadcast codebook x vectors assignment, plus
+        # the brute-force exact counterpart for the in-query recall bound)
+        "sim_ann_topk_ivf_trained",
+        # r5 continuation: corpus stats (N, Σdl, df_t) / vocab grand total
+        # joined back as broadcast 1-row aggregates — the q11/q15 pattern;
+        # every BNLJ side is exactly one row
+        "sim_bm25_topk",
+        "text_vocab_coverage",
     }
     offenders = []
     for name, fn in entry_mod.queries().items():
