@@ -221,15 +221,31 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     sim_knn_label_vote (its topk_able machinery stays pytest-pinned; the
 #:     similarity family keeps sim_ann_topk_ivf, sim_ann_topk_ivf_trained,
 #:     and the NEW sim_bm25_topk in-window).
+#: (j) ROUND-5 continuation, second block: two more NEW entries in by rule
+#:     (1) — dedup_tfidf_cosine (integer-exact tf-idf weighted cosine pairs;
+#:     quantized-BIGINT weights make every dot/norm an order-independent
+#:     exact sum) and events_stream_windowed (the driver's SECOND
+#:     streaming-executed row: four real availableNow drains of the
+#:     watermarked tumbling-window aggregation, append mode, sentinel-flushed;
+#:     oracle = the batch GROUP BY). Verified at sf0.001/0.01/0.1 this
+#:     session. They displace two r4-green byte-unchanged rows:
+#:     events_twap (its exact decimal*1e6 value-scaling contract executes
+#:     in-window inside events_stream_windowed's sums; the events family
+#:     keeps gap_fill, anomaly_daily, rolling_7d, json_props + the new
+#:     streaming entry) and sample_fixed_per_lang (its md5-bucket machinery
+#:     stays in-window via corpus_shard_stats; exact-n-per-stratum is
+#:     pytest-pinned).
 _PRIORITY = [
     # r5 additions (block h)
     "ingest_stream_cdc_merge",
     "sim_ann_topk_ivf_trained",
     "q1_pricing_summary",
-    # r5 continuation additions (block i)
+    # r5 continuation additions (blocks i, j)
     "dedup_containment",
     "sim_bm25_topk",
     "text_vocab_coverage",
+    "dedup_tfidf_cosine",
+    "events_stream_windowed",
     # r4 final additions (block f)
     "dedup_jaccard_prefix",
     "text_pmi_bigrams",
@@ -249,11 +265,9 @@ _PRIORITY = [
     "ingest_incremental_two_sided",
     "events_gap_fill",
     "events_anomaly_daily",
-    "events_twap",
     "text_bigram_corpus_freq",
     "cube_flag_status",
     "skew_salted_join",
-    "sample_fixed_per_lang",
     "analytics_window_suite",
     # early-r4 new entries + r4-changed entries (blocks a/b)
     "corpus_feed_health",         # NEW: batch analogue of the streaming feed metrics

@@ -1444,3 +1444,107 @@ def containment_prefix_pairs(
         .filter(F.col("containment") >= threshold)
         .select("src_id", "dst_id", "containment")
     )
+
+
+def tfidf_weight_expr(tf: str, df_: str, n: str, scale: int = 10_000) -> str:
+    """Integer-quantized tf-idf weight as a SQL expression string, shared
+    VERBATIM between the Spark side (F.expr) and the DuckDB oracle:
+    ``tf * floor((ln((N+1)/(df+1)) + 1) * scale + 0.5)`` (smooth idf,
+    sklearn convention). ``ln`` is the one primitive whose libm result can
+    differ by 1 ulp across engines, so the idf is quantized onto a
+    ``1/scale`` grid with exact double ops (floor/multiply are identical
+    everywhere); the resulting weight is a BIGINT, making every downstream
+    dot product / norm an EXACT integer sum — order-independent, so the
+    groupBy accumulation order can never produce cross-engine drift.
+
+    Overflow bound: per-doc norm is Σ tf²·idf_q² with idf_q <= (ln(N+1)+1)
+    * scale (~2.9e5 at N=1e12, scale=1e4), so docs up to ~10k tokens stay
+    inside int64 even at trillion-doc corpora; lower ``scale`` for longer
+    documents.
+    """
+    idf = (
+        f"ln((CAST({n} AS DOUBLE) + CAST(1.0 AS DOUBLE))"
+        f" / ({df_} + CAST(1.0 AS DOUBLE))) + CAST(1.0 AS DOUBLE)"
+    )
+    return (
+        f"{tf} * CAST(floor(({idf}) * CAST({scale}.0 AS DOUBLE)"
+        f" + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 2,
+    threshold: float = 0.5,
+    max_df_frac: float = 0.3,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Exact WEIGHTED near-dup pairs: cosine similarity of tf-idf k-gram
+    vectors >= threshold, (id_1 < id_2, cosine). Where Jaccard treats every
+    shingle equally, tf-idf cosine down-weights common phrasing and
+    up-weights rare phrasing — the lexical-similarity measure used for
+    template-heavy corpora where Jaccard saturates.
+
+    Execution is the sparse inverted-index form, entirely JVM-side:
+    per-doc term frequencies (one groupBy), document frequencies (one
+    groupBy), integer-quantized weights (:func:`tfidf_weight_expr` — exact
+    BIGINT arithmetic end-to-end, see its cross-engine rationale), then
+    dot products as a term-keyed equi-self-join with a SUM of BIGINT
+    products (partial aggregation does the heavy lifting map-side; no
+    arrays ship per pair). cosine = dot / sqrt(norm_a * norm_b) with both
+    norms exact BIGINTs — the only doubles are the final sqrt/divide,
+    correctly rounded identically in every IEEE engine.
+
+    Terms with df > ``max_df_frac``·N are dropped (sklearn ``max_df``):
+    standard tf-idf practice (their idf ~ 0 anyway) AND the structural
+    guard against the hot-term quadratic join hazard — corpus-wide
+    boilerplate k-grams never enter the inverted index. The 1-row corpus
+    stats relation joins back as a broadcast (the q11/q15 pattern).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"tfidf_cosine_pairs: threshold must be in (0, 1], got {threshold}")
+    stats = df.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    occ = shingle_occurrences(df, id_col, text_col, k)
+    tf = occ.groupBy(id_col, "shingle").agg(F.count(F.lit(1)).alias("_tf"))
+    dfreq = tf.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    w = (
+        tf.join(dfreq, "shingle")
+        .crossJoin(F.broadcast(stats))
+        .filter(
+            F.expr(
+                f"_df <= CAST(floor(CAST({max_df_frac!r} AS DOUBLE) * _n) AS BIGINT)"
+            )
+        )
+        .select(
+            F.col(id_col),
+            "shingle",
+            F.expr(tfidf_weight_expr("_tf", "_df", "_n", scale)).alias("_wt"),
+        )
+    )
+    norms = w.groupBy(id_col).agg(F.sum(F.col("_wt") * F.col("_wt")).alias("_n2"))
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            on=(F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2")
+        )
+        .agg(F.sum(F.col("a._wt") * F.col("b._wt")).alias("_dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_1"), F.col("_n2").alias("_n2a"))
+    nb = norms.select(F.col(id_col).alias("id_2"), F.col("_n2").alias("_n2b"))
+    return (
+        dots.join(na, "id_1")
+        .join(nb, "id_2")
+        .withColumn(
+            "cosine",
+            F.expr("_dot / sqrt(CAST(_n2a AS DOUBLE) * CAST(_n2b AS DOUBLE))"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_1", "id_2", "cosine")
+    )

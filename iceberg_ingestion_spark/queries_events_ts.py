@@ -335,3 +335,88 @@ def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+DAY_US = 86_400_000_000
+
+
+def q_events_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-exposed STREAMING evidence #2: the Spark side EXECUTES four
+    real Structured Streaming ``availableNow`` drains of
+    ``streaming.windowed.windowed_event_stats`` — a file-source event feed,
+    watermarked tumbling 1-day windows, APPEND output mode into a parquet
+    sink — and returns the finalized window rows. The feed arrives as two
+    time-ordered halves (so the second drain exercises a real
+    carried-forward watermark + state restore from the checkpoint), then two
+    far-future SENTINEL events: append mode only emits a window once the
+    watermark passes its end, so the sentinels push the watermark past every
+    real window and the final drains flush them. The sentinel rows are feed
+    plumbing, not data — whether their own windows finalize depends on how
+    the runtime schedules its flush batches, so the result contract excludes
+    the sentinel event type explicitly.
+
+    ``value`` sums use the exact decimal·1e6 integer scaling (the TWAP
+    convention) so the per-window sum is an order-independent BIGINT — the
+    oracle is the plain batch tumbling-window GROUP BY. State at scale is
+    one row per (window, event_type) inside the watermark horizon,
+    independent of stream length."""
+    import os as _os
+    import tempfile
+
+    from iceberg_ingestion_spark.streaming.windowed import windowed_event_stats
+
+    ev = read_events_us(spark, sf_dir)
+    v_micro = (
+        F.col("value").cast("decimal(18,6)") * F.lit(1_000_000).cast("decimal(7,0)")
+    ).cast("long")
+    feed_df = ev.select(
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        F.col("event_type"),
+        v_micro.alias("value"),
+    )
+    lo, hi = feed_df.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+
+    root = tempfile.mkdtemp(prefix="stream_win_")
+    feed, ckpt, out = (
+        _os.path.join(root, "feed"),
+        _os.path.join(root, "ckpt"),
+        _os.path.join(root, "out"),
+    )
+
+    def drain(rows_df) -> None:
+        rows_df.coalesce(1).write.mode("append").parquet(feed)
+        stream = spark.readStream.schema(feed_df.schema).parquet(feed)
+        q = (
+            windowed_event_stats(stream, "ts", "1 day", "2 hours")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    def sentinel(ts_expr: str):
+        return spark.range(1).select(
+            F.expr(ts_expr).alias("ts"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0).cast("long").alias("value"),
+        )
+
+    drain(feed_df.filter(F.col("ts") < F.lit(mid)))
+    drain(feed_df.filter(F.col("ts") >= F.lit(mid)))
+    drain(sentinel(f"timestamp'{hi}' + interval 4 days"))
+    drain(sentinel(f"timestamp'{hi}' + interval 8 days"))
+
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("event_type") != "sentinel")
+        .select(
+            F.unix_micros("window_start").alias("window_start_us"),
+            "event_type",
+            "n_events",
+            F.col("sum_value").alias("sum_value_micros"),
+        )
+    )

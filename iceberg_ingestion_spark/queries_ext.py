@@ -34,6 +34,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
     "dedup_containment": q_dedup_containment,  # directed |A∩B|/|A| prefix join
+    "dedup_tfidf_cosine": q_dedup_tfidf_cosine,  # integer-exact weighted cosine
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_incremental_minhash": q_dedup_incremental_minhash,  # index-probe increment dedup
     "dedup_simhash": q_dedup_simhash,
@@ -53,6 +54,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_twap": q_events_twap,
     "events_sequence_match": q_events_sequence_match,
     "events_value_histogram": q_events_value_histogram,
+    "events_stream_windowed": q_events_stream_windowed,  # real streaming runs, append mode
     "text_pmi_bigrams": q_text_pmi_bigrams,
     "text_vocab_coverage": q_text_vocab_coverage,  # top-K vocab + coverage curve
     "funnel_conversion": q_funnel_conversion,

@@ -134,6 +134,32 @@ ORACLES_EXT: dict[str, str] = {
         SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
         ORDER BY bm25 DESC, doc_id LIMIT {BM25_K}
     """,
+    # the weight expression is the SAME string Spark parses
+    # (dedup.tfidf_weight_expr); weights are BIGINT, so every dot/norm is an
+    # exact integer sum — order-independent — and the only doubles are the
+    # final sqrt/divide, correctly rounded identically in both engines
+    "dedup_tfidf_cosine": f"""
+        WITH stats AS (SELECT CAST(count(*) AS BIGINT) AS _n FROM documents),
+        toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        occ AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS s FROM toks),
+        tf AS (SELECT doc_id, s, CAST(count(*) AS BIGINT) AS _tf FROM occ GROUP BY 1, 2),
+        dfreq AS (SELECT s, CAST(count(*) AS BIGINT) AS _df FROM tf GROUP BY s),
+        w AS (
+            SELECT doc_id, s, {dedup.tfidf_weight_expr("_tf", "_df", "_n", 10_000)} AS _wt
+            FROM tf JOIN dfreq USING (s) CROSS JOIN stats
+            WHERE _df <= CAST(floor(CAST(0.3 AS DOUBLE) * _n) AS BIGINT)
+        ),
+        norms AS (SELECT doc_id, CAST(sum(_wt * _wt) AS BIGINT) AS _n2 FROM w GROUP BY doc_id),
+        dots AS (
+            SELECT a.doc_id AS id_1, b.doc_id AS id_2, CAST(sum(a._wt * b._wt) AS BIGINT) AS _dot
+            FROM w a JOIN w b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_1, id_2,
+               _dot / sqrt(CAST(na._n2 AS DOUBLE) * CAST(nb._n2 AS DOUBLE)) AS cosine
+        FROM dots JOIN norms na ON na.doc_id = id_1 JOIN norms nb ON nb.doc_id = id_2
+        WHERE _dot / sqrt(CAST(na._n2 AS DOUBLE) * CAST(nb._n2 AS DOUBLE)) >= {TFIDF_COS_THRESHOLD}
+    """,
     # the exact DIRECTED containment pair set: candidates are lossless by the
     # one-sided prefix lemma and the verify is exact, so Spark == this SQL
     "dedup_containment": f"""
@@ -338,6 +364,21 @@ WHERE p.event_type = 'click'
         WHERE c_pair >= 5
         ORDER BY lift DESC, w1, w2
         LIMIT 50
+    """,
+    # batch mirror of the STREAMING tumbling-window aggregation: UTC-epoch-
+    # aligned 1-day buckets; value sums use the TWAP decimal*1e6 integer
+    # scaling so the sum is order-independent BIGINT on both sides
+    "events_stream_windowed": """
+        WITH e AS (
+            SELECT epoch_us(ts) AS ts_us, event_type,
+                   CAST(CAST(value AS DECIMAL(18,6))
+                        * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT) AS vm
+            FROM events
+        )
+        SELECT (ts_us // 86400000000) * 86400000000 AS window_start_us,
+               event_type, count(*) AS n_events,
+               CAST(sum(vm) AS BIGINT) AS sum_value_micros
+        FROM e GROUP BY 1, 2
     """,
     "events_anomaly_daily": f"""
         WITH counts AS (

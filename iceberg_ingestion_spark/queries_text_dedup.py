@@ -323,6 +323,19 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_prefix_pairs(d, "doc_id", k=3, threshold=CONTAINMENT_THRESHOLD)
 
 
+TFIDF_COS_THRESHOLD = 0.5
+
+
+def q_dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tf-idf weighted cosine near-dup pairs over bigram terms —
+    the weighted complement of the Jaccard family for template-heavy
+    corpora (common phrasing is down-weighted by idf instead of counting
+    equally). Integer-quantized weights keep every dot product an exact
+    BIGINT sum; oracle recomputes the identical quantized feature space."""
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    return dedup.tfidf_cosine_pairs(d, "doc_id", k=2, threshold=TFIDF_COS_THRESHOLD)
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", spread=True)
     return dedup.minhash_lsh_pairs(d, "doc_id", k=3, threshold=MINHASH_THRESHOLD)

@@ -89,6 +89,9 @@ def test_no_unbounded_nested_loop_joins(spark):
         # every BNLJ side is exactly one row
         "sim_bm25_topk",
         "text_vocab_coverage",
+        # r5 continuation: corpus doc count N joins into the tf-idf weight
+        # pass as a broadcast 1-row aggregate — the BNLJ side is one row
+        "dedup_tfidf_cosine",
     }
     offenders = []
     for name, fn in entry_mod.queries().items():

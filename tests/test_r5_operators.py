@@ -175,3 +175,94 @@ def test_vocab_coverage_matches_python_reference(spark):
     # coverage is monotone and ends <= 1
     shares = [s for _, _, _, s in got]
     assert shares == sorted(shares) and shares[-1] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# tf-idf weighted cosine pairs
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_cosine_matches_python_reference(spark):
+    """Spark tf-idf cosine == plain-Python reference using the SAME
+    quantized-integer weight definition, on the fixture corpus."""
+    import math
+    from collections import Counter
+
+    from iceberg_ingestion_spark.operators.dedup import tfidf_cosine_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    t, max_df_frac, scale, k = 0.5, 0.3, 10_000, 2
+    got = {
+        (r.id_1, r.id_2): round(r.cosine, 12)
+        for r in tfidf_cosine_pairs(
+            docs, "doc_id", k=k, threshold=t, max_df_frac=max_df_frac, scale=scale
+        ).collect()
+    }
+
+    rows = docs.collect()
+    n = len(rows)
+    tf = {}
+    for r in rows:
+        toks = (r.text or "").strip().lower().split()
+        tf[r.doc_id] = Counter(
+            " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+        )
+    df_counts = Counter(s for c in tf.values() for s in c)
+    max_df = math.floor(max_df_frac * n)
+    w = {
+        d: {
+            s: c * math.floor((math.log((n + 1.0) / (df_counts[s] + 1.0)) + 1.0) * scale + 0.5)
+            for s, c in cnt.items()
+            if df_counts[s] <= max_df
+        }
+        for d, cnt in tf.items()
+    }
+    norms = {d: sum(x * x for x in ws.values()) for d, ws in w.items()}
+    want = {}
+    ids = sorted(w)
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1 :]:
+            shared = set(w[d1]) & set(w[d2])
+            if not shared:
+                continue
+            dot = sum(w[d1][s] * w[d2][s] for s in shared)
+            cos = dot / math.sqrt(norms[d1] * norms[d2])
+            if cos >= t:
+                want[(d1, d2)] = round(cos, 12)
+    assert got == want
+    assert got  # non-vacuous
+
+
+def test_tfidf_cosine_downweights_common_phrasing(spark):
+    """Two docs overlapping ONLY in a boilerplate k-gram (df above max_df)
+    must not pair; docs sharing rare phrasing must."""
+    from iceberg_ingestion_spark.operators.dedup import tfidf_cosine_pairs
+
+    boiler = "click here now"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} unique alpha phrase one"),
+            (2, f"{boiler} different beta phrase two"),
+            (3, "rare gamma signature text body"),
+            (4, "rare gamma signature text tail"),
+            *[(10 + i, boiler) for i in range(6)],  # make the boilerplate hot
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_1, r.id_2)
+        for r in tfidf_cosine_pairs(
+            docs, "doc_id", k=2, threshold=0.3, max_df_frac=0.3
+        ).collect()
+    }
+    assert (3, 4) in got          # rare shared phrasing pairs
+    assert (1, 2) not in got      # boilerplate-only overlap pruned by max_df
+    assert not any(a >= 10 or b >= 10 for a, b in got)  # pure-boilerplate docs drop out
+
+
+def test_tfidf_cosine_threshold_guard(spark):
+    from iceberg_ingestion_spark.operators.dedup import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="threshold"):
+        tfidf_cosine_pairs(docs, "doc_id", threshold=1.5)
