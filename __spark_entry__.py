@@ -235,6 +235,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #:     streaming entry) and sample_fixed_per_lang (its md5-bucket machinery
 #:     stays in-window via corpus_shard_stats; exact-n-per-stratum is
 #:     pytest-pinned).
+#: (k) ROUND-5 continuation, third block: two NEW pipeline-report entries in
+#:     by rule (1) — corpus_quality_funnel (cumulative quality-gate
+#:     attrition: one conditional-sum scan + the near-dup canonical join;
+#:     the oracle recomputes the component closure recursively) and
+#:     corpus_dedup_by_source (per-feed near-dup attrition, same closure).
+#:     Verified at sf0.001/0.01/0.1 and sf1 this session. They displace two
+#:     r4-green byte-unchanged rows that ALSO re-passed this session's full
+#:     119-entry sf0.01 sweep: cube_flag_status (grouping-sets family keeps
+#:     analytics_window_suite + analytics_unpivot_measures in-window) and
+#:     events_anomaly_daily (the events family keeps gap_fill, rolling_7d,
+#:     json_props and the new streaming entry; its integer-sum mean+2σ
+#:     machinery is pytest-pinned).
 _PRIORITY = [
     # r5 additions (block h)
     "ingest_stream_cdc_merge",
@@ -246,6 +258,8 @@ _PRIORITY = [
     "text_vocab_coverage",
     "dedup_tfidf_cosine",
     "events_stream_windowed",
+    "corpus_quality_funnel",
+    "corpus_dedup_by_source",
     # r4 final additions (block f)
     "dedup_jaccard_prefix",
     "text_pmi_bigrams",
@@ -264,9 +278,7 @@ _PRIORITY = [
     "ingest_incremental_join_agg",
     "ingest_incremental_two_sided",
     "events_gap_fill",
-    "events_anomaly_daily",
     "text_bigram_corpus_freq",
-    "cube_flag_status",
     "skew_salted_join",
     "analytics_window_suite",
     # early-r4 new entries + r4-changed entries (blocks a/b)

@@ -78,6 +78,8 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_resize_plan": q_multimodal_resize_plan,
     "multimodal_phash_pairs": q_multimodal_phash_pairs,  # aHash64 + pigeonhole banding
     "corpus_shard_stats": q_corpus_shard_stats,
+    "corpus_quality_funnel": q_corpus_quality_funnel,  # cumulative gate attrition
+    "corpus_dedup_by_source": q_corpus_dedup_by_source,  # per-feed near-dup health
     "text_boilerplate_scrub": q_text_boilerplate_scrub,
     "sketch_count_min": q_sketch_count_min,  # md5-CMS: oracle recomputes the sketch
     "embedding_kmeans_assign": q_embedding_kmeans_assign,

@@ -10,7 +10,63 @@ from iceberg_ingestion_spark.queries_ext_sql import (  # noqa: F401
     _TOKS, _BPE, _NORM, _JACCARD_CTE, _SESSION_CTE, _BRUTEFORCE_TOPK_SQL, _ANN_RECALL_ORACLE, _stop_hits_sql, _lang_case_sql, _simhash_sql, _dot_sql, _cosine_sql, _sqdist_sql,
 )
 
+#: near-dup canonical-survivor labels for EVERY doc (singletons keep): the
+#: exact-pair closure of the dedup_clusters oracle, left-joined to the corpus
+_NEARDUP_KEEP_CTE = _JACCARD_CTE + f""",
+p AS (SELECT id_1, id_2 FROM jac WHERE jaccard >= {MINHASH_THRESHOLD}),
+edges AS (SELECT id_1 AS src, id_2 AS dst FROM p UNION SELECT id_2, id_1 FROM p),
+reach AS (SELECT src AS id, dst AS r FROM edges UNION SELECT src AS id, src AS r FROM edges),
+closure AS (
+    WITH RECURSIVE walk(id, r) AS (
+        SELECT id, r FROM reach
+        UNION
+        SELECT walk.id, edges.dst FROM walk JOIN edges ON walk.r = edges.src
+    )
+    SELECT id, min(r) AS component FROM walk GROUP BY id
+),
+canon AS (
+    SELECT d.doc_id, coalesce(c.component, d.doc_id) = d.doc_id AS keep
+    FROM documents d LEFT JOIN closure c ON c.id = d.doc_id
+)
+"""
+
 ORACLES_EXT: dict[str, str] = {
+    # funnel stages are cumulative conditional sums over ONE scan; the dedup
+    # stage joins the same near-dup closure the dedup_clusters oracle uses
+    "corpus_quality_funnel": _NEARDUP_KEEP_CTE + f""",
+        flags AS (
+            SELECT d.doc_id,
+                   (d.text IS NOT NULL AND length(d.text) > 0) AS f1,
+                   ((d.text IS NOT NULL AND length(d.text) > 0)
+                    AND {_lang_case_sql()} <> 'und') AS f2,
+                   ((d.text IS NOT NULL AND length(d.text) > 0)
+                    AND {_lang_case_sql()} <> 'und'
+                    AND len({_TOKS}) >= {FUNNEL_MIN_TOKENS}) AS f3
+            FROM documents d
+        ),
+        agg AS (
+            SELECT count(*) AS c0,
+                   sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS c1,
+                   sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS c2,
+                   sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS c3,
+                   sum(CASE WHEN f3 AND keep THEN 1 ELSE 0 END) AS c4
+            FROM flags JOIN canon USING (doc_id)
+        )
+        SELECT CAST(0 AS BIGINT) AS stage_idx, 'total' AS stage, CAST(c0 AS BIGINT) AS n_surviving FROM agg
+        UNION ALL SELECT CAST(1 AS BIGINT), 'nonempty', CAST(c1 AS BIGINT) FROM agg
+        UNION ALL SELECT CAST(2 AS BIGINT), 'lang_known', CAST(c2 AS BIGINT) FROM agg
+        UNION ALL SELECT CAST(3 AS BIGINT), 'min_tokens', CAST(c3 AS BIGINT) FROM agg
+        UNION ALL SELECT CAST(4 AS BIGINT), 'neardup_canonical', CAST(c4 AS BIGINT) FROM agg
+    """,
+    "corpus_dedup_by_source": _NEARDUP_KEEP_CTE + """
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*) AS drop_rate
+        FROM documents d JOIN canon USING (doc_id)
+        GROUP BY d.source
+    """,
     "text_token_counts": f"""
         SELECT doc_id, len({_TOKS}) AS n_tokens_ws, len({_BPE}) AS n_tokens_bpe
         FROM documents

@@ -266,3 +266,44 @@ def test_tfidf_cosine_threshold_guard(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="threshold"):
         tfidf_cosine_pairs(docs, "doc_id", threshold=1.5)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline report entries: quality funnel + per-source dedup attrition
+# ---------------------------------------------------------------------------
+
+
+def test_quality_funnel_monotone_and_consistent(spark):
+    from iceberg_ingestion_spark.queries_corpus_mm import q_corpus_quality_funnel
+
+    rows = sorted(
+        q_corpus_quality_funnel(spark, SF).collect(), key=lambda r: r.stage_idx
+    )
+    assert [r.stage for r in rows] == [
+        "total", "nonempty", "lang_known", "min_tokens", "neardup_canonical",
+    ]
+    counts = [r.n_surviving for r in rows]
+    total = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert counts[0] == total
+    assert counts == sorted(counts, reverse=True)  # cumulative gates only shrink
+    assert counts[-1] > 0
+
+
+def test_dedup_by_source_sums_to_funnel(spark):
+    """Per-source kept counts must sum to the corpus-wide number of near-dup
+    canonical survivors (the same closure, grouped differently)."""
+    from iceberg_ingestion_spark.operators import dedup
+    from iceberg_ingestion_spark.queries_corpus_mm import q_corpus_dedup_by_source
+    from iceberg_ingestion_spark.queries_text_dedup import MINHASH_THRESHOLD
+
+    per_source = q_corpus_dedup_by_source(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", k=3, threshold=MINHASH_THRESHOLD)
+    cc = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
+    all_ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    n_survivors = sum(1 for i in all_ids if cc.get(i, i) == i)
+    assert sum(r.n_kept for r in per_source) == n_survivors
+    assert sum(r.n_docs for r in per_source) == len(all_ids)
+    for r in per_source:
+        assert 0 <= r.n_kept <= r.n_docs
+        assert r.drop_rate == pytest.approx((r.n_docs - r.n_kept) / r.n_docs)
