@@ -197,7 +197,7 @@ ORACLES_EXT: dict[str, str] = {
     "dedup_tfidf_cosine": f"""
         WITH stats AS (SELECT CAST(count(*) AS BIGINT) AS _n FROM documents),
         toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-        occ AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS s FROM toks),
+        occ AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS s FROM toks),
         tf AS (SELECT doc_id, s, CAST(count(*) AS BIGINT) AS _tf FROM occ GROUP BY 1, 2),
         dfreq AS (SELECT s, CAST(count(*) AS BIGINT) AS _df FROM tf GROUP BY s),
         w AS (
