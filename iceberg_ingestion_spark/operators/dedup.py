@@ -1234,6 +1234,37 @@ def edit_distance_pairs(
     )
 
 
+def _ranked_shingles(sets_: DataFrame, id_col: str) -> DataFrame:
+    """(id, shingle, _pos, _n): each doc's shingles ranked by the GLOBAL
+    canonical order (ascending corpus document frequency, shingle string as
+    tie-break) plus the doc's set size — the shared scaffolding of the
+    prefix-filter candidate generators (Jaccard and containment). One df
+    aggregation + one per-doc rank window."""
+    from pyspark.sql import Window
+
+    sh = sets_.select(F.col(id_col), F.explode("ss").alias("shingle"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy(id_col).orderBy("_df", "shingle")
+    return (
+        sh.join(dfreq, "shingle")
+        .withColumn("_pos", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+        .select(F.col(id_col), "shingle", "_pos", "_n")
+    )
+
+
+def _prefix_only(ranked: DataFrame, threshold: float) -> DataFrame:
+    """Keep each doc's first |s| - ceil(t*|s|) + 1 canonically-ranked
+    shingles (the prefix lemma's probe set). The 1e-9 epsilon matches the
+    length/positional filters' convention: float t*n can land a hair ABOVE
+    an exact integer (0.8*5 -> 4.0000000000000002), which would ceil one too
+    high and shorten the prefix by one — losing exact-boundary pairs."""
+    return ranked.filter(
+        F.col("_pos")
+        <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n") - F.lit(1e-9)) + 1
+    )
+
+
 def jaccard_prefix_pairs(
     df: DataFrame,
     id_col: str,
@@ -1272,33 +1303,13 @@ def jaccard_prefix_pairs(
     fractional-cap machinery is the tool for that pathology — these two
     generators are complements, pinned pair-identical in pytest.
     """
-    from pyspark.sql import Window
-
     if not 0.0 < threshold <= 1.0:
         # t<=0 degenerates the prefix to the WHOLE set: a full uncapped
         # inverted-index join with none of ngram_jaccard_pairs' skew
         # machinery — refuse rather than run the quadratic plan
         raise ValueError(f"jaccard_prefix_pairs: threshold must be in (0, 1], got {threshold}")
     sets_ = shingle_sets(df, id_col, text_col, k).cache()
-    sh = sets_.select(F.col(id_col), F.explode("ss").alias("shingle"))
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = sh.join(dfreq, "shingle")
-    w = Window.partitionBy(id_col).orderBy("_df", "shingle")
-    prefix = (
-        ranked.withColumn("_pos", F.row_number().over(w))
-        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
-        .filter(
-            # eps matches the convention of the length/positional filters:
-            # float t*n can land a hair ABOVE an exact integer (0.8*5 ->
-            # 4.0000000000000002), which would ceil one too high and shorten
-            # the prefix by one — losing exact-boundary pairs (jacc == t)
-            F.col("_pos")
-            <= F.col("_n")
-            - F.ceil(F.lit(threshold) * F.col("_n") - F.lit(1e-9))
-            + 1
-        )
-        .select(F.col(id_col), "shingle", "_pos", "_n")
-    )
+    prefix = _prefix_only(_ranked_shingles(sets_, id_col), threshold)
     a, b = prefix.alias("a"), prefix.alias("b")
     n1, n2 = F.col("a._n"), F.col("b._n")
     joined = a.join(
@@ -1388,26 +1399,13 @@ def containment_prefix_pairs(
     above an exact integer and must never shorten a prefix or prune a true
     boundary pair.
     """
-    from pyspark.sql import Window
-
     if not 0.0 < threshold <= 1.0:
         raise ValueError(
             f"containment_prefix_pairs: threshold must be in (0, 1], got {threshold}"
         )
     sets_ = shingle_sets(df, id_col, text_col, k).cache()
-    sh = sets_.select(F.col(id_col), F.explode("ss").alias("shingle"))
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = sh.join(dfreq, "shingle")
-    w = Window.partitionBy(id_col).orderBy("_df", "shingle")
-    full = (
-        ranked.withColumn("_pos", F.row_number().over(w))
-        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
-        .select(F.col(id_col), "shingle", "_pos", "_n")
-    )
-    prefix = full.filter(
-        F.col("_pos")
-        <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n") - F.lit(1e-9)) + 1
-    )
+    full = _ranked_shingles(sets_, id_col)
+    prefix = _prefix_only(full, threshold)
     a, b = prefix.alias("a"), full.alias("b")
     na, nb = F.col("a._n"), F.col("b._n")
     joined = a.join(
@@ -1509,6 +1507,9 @@ def tfidf_cosine_pairs(
     occ = shingle_occurrences(df, id_col, text_col, k)
     tf = occ.groupBy(id_col, "shingle").agg(F.count(F.lit(1)).alias("_tf"))
     dfreq = tf.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    # cached: w feeds FOUR plan subtrees (both join sides + norms read twice)
+    # — without it the mapInPandas shingling pass and both aggregations
+    # re-execute per subtree (the module's shingle_sets .cache() convention)
     w = (
         tf.join(dfreq, "shingle")
         .crossJoin(F.broadcast(stats))
@@ -1522,6 +1523,7 @@ def tfidf_cosine_pairs(
             "shingle",
             F.expr(tfidf_weight_expr("_tf", "_df", "_n", scale)).alias("_wt"),
         )
+        .cache()
     )
     norms = w.groupBy(id_col).agg(F.sum(F.col("_wt") * F.col("_wt")).alias("_n2"))
     a, b = w.alias("a"), w.alias("b")

@@ -298,16 +298,21 @@ def q_stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = ParquetVersionedSink(spark, os.path.join(root, "wh"))
     name = "dev_clean_tpch.orders_stream"
 
-    day1.coalesce(1).write.mode("append").parquet(feed)
-    stream_cdc_merge(
-        spark, feed, schema, sink, name, ORDERS_SPEC, TablePolicy(),
-        checkpoint_dir=ckpt,
-    ).awaitTermination(300)
-    cdc.coalesce(1).write.mode("append").parquet(feed)
-    stream_cdc_merge(
-        spark, feed, schema, sink, name, ORDERS_SPEC, TablePolicy(),
-        checkpoint_dir=ckpt,
-    ).awaitTermination(300)
+    def drain(df) -> None:
+        df.coalesce(1).write.mode("append").parquet(feed)
+        q = stream_cdc_merge(
+            spark, feed, schema, sink, name, ORDERS_SPEC, TablePolicy(),
+            checkpoint_dir=ckpt,
+        )
+        # a timed-out drain must FAIL the entry: restarting against the same
+        # checkpoint while this query runs, or reading the sink mid-commit,
+        # would silently return a partially-merged table
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("ingest_stream_cdc_merge: drain exceeded 300s")
+
+    drain(day1)
+    drain(cdc)
 
     out = sink.read(name).select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",

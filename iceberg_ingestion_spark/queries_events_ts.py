@@ -352,8 +352,9 @@ def q_events_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark passes its end, so the sentinels push the watermark past every
     real window and the final drains flush them. The sentinel rows are feed
     plumbing, not data — whether their own windows finalize depends on how
-    the runtime schedules its flush batches, so the result contract excludes
-    the sentinel event type explicitly.
+    the runtime schedules its flush batches, so the result contract keeps
+    only windows starting at or before the last REAL event (the injected
+    rows sit days past it; no event-type name is reserved).
 
     ``value`` sums use the exact decimal·1e6 integer scaling (the TWAP
     convention) so the per-window sum is an order-independent BIGINT — the
@@ -396,7 +397,12 @@ def q_events_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        # a timed-out drain must FAIL the entry: the next start() against the
+        # same checkpoint while this query runs, or a read of the
+        # partially-flushed sink, would silently return incomplete windows
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("events_stream_windowed: drain exceeded 300s")
 
     def sentinel(ts_expr: str):
         return spark.range(1).select(
@@ -410,9 +416,13 @@ def q_events_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     drain(sentinel(f"timestamp'{hi}' + interval 4 days"))
     drain(sentinel(f"timestamp'{hi}' + interval 8 days"))
 
+    # sentinels are excluded by TIME, not by event_type: every real window
+    # starts at or before the last real event, while the injected rows sit
+    # >= 4 days past it — so a (hypothetical) legitimate event_type named
+    # 'sentinel' in the data would still be counted, matching the oracle
     return (
         spark.read.parquet(out)
-        .filter(F.col("event_type") != "sentinel")
+        .filter(F.col("window_start") <= F.lit(hi))
         .select(
             F.unix_micros("window_start").alias("window_start_us"),
             "event_type",
