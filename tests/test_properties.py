@@ -458,3 +458,91 @@ def test_pmi_marginals_are_consistent(spark, docs):
         assert r.c_pair <= min(r.c_first, r.c_second)
         assert r.c_first == first[r.w1]
         assert r.lift == (r.c_pair * n_total) / (r.c_first * r.c_second)
+
+
+@given(
+    docs=st.lists(doc_row, min_size=0, max_size=10, unique_by=lambda d: d[0]),
+    t=st.sampled_from([0.5, 0.75, 0.8, 1.0]),
+)
+@PROP_SETTINGS
+def test_prefix_containment_equals_bruteforce(spark, docs, t):
+    """The one-sided prefix filter loses NOTHING: over random tiny corpora
+    (tiny vocabulary -> dense collisions, empty/short docs, boundary
+    thresholds incl. exact-integer t*n) the DIRECTED pair set and scores
+    equal the all-pairs Python computation."""
+    from iceberg_ingestion_spark.operators.dedup import containment_prefix_pairs
+
+    k = 2
+    df = spark.createDataFrame(
+        docs or [(None, None)], "doc_id int, text string"
+    ).filter(F.col("doc_id").isNotNull())
+    got = {
+        (r.src_id, r.dst_id): round(r.containment, 12)
+        for r in containment_prefix_pairs(df, "doc_id", k=k, threshold=t).collect()
+    }
+    sets_ = {}
+    for did, text in docs:
+        toks = text.strip().lower().split()
+        sets_[did] = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+    expected = {}
+    for a, sa in sets_.items():
+        for b, sb in sets_.items():
+            if a == b or not sa:
+                continue
+            c = len(sa & sb) / len(sa)
+            if c >= t:
+                expected[(a, b)] = round(c, 12)
+    assert got == expected
+
+
+@given(docs=st.lists(doc_row, min_size=0, max_size=10, unique_by=lambda d: d[0]))
+@PROP_SETTINGS
+def test_tfidf_cosine_equals_bruteforce(spark, docs):
+    """The sparse inverted-index tf-idf cosine equals the dense all-pairs
+    Python computation using the SAME integer-quantized weights, over random
+    tiny corpora (duplicate tokens -> tf > 1, max_df pruning hit by the
+    4-token vocabulary)."""
+    import math
+    from collections import Counter
+
+    from iceberg_ingestion_spark.operators.dedup import tfidf_cosine_pairs
+
+    k, t, max_df_frac, scale = 2, 0.5, 0.6, 10_000
+    df = spark.createDataFrame(
+        docs or [(None, None)], "doc_id int, text string"
+    ).filter(F.col("doc_id").isNotNull())
+    got = {
+        (r.id_1, r.id_2): round(r.cosine, 12)
+        for r in tfidf_cosine_pairs(
+            df, "doc_id", k=k, threshold=t, max_df_frac=max_df_frac, scale=scale
+        ).collect()
+    }
+    n = len(docs)
+    tf = {}
+    for did, text in docs:
+        toks = text.strip().lower().split()
+        tf[did] = Counter(" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1))
+    dfc = Counter(s for c in tf.values() for s in c)
+    max_df = math.floor(max_df_frac * n)
+    w = {
+        d: {
+            s: c * math.floor((math.log((n + 1.0) / (dfc[s] + 1.0)) + 1.0) * scale + 0.5)
+            for s, c in cnt.items()
+            if dfc[s] <= max_df
+        }
+        for d, cnt in tf.items()
+    }
+    norms = {d: sum(x * x for x in ws.values()) for d, ws in w.items()}
+    expected = {}
+    ids = sorted(w)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            shared = set(w[a]) & set(w[b])
+            if not shared:
+                continue
+            cos = sum(w[a][s] * w[b][s] for s in shared) / math.sqrt(
+                norms[a] * norms[b]
+            )
+            if cos >= t:
+                expected[(a, b)] = round(cos, 12)
+    assert got == expected
