@@ -539,6 +539,58 @@ def prefix_ab(mults: list[int]) -> int:
     return 0
 
 
+def cont_tfidf_ab(mults: list[int]) -> int:
+    """Round-5 operators on the boilerplate-hazard corpus (fresh growth +
+    a 10%-of-corpus boilerplate head). Two claims under test:
+
+    - containment_prefix_pairs needs no cap for the same reason
+      jaccard_prefix_pairs doesn't: boilerplate shingles (highest df) sort
+      last in the rarest-first canonical order, so they never enter a
+      PREFIX — and the containment join only probes FROM prefixes, so the
+      full-index side's boilerplate rows never match anything.
+    - tfidf_cosine_pairs is protected by ``max_df_frac`` ONLY if the cap
+      sits below the boilerplate's df fraction: at the operator default
+      (0.3, above the 10% head) the inverted-index join inherits the
+      quadratic hazard — the LOW weight of high-df terms prunes pairs
+      after the join, not the join itself — while a 0.05 cap drops the
+      head structurally and the curve goes flat.
+    """
+    from iceberg_ingestion_spark.operators import dedup
+    from iceberg_ingestion_spark.session import build_session
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = build_session(app_name="scale-smoke-cont-tfidf")
+    spark.range(10_000).repartition(64).mapInPandas(lambda it: it, "id long").count()
+    base = spark.read.parquet(f"{sf}/documents.parquet").repartition(32)
+
+    for mult in mults:
+        docs = with_boilerplate(
+            base if mult == 1 else fresh_blow_up(base, mult)
+        ).cache()
+        n = docs.count()
+        print(f"\n== cont/tfidf A/B {mult}x: {n} docs (flat body df, 10% boilerplate head) ==")
+        bench_cancelable(
+            spark, f"containment prefix     {mult}x",
+            lambda: dedup.containment_prefix_pairs(docs, "doc_id", threshold=0.8),
+        )
+        bench_cancelable(
+            spark, f"tfidf max_df=5%        {mult}x",
+            lambda: dedup.tfidf_cosine_pairs(
+                docs, "doc_id", k=3, threshold=0.5, max_df_frac=0.05,
+            ),
+        )
+        if mult <= 5:
+            bench_cancelable(
+                spark, f"tfidf max_df=30%(dflt) {mult}x",
+                lambda: dedup.tfidf_cosine_pairs(
+                    docs, "doc_id", k=3, threshold=0.5, max_df_frac=0.3,
+                ),
+            )
+        docs.unpersist()
+    spark.stop()
+    return 0
+
+
 def phash_ab(mults: list[int]) -> int:
     """Per-item vs distinct-signature (grouped) banding join A/B on the
     duplicate-heavy corpus — the perceptual-hash hazard: exact-duplicate
@@ -665,6 +717,8 @@ def main() -> int:
         return skew_curve([int(a) for a in sys.argv[2:]] or [1, 20])
     if len(sys.argv) > 1 and sys.argv[1] == "--late":
         return late_curve([int(a) for a in sys.argv[2:]] or [1, 5, 20])
+    if len(sys.argv) > 1 and sys.argv[1] == "--cont-tfidf":
+        return cont_tfidf_ab([int(a) for a in sys.argv[2:]] or [1, 5, 20])
     if len(sys.argv) > 1 and sys.argv[1] == "--phash":
         return phash_ab([int(a) for a in sys.argv[2:]] or [1, 5, 20])
     if len(sys.argv) > 1 and sys.argv[1] == "--incr":
