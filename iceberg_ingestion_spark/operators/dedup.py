@@ -1470,6 +1470,106 @@ def tfidf_weight_expr(tf: str, df_: str, n: str, scale: int = 10_000) -> str:
     )
 
 
+def _tfidf_sq_dec() -> Column:
+    """Per-term squared weight in decimal: (19,0) x (19,0) -> (38,0) exact
+    (every |_wt| < 1e19), summable without the int64 wrap hazard."""
+    return F.col("_wt").cast("decimal(19,0)") * F.col("_wt").cast("decimal(19,0)")
+
+
+def _tfidf_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    max_df_frac: float,
+    scale: int,
+) -> DataFrame:
+    """(id, shingle, _df, _wt): the retained-term quantized-weight relation —
+    per-doc term frequencies (one groupBy), document frequencies (one
+    groupBy), sklearn ``max_df`` cut, integer weights via
+    :func:`tfidf_weight_expr`. CACHED: it feeds several plan subtrees in
+    every consumer (norms, the prefix window, both verify map sides) —
+    without the cache the mapInPandas shingling pass and both aggregations
+    re-execute per subtree (the module's shingle_sets .cache() convention).
+    ``_df`` rides along: it IS the canonical order key."""
+    stats = df.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    occ = shingle_occurrences(df, id_col, text_col, k)
+    tf = occ.groupBy(id_col, "shingle").agg(F.count(F.lit(1)).alias("_tf"))
+    dfreq = tf.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        tf.join(dfreq, "shingle")
+        .crossJoin(F.broadcast(stats))
+        .filter(
+            F.expr(
+                f"_df <= CAST(floor(CAST({max_df_frac!r} AS DOUBLE) * _n) AS BIGINT)"
+            )
+        )
+        .select(
+            F.col(id_col),
+            "shingle",
+            "_df",
+            F.expr(tfidf_weight_expr("_tf", "_df", "_n", scale)).alias("_wt"),
+        )
+        .cache()
+    )
+
+
+def _tfidf_norms(w: DataFrame, id_col: str) -> DataFrame:
+    """(id, _n2): per-doc squared norms, accumulated in decimal(38,0) and
+    range-checked before the BIGINT cast — a doc long enough to overflow
+    int64 raises with the lower-``scale`` remedy instead of silently
+    wrapping (non-ANSI SUM(long) wraps; the wrap would only have surfaced
+    as a cross-engine oracle mismatch). Checked norms bound every dot
+    (|dot| <= sqrt(n2a*n2b) <= max(n2a, n2b)), so dots need no guard."""
+    return w.groupBy(id_col).agg(F.sum(_tfidf_sq_dec()).alias("_n2d")).select(
+        F.col(id_col),
+        F.when(
+            F.col("_n2d") > F.lit(2**63 - 1).cast("decimal(38,0)"),
+            F.expr(
+                "raise_error('tfidf norms: per-doc squared norm overflows"
+                " BIGINT — lower `scale` (see tfidf_weight_expr docstring bound)')"
+            ).cast("long"),
+        )
+        .otherwise(F.col("_n2d").cast("long"))
+        .alias("_n2"),
+    )
+
+
+def _tfidf_prefix(
+    w: DataFrame, norms: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """(id, shingle, _sfxd, _n2): each doc's WEIGHTED PREFIX (Bayardo et al.
+    WWW'07) — terms ordered rarest-first (ascending global df, shingle
+    tie-break), kept while the INCLUSIVE suffix squared-norm can still
+    reach the threshold: ``sfx_sq(p) >= t² * norm_sq``. The keep-test runs
+    in exact decimal arithmetic against threshold² floored onto a 1e-9
+    grid and slackened one quantum, so float rounding can only make a
+    prefix one term LONGER than exact, never shorter (the recall-safe
+    direction). ``_sfxd`` (the suffix squared-norm at each kept position)
+    is exported for the pair-level positional prune."""
+    import math
+
+    from pyspark.sql import Window
+
+    # inclusive suffix squared-norm along the canonical order = running sum
+    # in the REVERSE order (same id-keyed shuffle every per-doc op pays)
+    rev = (
+        Window.partitionBy(id_col)
+        .orderBy(F.col("_df").desc(), F.col("shingle").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t2q = max(0, math.floor(threshold * threshold * 1e9) - 1)
+    return (
+        w.withColumn("_sfxd", F.sum(_tfidf_sq_dec()).over(rev))
+        .join(norms, id_col)
+        .filter(
+            F.col("_sfxd") * F.lit(10**9).cast("decimal(10,0)")
+            >= F.lit(t2q).cast("decimal(10,0)") * F.col("_n2").cast("decimal(29,0)")
+        )
+        .select(F.col(id_col), "shingle", "_sfxd", "_n2")
+    )
+
+
 def tfidf_cosine_pairs(
     df: DataFrame,
     id_col: str,
@@ -1485,49 +1585,62 @@ def tfidf_cosine_pairs(
     up-weights rare phrasing — the lexical-similarity measure used for
     template-heavy corpora where Jaccard saturates.
 
-    Execution is the sparse inverted-index form, entirely JVM-side:
-    per-doc term frequencies (one groupBy), document frequencies (one
-    groupBy), integer-quantized weights (:func:`tfidf_weight_expr` — exact
-    BIGINT arithmetic end-to-end, see its cross-engine rationale), then
-    dot products as a term-keyed equi-self-join with a SUM of BIGINT
-    products (partial aggregation does the heavy lifting map-side; no
-    arrays ship per pair). cosine = dot / sqrt(norm_a * norm_b) with both
-    norms exact BIGINTs — the only doubles are the final sqrt/divide,
-    correctly rounded identically in every IEEE engine.
+    Candidate generation is the WEIGHTED PREFIX FILTER (Bayardo et al.
+    WWW'07 "Scaling Up All Pairs Similarity Search"; the weighted analogue
+    of :func:`jaccard_prefix_pairs`' prefix lemma): order each doc's terms
+    by the global canonical order (ascending document frequency, shingle
+    tie-break — rarest first), and keep only the prefix whose INCLUSIVE
+    suffix squared-norm can still reach the threshold,
+    ``sfx_sq(p) >= t² * norm_sq``. Proof of losslessness: if the first
+    common term s* (global order — the SAME rank order in both docs) were
+    past either side's prefix, every common term would lie in that side's
+    sub-threshold suffix and Cauchy-Schwarz gives
+    ``dot <= ||sfx|| * ||other|| < t * ||a|| * ||b||``. So a qualifying
+    pair must collide on a PREFIX term of BOTH sides, and only prefixes
+    enter the inverted-index self-join — the threshold itself bounds the
+    candidate volume (Σdf² over prefix terms, not all retained terms), and
+    prefixes hold each doc's RAREST terms, so per-bucket collision counts
+    collapse exactly as in the Jaccard prefix path. A per-pair positional
+    prune follows (same s* argument): ``sfx_sq_a(s*) * sfx_sq_b(s*) >=
+    t² * norm_sq_a * norm_sq_b``, with max(_sfx) per side attained at s*
+    because suffix norms decrease along the order. Both prune thresholds
+    are slackened one quantum below exact (floor(t²·1e9) - 1, and a 1e-9
+    relative margin on the double compare) so float rounding can never
+    drop a true boundary pair — recall is exact by the bound, not modulo
+    rounding.
+
+    The exact verify computes the dot from per-doc term->weight maps
+    (``map_zip_with`` + ``aggregate``, JVM-side) — integer-quantized
+    weights (:func:`tfidf_weight_expr`) keep every dot/norm an exact
+    BIGINT sum, order-independent, so cross-engine results are bit-equal;
+    the only doubles are the final sqrt/divide, correctly rounded
+    identically in every IEEE engine. Per-doc squared norms accumulate in
+    decimal(38,0) and are range-checked before the BIGINT cast: a doc long
+    enough to overflow int64 (docstring bound in :func:`tfidf_weight_expr`)
+    raises with the lower-``scale`` remedy instead of silently wrapping
+    (non-ANSI SUM(long) wraps; the wrap would only have surfaced as an
+    oracle mismatch). Dots need no separate guard: |dot| <= sqrt(n2a*n2b)
+    <= max(n2a, n2b), so checked norms bound every dot.
 
     Terms with df > ``max_df_frac``·N are dropped (sklearn ``max_df``):
-    standard tf-idf practice (their idf ~ 0 anyway) AND the structural
-    guard against the hot-term quadratic join hazard — corpus-wide
-    boilerplate k-grams never enter the inverted index. The 1-row corpus
-    stats relation joins back as a broadcast (the q11/q15 pattern).
+    standard tf-idf practice (their idf ~ 0 anyway) AND a structural
+    guard — corpus-wide boilerplate k-grams never enter the index at all,
+    independent of the threshold prune. The 1-row corpus stats relation
+    joins back as a broadcast (the q11/q15 pattern).
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"tfidf_cosine_pairs: threshold must be in (0, 1], got {threshold}")
-    stats = df.agg(F.count(F.lit(1)).cast("long").alias("_n"))
-    occ = shingle_occurrences(df, id_col, text_col, k)
-    tf = occ.groupBy(id_col, "shingle").agg(F.count(F.lit(1)).alias("_tf"))
-    dfreq = tf.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    # cached: w feeds FOUR plan subtrees (both join sides + norms read twice)
-    # — without it the mapInPandas shingling pass and both aggregations
-    # re-execute per subtree (the module's shingle_sets .cache() convention)
-    w = (
-        tf.join(dfreq, "shingle")
-        .crossJoin(F.broadcast(stats))
-        .filter(
-            F.expr(
-                f"_df <= CAST(floor(CAST({max_df_frac!r} AS DOUBLE) * _n) AS BIGINT)"
-            )
-        )
-        .select(
-            F.col(id_col),
-            "shingle",
-            F.expr(tfidf_weight_expr("_tf", "_df", "_n", scale)).alias("_wt"),
-        )
-        .cache()
-    )
-    norms = w.groupBy(id_col).agg(F.sum(F.col("_wt") * F.col("_wt")).alias("_n2"))
-    a, b = w.alias("a"), w.alias("b")
-    dots = (
+    w = _tfidf_weights(df, id_col, text_col, k, max_df_frac, scale)
+    norms = _tfidf_norms(w, id_col)
+    prefix = _tfidf_prefix(w, norms, id_col, threshold)
+    a, b = prefix.alias("a"), prefix.alias("b")
+    # positional prune: max(_sfxd) per side is attained at the rank-least
+    # common term s* (suffix norms decrease along the shared global order),
+    # and dot <= ||sfx_a(s*)|| * ||sfx_b(s*)|| by Cauchy-Schwarz over the
+    # common support — pairs whose bound can't reach t are dropped before
+    # the map-join verify. Double compare with a 1e-9 relative keep-margin
+    # (decimal->double casts here only serve the prune, never the result).
+    candidates = (
         a.join(
             b,
             on=(F.col("a.shingle") == F.col("b.shingle"))
@@ -1536,12 +1649,41 @@ def tfidf_cosine_pairs(
         .groupBy(
             F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2")
         )
-        .agg(F.sum(F.col("a._wt") * F.col("b._wt")).alias("_dot"))
+        .agg(
+            F.max("a._sfxd").alias("_sa"),
+            F.max("b._sfxd").alias("_sb"),
+            F.first("a._n2").alias("_pn2a"),
+            F.first("b._n2").alias("_pn2b"),
+        )
+        .filter(
+            F.col("_sa").cast("double") * F.col("_sb").cast("double")
+            >= F.col("_pn2a").cast("double")
+            * F.col("_pn2b").cast("double")
+            * F.lit(threshold * threshold)
+            * F.lit(1.0 - 1e-9)
+        )
+        .select("id_1", "id_2")
+    )
+    # exact verify: per-doc term->weight maps, dot = Σ over the key union of
+    # BIGINT products (absent keys contribute 0) — map_zip_with + aggregate,
+    # whole-stage JVM, O(|a|+|b|) per surviving candidate
+    wmap = w.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("shingle", "_wt"))).alias("_m")
+    )
+    ma = wmap.select(F.col(id_col).alias("id_1"), F.col("_m").alias("_ma"))
+    mb = wmap.select(F.col(id_col).alias("id_2"), F.col("_m").alias("_mb"))
+    dot = F.expr(
+        "aggregate(map_values(map_zip_with(_ma, _mb,"
+        " (k, x, y) -> coalesce(x, CAST(0 AS BIGINT)) * coalesce(y, CAST(0 AS BIGINT)))),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
     na = norms.select(F.col(id_col).alias("id_1"), F.col("_n2").alias("_n2a"))
     nb = norms.select(F.col(id_col).alias("id_2"), F.col("_n2").alias("_n2b"))
     return (
-        dots.join(na, "id_1")
+        candidates.join(ma, "id_1")
+        .join(mb, "id_2")
+        .withColumn("_dot", dot)
+        .join(na, "id_1")
         .join(nb, "id_2")
         .withColumn(
             "cosine",

@@ -1,0 +1,108 @@
+"""Round-6 regression pins: VERDICT r5 next-round items + ADVICE r5 fixes.
+
+Each test names the finding it pins so a future regression is traceable.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r5 #3: tfidf norms must not wrap silently past int64
+# ---------------------------------------------------------------------------
+
+def test_tfidf_norm_overflow_raises_not_wraps(spark):
+    """A doc whose squared norm exceeds int64 (forced via a huge `scale`)
+    must RAISE with the lower-scale remedy — before this fix, non-ANSI
+    SUM(long) wrapped silently and the wrong cosine would only have
+    surfaced as a cross-engine oracle mismatch."""
+    from iceberg_ingestion_spark.operators.dedup import tfidf_cosine_pairs
+
+    # 12 distinct bigrams, scale=1e9: idf_q ~ 1.4e9, sum of 12 * (1.4e9)^2
+    # ~ 2.4e19 > 2^63-1 ~ 9.2e18
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l m"),
+            (2, "a b c d e f g h i j k l m"),
+        ],
+        "doc_id int, text string",
+    )
+    with pytest.raises(Exception, match="overflows BIGINT|lower `scale`"):
+        tfidf_cosine_pairs(
+            docs, "doc_id", k=2, threshold=0.5, max_df_frac=1.0,
+            scale=1_000_000_000,
+        ).collect()
+
+
+def test_tfidf_norm_guard_passes_at_default_scale(spark):
+    """The guard is inert at the default scale on ordinary docs: same corpus,
+    scale=1e4 — pairs come back with the exact cosine."""
+    from iceberg_ingestion_spark.operators.dedup import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l m"),
+            (2, "a b c d e f g h i j k l m"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = tfidf_cosine_pairs(
+        docs, "doc_id", k=2, threshold=0.5, max_df_frac=1.0
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].id_1 == 1 and rows[0].id_2 == 2
+    assert rows[0].cosine == pytest.approx(1.0, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r5 #1: the weighted prefix must actually shrink the join
+# ---------------------------------------------------------------------------
+
+def test_tfidf_prefix_excludes_common_terms(spark):
+    """On a corpus where every doc shares a common block plus rare unique
+    content, the prefix relation must be strictly smaller than the full
+    weight relation AND keep every doc (no doc loses its entire prefix):
+    the rarest-first order puts the shared block last and the suffix-norm
+    bound truncates it."""
+    from iceberg_ingestion_spark.operators.dedup import (
+        _tfidf_norms,
+        _tfidf_prefix,
+        _tfidf_weights,
+    )
+
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(i, f"unique{i}a unique{i}b unique{i}c unique{i}d " + common) for i in range(8)],
+        "doc_id int, text string",
+    )
+    w = _tfidf_weights(docs, "doc_id", "text", 2, 1.0, 10_000)
+    norms = _tfidf_norms(w, "doc_id")
+    prefix = _tfidf_prefix(w, norms, "doc_id", 0.5)
+    n_full = w.count()
+    n_prefix = prefix.count()
+    assert n_prefix < n_full
+    assert prefix.select("doc_id").distinct().count() == 8
+    # rarest-first: every doc's unique bigrams (df=1) must lead its prefix —
+    # the max _df inside any prefix is bounded by the common block's df only
+    # if the suffix bound admits it; at t=0.5 with 4 unique leading tokens
+    # the shared-block tail (df=8) is largely truncated
+    w.unpersist()
+
+
+def test_tfidf_prefix_identical_docs_share_prefix_term(spark):
+    """Losslessness floor: two identical docs (cosine 1.0) must collide on a
+    prefix term at ANY threshold (here t=1.0 — the tightest prefix)."""
+    from iceberg_ingestion_spark.operators.dedup import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "zeta eta theta iota")],
+        "doc_id int, text string",
+    )
+    rows = tfidf_cosine_pairs(
+        docs, "doc_id", k=2, threshold=1.0, max_df_frac=1.0
+    ).collect()
+    assert {(r.id_1, r.id_2) for r in rows} == {(1, 2)}
+    assert rows[0].cosine == pytest.approx(1.0, abs=0.0)

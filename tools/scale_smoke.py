@@ -591,6 +591,106 @@ def cont_tfidf_ab(mults: list[int]) -> int:
     return 0
 
 
+def tfidf_prefix_ab(mults: list[int]) -> int:
+    """Round-6 A/B (VERDICT r5 #1): Bayardo weighted-prefix candidate
+    pruning vs the r5 full-index dot join, on the boilerplate-hazard corpus
+    at the operator DEFAULT max_df (0.3 — above the 10% boilerplate head,
+    so max_df does NOT protect either form; the threshold must). Reports,
+    per multiplier:
+
+    - full-index join rows  = Σ_t C(df_t, 2) over all retained terms (the
+      r5 form's term-keyed join volume — every co-occurrence computes a
+      partial dot whether or not the pair can reach t);
+    - prefix join rows      = Σ_t C(pdf_t, 2) over PREFIX terms only (the
+      threshold-driven bound — boilerplate terms sort last in the
+      rarest-first order and their low weight keeps them out of prefixes);
+    - surviving candidates  = pairs left after the positional prune (what
+      the exact map-join verify actually pays for);
+    - wall-clock of both forms (the r5 form is reconstructed inline below
+      as a measurement baseline — it no longer exists in the operator).
+    """
+    from pyspark.sql import functions as F
+
+    from iceberg_ingestion_spark.operators import dedup
+    from iceberg_ingestion_spark.session import build_session
+
+    def fulljoin_baseline(w, norms, id_col, threshold):
+        # the r5 implementation: dot products directly in the term-keyed
+        # self-join (no prefix, no positional prune) — kept ONLY as the A/B
+        # measurement baseline
+        a, b = w.alias("a"), w.alias("b")
+        dots = (
+            a.join(
+                b,
+                on=(F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2"))
+            .agg(F.sum(F.col("a._wt") * F.col("b._wt")).alias("_dot"))
+        )
+        na = norms.select(F.col(id_col).alias("id_1"), F.col("_n2").alias("_n2a"))
+        nb = norms.select(F.col(id_col).alias("id_2"), F.col("_n2").alias("_n2b"))
+        return (
+            dots.join(na, "id_1").join(nb, "id_2")
+            .withColumn("cosine", F.expr("_dot / sqrt(CAST(_n2a AS DOUBLE) * CAST(_n2b AS DOUBLE))"))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_1", "id_2", "cosine")
+        )
+
+    def join_rows(rel):
+        return (
+            rel.groupBy("shingle").agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum(F.expr("c * (c - 1) DIV 2")).alias("r"))
+            .collect()[0]["r"] or 0
+        )
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = build_session(app_name="scale-smoke-tfidf-prefix")
+    spark.range(10_000).repartition(64).mapInPandas(lambda it: it, "id long").count()
+    base = spark.read.parquet(f"{sf}/documents.parquet").repartition(32)
+    t = 0.5
+
+    for mult in mults:
+        docs = with_boilerplate(
+            base if mult == 1 else fresh_blow_up(base, mult)
+        ).cache()
+        n = docs.count()
+        print(f"\n== tfidf prefix A/B {mult}x: {n} docs (max_df=0.3 default, 10% boilerplate head) ==")
+        w = dedup._tfidf_weights(docs, "doc_id", "text", 3, 0.3, 10_000)
+        norms = dedup._tfidf_norms(w, "doc_id")
+        prefix = dedup._tfidf_prefix(w, norms, "doc_id", t)
+        full_rows = join_rows(w)
+        pref_rows = join_rows(prefix)
+        a, b = prefix.alias("a"), prefix.alias("b")
+        cand = (
+            a.join(b, on=(F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("id_1"), F.col("b.doc_id").alias("id_2"))
+            .agg(F.max("a._sfxd").alias("_sa"), F.max("b._sfxd").alias("_sb"),
+                 F.first("a._n2").alias("_pn2a"), F.first("b._n2").alias("_pn2b"))
+            .filter(F.col("_sa").cast("double") * F.col("_sb").cast("double")
+                    >= F.col("_pn2a").cast("double") * F.col("_pn2b").cast("double")
+                    * F.lit(t * t) * F.lit(1.0 - 1e-9))
+        ).count()
+        print(f"  join rows: full-index {full_rows:>12,}  prefix {pref_rows:>12,}  "
+              f"({full_rows / max(pref_rows, 1):.1f}x less)  surviving candidates {cand:,}")
+        bench_cancelable(
+            spark, f"tfidf prefix (r6)      {mult}x",
+            lambda: dedup.tfidf_cosine_pairs(docs, "doc_id", k=3, threshold=t, max_df_frac=0.3),
+        )
+        bench_cancelable(
+            spark, f"tfidf full join (r5)   {mult}x",
+            lambda: fulljoin_baseline(
+                dedup._tfidf_weights(docs, "doc_id", "text", 3, 0.3, 10_000),
+                dedup._tfidf_norms(dedup._tfidf_weights(docs, "doc_id", "text", 3, 0.3, 10_000), "doc_id"),
+                "doc_id", t),
+        )
+        w.unpersist()
+        docs.unpersist()
+    spark.stop()
+    return 0
+
+
 def phash_ab(mults: list[int]) -> int:
     """Per-item vs distinct-signature (grouped) banding join A/B on the
     duplicate-heavy corpus — the perceptual-hash hazard: exact-duplicate
@@ -719,6 +819,8 @@ def main() -> int:
         return late_curve([int(a) for a in sys.argv[2:]] or [1, 5, 20])
     if len(sys.argv) > 1 and sys.argv[1] == "--cont-tfidf":
         return cont_tfidf_ab([int(a) for a in sys.argv[2:]] or [1, 5, 20])
+    if len(sys.argv) > 1 and sys.argv[1] == "--tfidf-ab":
+        return tfidf_prefix_ab([int(a) for a in sys.argv[2:]] or [1, 5, 20])
     if len(sys.argv) > 1 and sys.argv[1] == "--phash":
         return phash_ab([int(a) for a in sys.argv[2:]] or [1, 5, 20])
     if len(sys.argv) > 1 and sys.argv[1] == "--incr":
