@@ -703,7 +703,10 @@ def connected_components(
     Label identity with the propagation kernel is pytest-pinned on
     adversarial graphs (long path + giant star);
     :func:`connected_components_propagation` is kept as the differential-
-    testing reference.
+    testing reference. Contract parity includes SELF-pairs (id_1 == id_2):
+    an id appearing only as a self-pair still gets its ``(x, x)`` singleton
+    row — the orientation filter drops the degenerate edge, so such ids are
+    re-attached at the end (ADVICE r5 #2; both kernels now agree).
     """
     # canonical orientation (u = bigger endpoint, v = smaller), distinct set
     e = (
@@ -714,12 +717,21 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # ids whose ONLY appearance is a self-pair vanish from `e`; remember
+    # them so the output keeps one row per id appearing in `pairs`
+    selfs = (
+        pairs.filter(F.col("id_1") == F.col("id_2"))
+        .select(F.col("id_1").alias("id"))
+        .distinct()
+    )
     id_type = e.schema["u"].dataType.simpleString()
     empty = pairs.sparkSession.createDataFrame(
         [], f"id {id_type}, component {id_type}"
     )
     if not e.take(1):
-        return empty
+        return empty.unionByName(
+            selfs.select("id", F.col("id").alias("component"))
+        )
     cnt = e.count()
     for _ in range(max_iterations):
         # LARGE-STAR: per node a over its FULL neighborhood, link every
@@ -772,8 +784,17 @@ def connected_components(
         )
     # fixpoint is a union of stars: every src points at its component's
     # minimum id, and every dst IS a component minimum
-    return e.select(F.col("u").alias("id"), F.col("v").alias("component")).unionByName(
+    labels = e.select(
+        F.col("u").alias("id"), F.col("v").alias("component")
+    ).unionByName(
         e.select(F.col("v").alias("id"), F.col("v").alias("component")).distinct()
+    )
+    # re-attach self-pair-only ids as singletons (ids with BOTH a self-pair
+    # and a real edge are already labeled — the anti-join skips them)
+    return labels.unionByName(
+        selfs.join(labels, "id", "left_anti").select(
+            "id", F.col("id").alias("component")
+        )
     )
 
 

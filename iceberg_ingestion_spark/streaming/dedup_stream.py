@@ -29,16 +29,24 @@ def near_dup_stream_batch_fn(
     State lives in the INDEX TABLE, not Spark streaming state: one BIGINT
     per doc ever seen, readable by any other job, and a restart resumes
     from it — the at-scale alternative to holding corpus-sized state in
-    the state store. Invariant (pytest-pinned): over a run, every
-    within-radius pair is emitted EXACTLY ONCE — in the micro-batch where
-    its later member arrives — so the union of all emitted pairs equals
-    the batch :func:`dedup.simhash_pairs` over the full corpus.
+    the state store. Invariant (pytest-pinned), INCLUDING under
+    at-least-once redelivery: over a run, every within-radius pair is
+    emitted EXACTLY ONCE — in the micro-batch where its later member FIRST
+    arrives — so the union of all emitted pairs equals the batch
+    :func:`dedup.simhash_pairs` over the full corpus. Ids re-delivered in
+    a later micro-batch are treated as OLD-ONLY: the batch's signatures
+    anti-join the index before pairing (ADVICE r5 #1), which removes both
+    degenerate (X, X, 0) self-pairs and duplicate re-emissions of X's
+    cross-batch pairs; X stays on the index side, so genuinely-new batch
+    docs near X still pair with it exactly once.
 
     Replay safety: both writes are partitioned by ``_batch_id`` with
     dynamic partition overwrite, so a re-run of a failed batch overwrites
     its own partitions instead of duplicating rows (the standard
     foreachBatch idempotency idiom); the index probe drops duplicate ids
-    defensively besides."""
+    defensively besides. Only the post-anti-join (first-seen) signatures
+    are appended to the index — a re-delivered id never gets a second
+    index row under a later ``_batch_id``."""
     from iceberg_ingestion_spark.operators import dedup, text
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
@@ -57,12 +65,6 @@ def near_dup_stream_batch_fn(
                 spark.read.parquet(index_dir)
                 .filter(F.col("_batch_id") < F.lit(batch_id))
                 .dropDuplicates([id_col])
-                # an id re-delivered by an at-least-once source in a LATER
-                # micro-batch also sits in the index; pairing it against
-                # itself would emit a degenerate (X, X, 0) row and violate
-                # simhash_pairs_incremental's disjoint-ids premise — the
-                # index side drops the batch's own ids before probing
-                .join(sigs.select(id_col), on=id_col, how="left_anti")
                 .select(id_col, "simhash")
             )
             have_index = True
@@ -84,10 +86,15 @@ def near_dup_stream_batch_fn(
                 raise
             have_index = False
         if have_index:
+            # re-delivered ids are OLD-ONLY (see docstring): drop them from
+            # the new side so a replayed doc re-emits nothing, keeping the
+            # disjoint-ids premise of simhash_pairs_incremental intact
+            new = sigs.join(old.select(id_col), on=id_col, how="left_anti")
             pairs = dedup.simhash_pairs_incremental(
-                old, sigs, id_col, max_hamming=max_hamming
+                old, new, id_col, max_hamming=max_hamming
             )
         else:
+            new = sigs
             pairs = dedup.simhash_pairs(sigs, id_col, max_hamming=max_hamming)
         with_conf = spark.conf
         prev = with_conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -100,7 +107,7 @@ def near_dup_stream_batch_fn(
                 .parquet(pairs_dir)
             )
             (
-                sigs.withColumn("_batch_id", F.lit(batch_id))
+                new.withColumn("_batch_id", F.lit(batch_id))
                 .write.mode("overwrite")
                 .partitionBy("_batch_id")
                 .parquet(index_dir)

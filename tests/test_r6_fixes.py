@@ -91,6 +91,86 @@ def test_tfidf_prefix_excludes_common_terms(spark):
     w.unpersist()
 
 
+# ---------------------------------------------------------------------------
+# ADVICE r5 #1: re-delivered ids must re-emit NOTHING (exactly-once pairs)
+# ---------------------------------------------------------------------------
+
+def test_near_dup_stream_redelivery_emits_each_pair_exactly_once(spark, tmp_path):
+    """An id re-delivered in a LATER micro-batch is treated as old-only: the
+    union of emitted pairs across batches equals the batch simhash_pairs
+    over the DISTINCT corpus, with zero duplicate pair rows — before the
+    fix, a replayed doc re-emitted its (X, older-doc) pairs into the new
+    batch's partition."""
+    from iceberg_ingestion_spark.operators import dedup, text
+    from iceberg_ingestion_spark.streaming.dedup_stream import (
+        near_dup_stream_batch_fn,
+    )
+
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    b0 = docs.filter("doc_id % 2 = 0")
+    # batch 1 re-delivers a third of batch 0 verbatim, plus the odd docs —
+    # chosen large enough that replayed docs HAVE within-radius partners in
+    # the index (the hazard the fix removes)
+    b1 = docs.filter("doc_id % 2 = 1").unionByName(b0.filter("doc_id % 3 = 0"))
+    fn = near_dup_stream_batch_fn(index_dir, pairs_dir, max_hamming=6)
+    fn(b0, 0)
+    fn(b1, 1)
+    emitted = spark.read.parquet(pairs_dir).select("id_1", "id_2", "hamming")
+    # no duplicate pair rows across batch partitions
+    assert emitted.count() == emitted.distinct().count()
+    # union of emissions == batch pair set over the distinct corpus
+    expected = dedup.simhash_pairs(
+        text.simhash60(docs, "doc_id"), "doc_id", max_hamming=6
+    )
+    assert emitted.exceptAll(expected).count() == 0
+    assert expected.exceptAll(emitted).count() == 0
+    # and a replayed id never re-enters the index under a later batch
+    idx = spark.read.parquet(index_dir)
+    assert idx.count() == idx.select("doc_id").distinct().count()
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r5 #2: self-pair-only ids keep their (x, x) row in BOTH CC kernels
+# ---------------------------------------------------------------------------
+
+def test_cc_star_contraction_self_pairs_match_propagation(spark):
+    """Graph with (a) an id appearing ONLY as a self-pair, (b) an id with
+    both a self-pair and a real edge, (c) ordinary edges: the star-
+    contraction kernel must return the same label set as the propagation
+    reference — one row per id appearing in pairs, singletons included."""
+    from iceberg_ingestion_spark.operators.dedup import (
+        connected_components,
+        connected_components_propagation,
+    )
+
+    pairs = spark.createDataFrame(
+        [(7, 7), (1, 2), (2, 3), (3, 3), (10, 11)],
+        "id_1 bigint, id_2 bigint",
+    )
+    star = {(r.id, r.component) for r in connected_components(pairs).collect()}
+    prop = {
+        (r.id, r.component)
+        for r in connected_components_propagation(pairs).collect()
+    }
+    assert star == prop
+    assert (7, 7) in star  # self-pair-only id keeps its singleton row
+    assert (3, 1) in star  # self-pair on a connected id doesn't split it
+
+
+def test_cc_star_contraction_all_self_pairs(spark):
+    """Degenerate graph of ONLY self-pairs: every id comes back a singleton
+    (the empty-edge early exit must not drop them)."""
+    from iceberg_ingestion_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(5, 5), (9, 9)], "id_1 bigint, id_2 bigint"
+    )
+    got = {(r.id, r.component) for r in connected_components(pairs).collect()}
+    assert got == {(5, 5), (9, 9)}
+
+
 def test_tfidf_prefix_identical_docs_share_prefix_term(spark):
     """Losslessness floor: two identical docs (cosine 1.0) must collide on a
     prefix term at ANY threshold (here t=1.0 — the tightest prefix)."""
