@@ -596,3 +596,79 @@ def knn_label_vote(topk: DataFrame, labels: DataFrame, id_col: str, label_col: s
         .filter(F.col("rn") == 1)
         .select("query_id", F.col(label_col).alias("predicted_label"))
     )
+
+
+def bm25_topk_batch(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BATCHED Okapi BM25 retrieval: score every (query, doc) pair sharing a
+    term and keep each query's top-``k`` — ``queries`` is a ``(query_id,
+    term)`` RELATION (N tokenized queries), the shape an eval-mining /
+    subcorpus-pull pipeline runs, vs the single pivoted query of the fixed
+    entry (``q_sim_bm25_topk``).
+
+    Plan shape at scale: per-doc (term, tf, dl) is the classic wordcount
+    with the doc length carried through the groupBy key; the query-term
+    relation and the per-query-term df relation are both BROADCAST
+    (queries are driver-sized by definition); corpus stats (N, Σdl) are
+    ONE 1-row broadcast aggregate; the only corpus-scale shuffle is the
+    (query_id, doc_id) score aggregation, already restricted to docs
+    containing a query term. Per-term contributions are quantized to
+    BIGINT (1e-9 grid, ``bm25_contrib_expr``) so the score sum is
+    order-independent and cross-engine exact; per-query top-k runs
+    through the two-phase :func:`iceberg_ingestion_spark.operators.skew.
+    low_cardinality_top_n` so few query groups never serialize the scored
+    relation through few tasks. Ties break by id. Output:
+    ``(query_id, <id_col>, rank, bm25)``.
+    """
+    from iceberg_ingestion_spark.operators.skew import low_cardinality_top_n
+    from iceberg_ingestion_spark.operators.text import bm25_contrib_expr, tokens
+
+    toks = docs.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    tf = (
+        toks.select(
+            id_col,
+            F.size("_toks").alias("_dl"),
+            F.explode("_toks").alias("term"),
+        )
+        .groupBy(id_col, "_dl", "term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    # df only for the terms any query mentions — the broadcast semi-join
+    # keeps the df aggregation off the full vocabulary
+    qdf = (
+        tf.join(F.broadcast(queries.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("_sn"),
+        F.sum(F.size("_toks")).alias("_sumdl"),
+    )
+    contrib = F.expr(bm25_contrib_expr("_sn", "_sumdl", "_dl", "_tf", "_df"))
+    scored = (
+        tf.join(F.broadcast(queries), "term")
+        .join(F.broadcast(qdf), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("_c", contrib)
+        .groupBy("query_id", id_col)
+        .agg(F.sum("_c").alias("_s"))
+        .filter(F.col("_s") > 0)
+    )
+    top = low_cardinality_top_n(
+        scored,
+        ["query_id"],
+        [F.col("_s").desc(), F.col(id_col)],
+        n=k,
+        salt_on=id_col,
+    )
+    return top.select(
+        "query_id",
+        id_col,
+        F.col("rank").cast("long").alias("rank"),
+        F.expr("CAST(_s AS DOUBLE) / CAST(1000000000.0 AS DOUBLE)").alias("bm25"),
+    )

@@ -318,3 +318,47 @@ def pmi_top_collocations(
         .orderBy(F.col("lift").desc(), "w1", "w2")
         .limit(k)
     )
+
+
+def _bm25_idf_expr(n: str, df_: str) -> str:
+    """Robertson idf quantized onto a 1e-9 grid — see :func:`bm25_score_expr`
+    for the full cross-engine rationale (ln is the one divergent primitive)."""
+    raw_idf = (
+        f"ln(CAST(1.0 AS DOUBLE) + ({n} - {df_} + CAST(0.5 AS DOUBLE))"
+        f" / ({df_} + CAST(0.5 AS DOUBLE)))"
+    )
+    return (
+        f"(floor({raw_idf} * CAST(1000000000.0 AS DOUBLE)"
+        f" + CAST(0.5 AS DOUBLE)) / CAST(1000000000.0 AS DOUBLE))"
+    )
+
+
+def _bm25_term_weight_expr(n: str, sumdl: str, dl: str, tf: str, df_: str) -> str:
+    """One term's BM25 contribution idf_t * tf(k1+1)/(tf + k1(1-b+b*dl/avgdl))
+    as a shared-verbatim expression string (doubles bit-equal post-quantize)."""
+    idf = _bm25_idf_expr(n, df_)
+    denom = (
+        f"({tf} + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)"
+        f" + CAST(0.75 AS DOUBLE) * (CAST({dl} AS DOUBLE)"
+        f" / (CAST({sumdl} AS DOUBLE) / {n}))))"
+    )
+    return f"{idf} * (({tf} * CAST(2.2 AS DOUBLE)) / {denom})"
+
+
+def bm25_contrib_expr(n: str, sumdl: str, dl: str, tf: str, df_: str) -> str:
+    """Per-(query,doc,term) BM25 contribution QUANTIZED to an integer 1e-9
+    grid (BIGINT) — the batched-retrieval aggregation needs an
+    order-independent per-group SUM, and summing raw doubles is
+    accumulation-order-dependent (the one thing the fixed-query entry's
+    left-to-right ``+`` chain sidestepped). Each contribution is bit-equal
+    cross-engine by the :func:`bm25_score_expr` argument, so the floored
+    integers agree exactly and their sum is order-free; the final score is
+    ``sum / 1e9`` (one correctly-rounded division, identical everywhere).
+    Quantization error is bounded by |terms|·5e-10 per score — retrieval
+    ranking noise far below any meaningful score gap; ties break by doc_id.
+    """
+    w = _bm25_term_weight_expr(n, sumdl, dl, tf, df_)
+    return (
+        f"CAST(floor(({w}) * CAST(1000000000.0 AS DOUBLE)"
+        f" + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    )

@@ -47,6 +47,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_topk_ivf_trained": q_ann_topk_ivf_trained,  # k-means codebook
     "sim_knn_label_vote": q_knn_label_vote,
     "sim_bm25_topk": q_sim_bm25_topk,  # Okapi BM25 keyword retrieval, shared-expr oracle
+    "sim_bm25_multi_query": q_sim_bm25_multi_query,  # batched retrieval, query relation
     "events_interval_join": q_events_interval_join,
     "events_gap_fill": q_events_gap_fill,
     "events_anomaly_daily": q_events_anomaly_daily,

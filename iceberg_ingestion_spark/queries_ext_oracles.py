@@ -190,6 +190,45 @@ ORACLES_EXT: dict[str, str] = {
         SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
         ORDER BY bm25 DESC, doc_id LIMIT {BM25_K}
     """,
+    # batched retrieval: per-term contributions are the SAME expression
+    # string Spark parses (bm25_contrib_expr), quantized to BIGINT so the
+    # per-(query,doc) SUM is order-independent; DuckDB's HUGEINT sum is
+    # cast back to BIGINT, and the final /1e9 is one correctly-rounded
+    # division identical in both engines
+    "sim_bm25_multi_query": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        occ AS (SELECT doc_id, len(toks) AS _dl, unnest(toks) AS term FROM t),
+        tf AS (
+            SELECT doc_id, _dl, term, CAST(count(*) AS BIGINT) AS _tf
+            FROM occ GROUP BY 1, 2, 3
+        ),
+        q AS (
+            SELECT * FROM (VALUES {", ".join(f"('{qid}', '{term}')" for qid, ts in BM25_MULTI_QUERIES.items() for term in ts)})
+                AS v(query_id, term)
+        ),
+        qdf AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS _df
+            FROM tf JOIN (SELECT DISTINCT term FROM q) USING (term)
+            GROUP BY term
+        ),
+        s AS (
+            SELECT CAST(count(*) AS BIGINT) AS _sn,
+                   CAST(sum(len(toks)) AS BIGINT) AS _sumdl
+            FROM t
+        ),
+        scored AS (
+            SELECT query_id, doc_id,
+                   CAST(sum({bm25_contrib_expr("_sn", "_sumdl", "_dl", "_tf", "_df")}) AS BIGINT) AS _s
+            FROM tf JOIN q USING (term) JOIN qdf USING (term) CROSS JOIN s
+            GROUP BY 1, 2
+        )
+        SELECT query_id, doc_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY _s DESC, doc_id) AS BIGINT) AS rank,
+               CAST(_s AS DOUBLE) / CAST(1000000000.0 AS DOUBLE) AS bm25
+        FROM scored WHERE _s > 0
+        QUALIFY rank <= {BM25_MULTI_K}
+    """,
     # the weight expression is the SAME string Spark parses
     # (dedup.tfidf_weight_expr); weights are BIGINT, so every dot/norm is an
     # exact integer sum — order-independent — and the only doubles are the

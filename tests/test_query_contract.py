@@ -92,6 +92,9 @@ def test_no_unbounded_nested_loop_joins(spark):
         # r5 continuation: corpus doc count N joins into the tf-idf weight
         # pass as a broadcast 1-row aggregate — the BNLJ side is one row
         "dedup_tfidf_cosine",
+        # r6: batched BM25 — corpus stats (N, Σdl) join back as a broadcast
+        # 1-row aggregate (the q11/q15 pattern); the BNLJ side is one row
+        "sim_bm25_multi_query",
     }
     offenders = []
     for name, fn in entry_mod.queries().items():

@@ -691,6 +691,44 @@ def tfidf_prefix_ab(mults: list[int]) -> int:
     return 0
 
 
+def bm25_multi_ab(mults: list[int]) -> int:
+    """Batched BM25 retrieval curve (VERDICT r5 #3 done-criterion): the
+    query-relation pipeline at growing corpus size. Expectation: near-linear
+    — per-doc wordcount scales with the corpus, the scored relation scales
+    with docs-containing-query-terms, and the top-k is two-phase (never
+    serializes on #queries)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from iceberg_ingestion_spark.operators import similarity
+    from iceberg_ingestion_spark.queries_text_dedup import (
+        BM25_MULTI_K,
+        BM25_MULTI_QUERIES,
+    )
+    from iceberg_ingestion_spark.session import build_session
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = build_session(app_name="scale-smoke-bm25-multi")
+    spark.range(10_000).repartition(64).mapInPandas(lambda it: it, "id long").count()
+    base = spark.read.parquet(f"{sf}/documents.parquet").repartition(32)
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in BM25_MULTI_QUERIES.items() for t in ts],
+        "query_id string, term string",
+    )
+
+    for mult in mults:
+        docs = (base if mult == 1 else fresh_blow_up(base, mult)).cache()
+        n = docs.count()
+        print(f"\n== bm25 multi-query {mult}x: {n} docs, "
+              f"{len(BM25_MULTI_QUERIES)} queries ==")
+        bench_cancelable(
+            spark, f"bm25_topk_batch        {mult}x",
+            lambda: similarity.bm25_topk_batch(docs, qterms, k=BM25_MULTI_K),
+        )
+        docs.unpersist()
+    spark.stop()
+    return 0
+
+
 def phash_ab(mults: list[int]) -> int:
     """Per-item vs distinct-signature (grouped) banding join A/B on the
     duplicate-heavy corpus — the perceptual-hash hazard: exact-duplicate
@@ -819,6 +857,8 @@ def main() -> int:
         return late_curve([int(a) for a in sys.argv[2:]] or [1, 5, 20])
     if len(sys.argv) > 1 and sys.argv[1] == "--cont-tfidf":
         return cont_tfidf_ab([int(a) for a in sys.argv[2:]] or [1, 5, 20])
+    if len(sys.argv) > 1 and sys.argv[1] == "--bm25-multi":
+        return bm25_multi_ab([int(a) for a in sys.argv[2:]] or [1, 5, 20])
     if len(sys.argv) > 1 and sys.argv[1] == "--tfidf-ab":
         return tfidf_prefix_ab([int(a) for a in sys.argv[2:]] or [1, 5, 20])
     if len(sys.argv) > 1 and sys.argv[1] == "--phash":
