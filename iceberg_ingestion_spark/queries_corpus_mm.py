@@ -442,73 +442,26 @@ FUNNEL_MIN_TOKENS = 30
 def q_corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline-health funnel: documents surviving each CUMULATIVE quality
     gate of a training-data prep pipeline — total -> nonempty -> lang
-    identified -> length floor -> near-dup canonical survivor. The scan
-    stages are ONE pass + one aggregate (conditional sums); the dedup stage
-    joins the near-dup component labels (MinHash-LSH pairs -> connected
-    components, the same machinery as ``dedup_clusters``) and keeps the
-    component's min id. Counts are integers end-to-end, unpivoted to
-    (stage_idx, stage, n_surviving) rows via ``stack``."""
+    identified -> length floor -> near-dup canonical survivor. Since r6 the
+    entry runs through the SHARED-LABELS operator pair (VERDICT r5 #5):
+    ``corpus.near_dup_canonical`` computes the MinHash-LSH pair graph +
+    connected components ONCE (materialized), and
+    ``corpus.quality_funnel_report`` reads the labels — a pipeline run
+    feeding several reports shares one pair-graph execution (pytest-pinned:
+    the report plan contains no shingling/banding nodes). Output contract
+    and oracle unchanged from r5."""
     d = read_table(spark, sf_dir, "documents", spread=True)
-    pairs = dedup.minhash_lsh_pairs(d, "doc_id", k=3, threshold=MINHASH_THRESHOLD)
-    comp = dedup.connected_components(pairs).select(
-        F.col("id").alias("doc_id"), "component"
-    )
-    f1 = F.col("text").isNotNull() & (F.length("text") > 0)
-    f2 = f1 & (text.lang_id("text") != "und")
-    f3 = f2 & (text.token_count_ws("text") >= FUNNEL_MIN_TOKENS)
-    flags = (
-        d.select("doc_id", f1.alias("_f1"), f2.alias("_f2"), f3.alias("_f3"))
-        .join(comp, "doc_id", "left")
-        .withColumn(
-            "_f4",
-            F.col("_f3")
-            & (F.coalesce(F.col("component"), F.col("doc_id")) == F.col("doc_id")),
-        )
-    )
-    agg = flags.agg(
-        F.count(F.lit(1)).alias("_c0"),
-        *[
-            F.sum(F.col(f"_f{i}").cast("long")).alias(f"_c{i}")
-            for i in range(1, 5)
-        ],
-    )
-    return agg.select(
-        F.expr(
-            "stack(5, CAST(0 AS BIGINT), 'total', _c0,"
-            " CAST(1 AS BIGINT), 'nonempty', _c1,"
-            " CAST(2 AS BIGINT), 'lang_known', _c2,"
-            " CAST(3 AS BIGINT), 'min_tokens', _c3,"
-            " CAST(4 AS BIGINT), 'neardup_canonical', _c4)"
-            " AS (stage_idx, stage, n_surviving)"
-        )
-    )
+    labels = corpus.near_dup_canonical(d, "doc_id", k=3, threshold=MINHASH_THRESHOLD)
+    return corpus.quality_funnel_report(d, labels, FUNNEL_MIN_TOKENS)
 
 
 def q_corpus_dedup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source near-dup attrition report: for each ingest source, how
     many documents it contributed and how many survive near-dup
-    canonicalization (component min id, same machinery as
-    ``dedup_clusters``) — the per-feed health table a corpus operator reads
-    to find which feed ships duplicated content. Integer counts plus one
-    exact-int double ratio."""
+    canonicalization — the per-feed health table a corpus operator reads
+    to find which feed ships duplicated content. Runs through the r6
+    shared-labels operators (see :func:`q_corpus_quality_funnel`); output
+    contract and oracle unchanged from r5."""
     d = read_table(spark, sf_dir, "documents", spread=True)
-    pairs = dedup.minhash_lsh_pairs(d, "doc_id", k=3, threshold=MINHASH_THRESHOLD)
-    comp = dedup.connected_components(pairs).select(
-        F.col("id").alias("doc_id"), "component"
-    )
-    kept = (
-        d.select("doc_id", "source")
-        .join(comp, "doc_id", "left")
-        .withColumn(
-            "_keep",
-            F.coalesce(F.col("component"), F.col("doc_id")) == F.col("doc_id"),
-        )
-    )
-    return kept.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.col("_keep").cast("long")).alias("n_kept"),
-        (
-            (F.count(F.lit(1)) - F.sum(F.col("_keep").cast("long"))).cast("double")
-            / F.count(F.lit(1))
-        ).alias("drop_rate"),
-    )
+    labels = corpus.near_dup_canonical(d, "doc_id", k=3, threshold=MINHASH_THRESHOLD)
+    return corpus.dedup_by_source_report(d, labels)

@@ -194,6 +194,55 @@ def test_near_dup_stream_redelivery_emits_each_pair_exactly_once(spark, tmp_path
 
 
 # ---------------------------------------------------------------------------
+# VERDICT r5 #5: shared-labels pipeline reports — one MinHash/CC execution
+# ---------------------------------------------------------------------------
+
+def test_shared_labels_reports_reuse_one_pair_graph(spark):
+    """near_dup_canonical materializes the labels ONCE; both report
+    operators read the materialized relation — their executed plans must
+    contain no shingling (MapInPandas) or banding nodes, i.e. the pair
+    graph cannot re-execute per report. Values must equal the r5
+    self-contained forms (left-join + coalesce convention)."""
+    from iceberg_ingestion_spark.operators import corpus, dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    labels = corpus.near_dup_canonical(docs, "doc_id", k=3, threshold=0.8)
+    # labels are an already-computed scan, not a live MinHash plan
+    lplan = labels._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in lplan and "Generate" not in lplan
+
+    funnel = corpus.quality_funnel_report(docs, labels, 30)
+    by_src = corpus.dedup_by_source_report(docs, labels)
+    for rep in (funnel, by_src):
+        plan = rep._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" not in plan  # shingling never re-runs
+
+    # value parity with the r5 inline construction
+    from pyspark.sql import functions as Fn
+
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", k=3, threshold=0.8)
+    comp = dedup.connected_components(pairs).select(
+        Fn.col("id").alias("doc_id"), "component"
+    )
+    keep_ref = {
+        r.doc_id: r.keep
+        for r in docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn(
+            "keep",
+            Fn.coalesce("component", Fn.col("doc_id")) == Fn.col("doc_id"),
+        )
+        .collect()
+    }
+    keep_got = {r.doc_id: r.keep for r in labels.collect()}
+    assert keep_got == keep_ref
+    # report outputs are consistent with the labels
+    total_kept = sum(keep_got.values())
+    by_src_rows = by_src.collect()
+    assert sum(r.n_kept for r in by_src_rows) == total_kept
+
+
+# ---------------------------------------------------------------------------
 # ADVICE r5 #2: self-pair-only ids keep their (x, x) row in BOTH CC kernels
 # ---------------------------------------------------------------------------
 
