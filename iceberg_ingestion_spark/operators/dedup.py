@@ -1465,6 +1465,147 @@ def containment_prefix_pairs(
     )
 
 
+def containment_prefix_index(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Persistable ranked-shingle index for incremental containment:
+    ``(id, shingle, _pos, _n)`` with positions under the corpus's canonical
+    order (ascending shingle document-frequency, shingle tie-break). Write
+    this to a table once per corpus build; every increment then probes it
+    via :func:`containment_prefix_pairs_incremental` without re-ranking the
+    old corpus. The order statistics are FROZEN at index-build time — the
+    prefix lemma is pure counting and holds under ANY fixed global order
+    (df-order is an efficiency choice, not a correctness one), so an
+    increment ranked under the frozen order is still lossless."""
+    sets_ = shingle_sets(df, id_col, text_col, k)
+    return _ranked_shingles(sets_, id_col)
+
+
+def _containment_candidates(
+    src_prefix: DataFrame, dst_full: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """(src_id, dst_id) candidates for directed containment: src PREFIX rows
+    equi-join dst FULL rows on shingle, with the size filter in the join
+    condition and the positional (rank-least common shingle) filter after —
+    the candidate stage of :func:`containment_prefix_pairs`, factored so the
+    incremental variant can aim different (old/new) sides at it. Both inputs
+    must carry positions under the SAME global order."""
+    a, b = src_prefix.alias("a"), dst_full.alias("b")
+    na, nb = F.col("a._n"), F.col("b._n")
+    joined = a.join(
+        b,
+        on=(F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        & (nb.cast("double") >= F.lit(threshold) * na.cast("double") - F.lit(1e-9)),
+    )
+    return (
+        joined.groupBy(
+            F.col(f"a.{id_col}").alias("src_id"),
+            F.col(f"b.{id_col}").alias("dst_id"),
+            na.alias("_na"),
+            nb.alias("_nb"),
+        )
+        .agg(F.min("a._pos").alias("_pa"), F.min("b._pos").alias("_pb"))
+        .filter(
+            (1 + F.least(F.col("_na") - F.col("_pa"), F.col("_nb") - F.col("_pb")))
+            .cast("double")
+            >= F.lit(threshold) * F.col("_na").cast("double") - F.lit(1e-9)
+        )
+        .select("src_id", "dst_id")
+    )
+
+
+def containment_prefix_pairs_incremental(
+    index: DataFrame,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Directed containment pairs TOUCHING THE INCREMENT only (src or dst is
+    a new doc; old x old is never re-paired) — the persisted-index form of
+    :func:`containment_prefix_pairs` for the daily-crawl shape, extending
+    the pattern of :func:`minhash_lsh_pairs_incremental` to the prefix
+    family (VERDICT r5 #6).
+
+    ``index`` is :func:`containment_prefix_index` output for the existing
+    corpus (read back from its table). The increment's shingles are ranked
+    under the index's FROZEN canonical order (df over the indexed corpus,
+    derived here from the index itself; shingles outside the old vocabulary
+    get df 0 and sort first — at scale, persist the df relation alongside
+    the index to skip the derivation). Correctness does not depend on the
+    order being current: the prefix lemma is pure counting under any fixed
+    global order, and the positional filter only needs BOTH sides ranked by
+    the same order — which frozen-order ranking guarantees.
+
+    Candidate legs (then one exact count-based verify):
+
+    - new-src: increment prefixes probe old-index ∪ increment FULL rows —
+      covers new→old and both directions of new→new;
+    - old-src: old-index PREFIX rows (a ``_pos`` filter on the index — no
+      recompute) probe increment FULL rows — covers old→new.
+
+    The verify counts |S_src ∩ S_dst| by joining candidates against the
+    combined shingle relation (no arrays shipped); containment = count /
+    |S_src|, one correctly-rounded integer-ratio division — so the emitted
+    pair set equals EXACTLY the batch operator over old ∪ new restricted to
+    pairs touching an increment id (both are lossless + exact-verified;
+    order choice cannot change the set). Ids must be disjoint across sides.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(
+            "containment_prefix_pairs_incremental: threshold must be in (0, 1], "
+            f"got {threshold}"
+        )
+    dfreq_old = index.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    sets_new = shingle_sets(new_docs, id_col, text_col, k)
+    sh_new = sets_new.select(F.col(id_col), F.explode("ss").alias("shingle"))
+    w = Window.partitionBy(id_col).orderBy("_df", "shingle")
+    # cached: feeds the prefix leg, two full-probe legs and the verify
+    ranked_new = (
+        sh_new.join(dfreq_old, "shingle", "left")
+        .withColumn("_df", F.coalesce("_df", F.lit(0)))
+        .withColumn("_pos", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+        .select(F.col(id_col), "shingle", "_pos", "_n")
+        .cache()
+    )
+    new_prefix = _prefix_only(ranked_new, threshold)
+    old_prefix = _prefix_only(index, threshold)
+    full_all = index.unionByName(ranked_new)
+    candidates = _containment_candidates(
+        new_prefix, full_all, id_col, threshold
+    ).unionByName(
+        _containment_candidates(old_prefix, ranked_new, id_col, threshold)
+    )
+    sh_all = index.select(id_col, "shingle").unionByName(
+        ranked_new.select(id_col, "shingle")
+    )
+    sizes = (
+        index.select(id_col, "_n")
+        .unionByName(ranked_new.select(id_col, "_n"))
+        .distinct()
+    )
+    s_src = sh_all.select(F.col(id_col).alias("src_id"), "shingle")
+    s_dst = sh_all.select(F.col(id_col).alias("dst_id"), "shingle")
+    inter = (
+        candidates.join(s_src, "src_id")
+        .join(s_dst, ["dst_id", "shingle"])
+        .groupBy("src_id", "dst_id")
+        .agg(F.count(F.lit(1)).alias("_ni"))
+    )
+    nsrc = sizes.select(F.col(id_col).alias("src_id"), F.col("_n").alias("_nsrc"))
+    return (
+        inter.join(nsrc, "src_id")
+        .withColumn("containment", F.col("_ni") / F.col("_nsrc"))
+        .filter(F.col("containment") >= threshold)
+        .select("src_id", "dst_id", "containment")
+    )
+
+
 def tfidf_weight_expr(tf: str, df_: str, n: str, scale: int = 10_000) -> str:
     """Integer-quantized tf-idf weight as a SQL expression string, shared
     VERBATIM between the Spark side (F.expr) and the DuckDB oracle:

@@ -34,6 +34,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
     "dedup_containment": q_dedup_containment,  # directed |A∩B|/|A| prefix join
+    "dedup_incremental_containment": q_dedup_incremental_containment,  # frozen-order index probe
     "dedup_tfidf_cosine": q_dedup_tfidf_cosine,  # integer-exact weighted cosine
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_incremental_minhash": q_dedup_incremental_minhash,  # index-probe increment dedup

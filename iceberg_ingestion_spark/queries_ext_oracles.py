@@ -275,6 +275,30 @@ ORACLES_EXT: dict[str, str] = {
         JOIN (SELECT doc_id, len(ss) AS c FROM sh) la ON la.doc_id = src_id
         WHERE n_inter * 1.0 / la.c >= {CONTAINMENT_THRESHOLD}
     """,
+    # the exact directed pair set restricted to pairs touching an increment
+    # id (doc_id % 5 = 0): the incremental operator equals the batch one
+    # under that restriction BY CONSTRUCTION (lossless prefix candidates
+    # under any fixed order + exact count verify) — no banding probability
+    # argument needed
+    "dedup_incremental_containment": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS ss
+            FROM toks
+        ),
+        ex AS (SELECT doc_id, unnest(ss) AS s FROM sh),
+        inter AS (
+            SELECT a.doc_id AS src_id, b.doc_id AS dst_id, count(*) AS n_inter
+            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT src_id, dst_id, n_inter * 1.0 / la.c AS containment
+        FROM inter
+        JOIN (SELECT doc_id, len(ss) AS c FROM sh) la ON la.doc_id = src_id
+        WHERE n_inter * 1.0 / la.c >= {CONTAINMENT_THRESHOLD}
+          AND (src_id % 5 = 0 OR dst_id % 5 = 0)
+    """,
     # LSH banding at 32x4 misses a >=0.9-similar pair with prob ~1e-15 and the
     # candidates are exactly verified, so the oracle is the exact pair set.
     "dedup_minhash_lsh": _JACCARD_CTE

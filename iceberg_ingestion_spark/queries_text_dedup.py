@@ -364,6 +364,28 @@ def q_dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.tfidf_cosine_pairs(d, "doc_id", k=3, threshold=TFIDF_COS_THRESHOLD)
 
 
+def q_dedup_incremental_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental DIRECTED containment — the daily-crawl shape for the
+    prefix family (VERDICT r5 #6): docs split old (doc_id % 5 != 0) /
+    increment (% 5 == 0); the old corpus's ranked-shingle index
+    (:func:`dedup.containment_prefix_index` — persisted in production, built
+    in-session here for self-containment) is probed by the increment under
+    the index's FROZEN canonical order; only pairs touching an increment doc
+    are produced and old x old is never re-paired (near-flat in old-corpus
+    size — BASELINE.md --incr-cont). Oracle: the exact directed pair set
+    restricted to pairs touching an increment id — valid with NO
+    probabilistic argument: both batch and incremental forms are
+    lossless-candidate + exact-verify, so their pair sets are equal by
+    construction."""
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    old = d.filter(F.col("doc_id") % 5 != 0)
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    index = dedup.containment_prefix_index(old, "doc_id", k=3)
+    return dedup.containment_prefix_pairs_incremental(
+        index, new, "doc_id", k=3, threshold=CONTAINMENT_THRESHOLD
+    )
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents", spread=True)
     return dedup.minhash_lsh_pairs(d, "doc_id", k=3, threshold=MINHASH_THRESHOLD)

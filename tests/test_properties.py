@@ -546,3 +546,41 @@ def test_tfidf_cosine_equals_bruteforce(spark, docs):
             if cos >= t:
                 expected[(a, b)] = round(cos, 12)
     assert got == expected
+
+
+@given(
+    docs=st.lists(doc_row, min_size=0, max_size=10, unique_by=lambda d: d[0]),
+    t=st.sampled_from([0.5, 0.8, 1.0]),
+)
+@PROP_SETTINGS
+def test_incremental_containment_equals_batch_restriction(spark, docs, t):
+    """The frozen-order index-probe incremental containment equals the BATCH
+    directed pair set restricted to pairs touching an increment id, over
+    random tiny corpora (dense collisions, empty docs, boundary thresholds,
+    increments with out-of-vocabulary shingles). Pure construction claim —
+    no banding probability involved."""
+    from iceberg_ingestion_spark.operators.dedup import (
+        containment_prefix_index,
+        containment_prefix_pairs,
+        containment_prefix_pairs_incremental,
+    )
+
+    k = 2
+    df = spark.createDataFrame(
+        docs or [(None, None)], "doc_id int, text string"
+    ).filter(F.col("doc_id").isNotNull())
+    old = df.filter(F.col("doc_id") % 3 != 0)
+    new = df.filter(F.col("doc_id") % 3 == 0)
+    index = containment_prefix_index(old, "doc_id", k=k)
+    got = {
+        (r.src_id, r.dst_id): round(r.containment, 12)
+        for r in containment_prefix_pairs_incremental(
+            index, new, "doc_id", k=k, threshold=t
+        ).collect()
+    }
+    expected = {
+        (r.src_id, r.dst_id): round(r.containment, 12)
+        for r in containment_prefix_pairs(df, "doc_id", k=k, threshold=t).collect()
+        if r.src_id % 3 == 0 or r.dst_id % 3 == 0
+    }
+    assert got == expected

@@ -787,6 +787,62 @@ def phash_ab(mults: list[int]) -> int:
     return 0
 
 
+def incr_cont_ab(mults: list[int]) -> int:
+    """Incremental CONTAINMENT curve (VERDICT r5 #6 done-criterion): a FIXED
+    increment probed against a prefix index of an old corpus that grows with
+    the multiplier. Claims: (a) the per-increment probe is near-flat in
+    old-corpus size once the index is built (the index build is paid once
+    per corpus version); (b) the from-scratch batch op over old ∪ new grows
+    with the corpus."""
+    from iceberg_ingestion_spark.operators import dedup
+    from iceberg_ingestion_spark.session import build_session
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = build_session(app_name="scale-smoke-incr-cont")
+    spark.range(10_000).repartition(64).mapInPandas(lambda it: it, "id long").count()
+    base = spark.read.parquet(f"{sf}/documents.parquet").repartition(32)
+    # fixed increment: half fresh ids + half exact copies (cross-side
+    # containment pairs to find)
+    inc = (
+        base.filter(F.col("doc_id") % 20 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 900_000_000)
+        .unionByName(
+            base.filter(F.col("doc_id") % 20 == 1).withColumn(
+                "doc_id", F.col("doc_id") + 910_000_000
+            )
+        )
+        .cache()
+    )
+    n_inc = inc.count()
+
+    for mult in mults:
+        old = (base if mult == 1 else fresh_blow_up(base, mult)).cache()
+        n_old = old.count()
+        print(f"\n== incr-cont {mult}x: old={n_old} docs, increment={n_inc} ==",
+              flush=True)
+        t0 = time.time()
+        index = dedup.containment_prefix_index(old, "doc_id", k=3).cache()
+        index.count()
+        print(f"index build (once per corpus version)        {time.time()-t0:7.1f}s",
+              flush=True)
+        bench_cancelable(
+            spark, f"incremental containment (index) {mult}x",
+            lambda: dedup.containment_prefix_pairs_incremental(
+                index, inc, "doc_id", k=3, threshold=0.8
+            ),
+        )
+        bench_cancelable(
+            spark, f"batch containment old ∪ new     {mult}x",
+            lambda: dedup.containment_prefix_pairs(
+                old.unionByName(inc), "doc_id", k=3, threshold=0.8
+            ),
+        )
+        index.unpersist()
+        old.unpersist()
+    spark.stop()
+    return 0
+
+
 def incr_ab(mults: list[int]) -> int:
     """Incremental-dedup A/B: a FIXED daily increment deduped against an old
     corpus that grows with the multiplier. The claim under test: with the
@@ -863,6 +919,8 @@ def main() -> int:
         return tfidf_prefix_ab([int(a) for a in sys.argv[2:]] or [1, 5, 20])
     if len(sys.argv) > 1 and sys.argv[1] == "--phash":
         return phash_ab([int(a) for a in sys.argv[2:]] or [1, 5, 20])
+    if len(sys.argv) > 1 and sys.argv[1] == "--incr-cont":
+        return incr_cont_ab([int(a) for a in sys.argv[2:]] or [1, 5, 20])
     if len(sys.argv) > 1 and sys.argv[1] == "--incr":
         return incr_ab([int(a) for a in sys.argv[2:]] or [1, 5, 20])
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 20
