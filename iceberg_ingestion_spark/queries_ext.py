@@ -35,6 +35,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
     "dedup_containment": q_dedup_containment,  # directed |A∩B|/|A| prefix join
     "dedup_incremental_containment": q_dedup_incremental_containment,  # frozen-order index probe
+    "dedup_stream_near_dup": q_dedup_stream_near_dup,  # REAL streaming: 3 availableNow drains
     "dedup_tfidf_cosine": q_dedup_tfidf_cosine,  # integer-exact weighted cosine
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_incremental_minhash": q_dedup_incremental_minhash,  # index-probe increment dedup

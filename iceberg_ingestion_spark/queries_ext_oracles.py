@@ -311,6 +311,16 @@ ORACLES_EXT: dict[str, str] = {
     + f"""SELECT id_1, id_2, jaccard FROM jac
         WHERE jaccard >= {MINHASH_THRESHOLD}
           AND (id_1 % 5 = 0 OR id_2 % 5 = 0)""",
+    # streamed union == batch pair set by the exactly-once invariant (pinned
+    # in pytest incl. redelivery); the oracle is the same quadratic
+    # bit_count(xor) self-join as dedup_simhash_pairs
+    "dedup_stream_near_dup": f"""
+        WITH sims AS ({_simhash_sql()})
+        SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """,
     "dedup_simhash": _simhash_sql(),
     # exact pair set: the banded candidate join provably loses nothing
     # (pigeonhole), so the quadratic DuckDB self-join is a valid oracle.

@@ -132,3 +132,34 @@ def exact_dedup_stream(
     return stream.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
         subset
     )
+
+
+def stream_near_dup(
+    spark,
+    feed_dir: str,
+    schema,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 6,
+):
+    """Start an ``availableNow`` streaming near-dup run over a parquet file
+    feed: each micro-batch flows through :func:`near_dup_stream_batch_fn`
+    (SimHash -> persisted-index probe -> pair/signature appends). Returns
+    the started query; the caller drains it (``awaitTermination``). The
+    checkpoint carries the batch counter across restarts, so successive
+    drains against new feed files get strictly increasing ``_batch_id``s —
+    the invariant the index's ``_batch_id < batch_id`` read relies on."""
+    fn = near_dup_stream_batch_fn(
+        index_dir, pairs_dir, id_col=id_col, text_col=text_col,
+        max_hamming=max_hamming,
+    )
+    stream = spark.readStream.schema(schema).parquet(feed_dir)
+    return (
+        stream.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
