@@ -45,209 +45,41 @@ def entry(spark: SparkSession) -> DataFrame:
 #: insertion order (it records rows for exactly the first 50), so the window
 #: rotates each round under two rules: (1) every entry whose code path changed
 #: or was created THIS round must be in; (2) entries displaced must be
-#: function-level byte-unchanged (implementation + oracle + every operator
-#: function they call) since their latest green row.
+#: function-level byte-unchanged (implementation + oracle + every project
+#: function they transitively call) since their latest green evidence.
 #:
-#: Round-4 window, final. Three blocks:
+#: The rotation ledger is MECHANIZED since round 6 (VERDICT r5 #4): see
+#: ``tools/rotation_check.py`` — it hashes each entry's transitive closure
+#: (function source bytes + oracle text) into ``tools/rotation_ledger.json``
+#: together with the newest green evidence label, and ``--check`` fails when
+#: a changed entry is outside the window or a displaced entry's hash drifted
+#: since its recorded evidence (pytest gate: tests/test_rotation_ledger.py).
+#: The r1-r5 prose rotation history this block used to carry lives in git
+#: (`git log -p __spark_entry__.py`, commits up to round 5).
 #:
-#: (a) NEW entries created in r4 — the 13 late-session additions
-#:     (decon_bloom_prefilter, ingest_incremental_join_agg,
-#:     ingest_incremental_two_sided, events_gap_fill, events_anomaly_daily,
-#:     events_twap, text_bigram_corpus_freq, cube_flag_status,
-#:     skew_salted_join, sample_fixed_per_lang, analytics_window_suite,
-#:     validate_expectations, layout_zorder_values) plus the 4 early-r4
-#:     ones (corpus_feed_health, skew_salted_agg, ingest_incremental_agg,
-#:     and the q15/q11 global-window rewrites) — all mandatory by rule (1).
-#: (b) r4-changed entries: funnel_conversion (row contract), dedup_clusters
-#:     (convergence check), analytics_exact_quantiles (localCheckpoint),
-#:     analytics_tfidf_top_terms (folded count), sim_ann_topk_ivf
-#:     (hash-spread centroids), dedup_exact_chunks (NULL-text guard).
-#: (c) r2-era evidence refresh (VERDICT r3 #3): the remaining 24 entries
-#:     whose newest rows were r2-era (text_*, dedup_exact/fingerprint/
-#:     simhash*, knn vote, sessionize*, cohort, splits, multimodal_*,
-#:     rollup, topn, q12, running_totals, asof, bag_diff_identity).
-#: (d) r4 continuation additions (this session): corpus_shard_stats,
-#:     text_boilerplate_scrub, sketch_count_min, embedding_kmeans_assign,
-#:     dedup_semantic_blocked, text_token_quantile_filter,
-#:     events_rolling_7d — in-window by rule (1). They displace seven
-#:     block-(c) entries: six (text_token_counts, text_quality,
-#:     dedup_exact, dedup_fingerprint_groups, multimodal_decode,
-#:     dedup_simhash_pairs) chosen because they carry the FRESHEST
-#:     third-party evidence of the block — the r3 judge re-ran them
-#:     personally in their own check_oracle sweep (VERDICT r3 § operator
-#:     table marks them "judge re-verified") — plus multimodal_resize_plan,
-#:     whose plumbing is the same mapInPandas path as the in-window
-#:     multimodal_frame_sample (family representative stays; all three
-#:     multimodal entries are pytest-covered). All seven are function-level
-#:     byte-unchanged since their green rows (this session only APPENDS new
-#:     functions; no function they call was edited).
-#:
-#: Displaced for the late additions (all r3-green; every function AND oracle
-#: they call byte-unchanged since that row — merge.py's r4 change is
-#: docstring-only, model.py's is an additive default field): the ingest
-#: calculus entries ingest_detect_inserts/_deletes/_updates,
-#: ingest_cdc_dedup_latest,
-#: ingest_replace, ingest_first_load_cdc, ingest_snapshot_merge_full/
-#: _incremental/_soft_delete, ingest_cdc_merge, validate_bag_diff_strictness,
-#: and dedup_ngram_jaccard / dedup_minhash_lsh (in earlier drafts of this
-#: window only out of same-file conservatism; their functions and oracles
-#: are untouched in r4 — dedup.py's r4 changes are inside
-#: connected_components, pinned in-window by dedup_clusters, and the NEW
-#: shingle_occurrences function, pinned by text_bigram_corpus_freq). The
-#: detect/merge family they leave keeps live coverage via
-#: ingest_snapshot_merge_fused (whose single-pass plan computes the same
-#: I/U/D classification), ingest_changelog_versions, and the three IVM
-#: entries, which execute build_changelog + the merge calculus end-to-end;
-#: J3's strict-`>` update semantics stay pinned by pytest
-#: (test_changes.py) and the fused/leg toggle sweep. Also out (unchanged since r3 green, per the r3 rotation):
-#: mix_weighted_sample, pack_token_budget, events_interval_join,
-#: sketch_approx_*, decon_benchmark_overlap, sim_ann_topk_bruteforce/_lsh,
-#: dedup_embedding_cosine, and q1-q22 minus q11/q12/q15.
-#: (e) r4 late additions (this continuation): ingest_scd2_history,
-#:     sketch_hll_windowed, events_json_props, dedup_edit_distance — in by
-#:     rule (1). They displace: ingest_snapshot_merge_fused and
-#:     ingest_changelog_versions (the only in-window entries with r3-dated
-#:     driver-green rows — CORRECTNESS_r03 hash_match, functions and oracles
-#:     byte-unchanged since; the merge calculus keeps live in-window coverage
-#:     via the three IVM entries, which run build_changelog + the merge
-#:     calculus end-to-end, and ingest_scd2_history, which runs the same
-#:     fixture history through the version window), validate_bag_diff_identity
-#:     (a strict special case of validate_bag_diff_strictness' r3-green
-#:     bag_diff machinery, pytest-pinned), and dedup_simhash (its entire
-#:     compute path — simhash60 signatures, banding, and the _simhash_sql
-#:     oracle CTE — executes in-window inside dedup_edit_distance's candidate
-#:     stage). A fifth late addition, ingest_changelog_scan_sink (the
-#:     changelog calculus driven through REAL sink commits + read_version
-#:     time travel — also restoring in-window changelog coverage after
-#:     ingest_changelog_versions rotated out), displaces text_fingerprint,
-#:     whose fingerprint_md5 path executes in-window inside
-#:     corpus_feed_health's duplicate-rate metric. A sixth,
-#:     analytics_unpivot_measures (ANSI UNPIVOT / melt reshape), displaces
-#:     q12_return_class_priority — function-level byte-unchanged since its
-#:     r2-green row, TPC-H-family representation stays via the in-window
-#:     q11/q15 rewrites, and its conditional-aggregation shape is the same
-#:     CASE-sum family q1 pinned green in r1-r3.
-#: (f) r4 final additions (this continuation): analytics_pivot_status,
-#:     text_pmi_bigrams, events_sequence_match, events_value_histogram,
-#:     validate_drift_stats — in by rule (1). They displace five block-(c)
-#:     entries, each of which keeps an in-window representative of its
-#:     machinery and stays function-level byte-unchanged since its r2-green
-#:     row (this continuation only APPENDS functions; bench.py and the test
-#:     allowlist are the only edits to existing files): cohort_retention
-#:     (the `.pivot()` machinery it exercises gains a FRESH in-window
-#:     representative in analytics_pivot_status; the week-offset logic is
-#:     pytest-pinned), rollup_revenue (grouping-sets family stays via
-#:     cube_flag_status — CUBE's grouping sets strictly contain ROLLUP's),
-#:     topn_orders_per_segment (rank-then-filter shape stays via
-#:     analytics_window_suite's row_number/rank legs),
-#:     analytics_running_totals (cumulative-window shape stays via
-#:     analytics_window_suite + events_rolling_7d's RANGE frame), and
-#:     sessionize_user_summary (sessionize_stats stays in-window — the SAME
-#:     sessionizer operator path, plus the native-session_window
-#:     cross-validation in pytest). All five new entries verified vs their
-#:     DuckDB oracles at sf0.001/0.01/0.1 this session (BASELINE.md).
-#:     A sixth block-(f) entry, dedup_jaccard_prefix (PPJoin prefix-filter
-#:     candidate generation, pytest-pinned pair-identical to the
-#:     inverted-index path), displaces multimodal_frame_sample: the
-#:     mapInPandas/Arrow plumbing family keeps THREE in-window
-#:     representatives (embedding_kmeans_assign, text_boilerplate_scrub,
-#:     corpus_shard_stats), all three multimodal entries stay pytest-covered
-#:     and r2-green, and the r3 judge personally re-verified the family's
-#:     decode variant in their own sweep.
-#:     Late-r4 byte-change note: simhash_band_values gained a width>=64 mask
-#:     branch (for the new 64-bit pHash path); for every bits<=60 call site
-#:     the mask literal is IDENTICAL, and the out-of-window entries on that
-#:     path (dedup_simhash, dedup_simhash_pairs) re-passed their oracles in
-#:     this session's post-change full sf0.01 sweep (BASELINE.md r4-final
-#:     consolidation). dedup_edit_distance (in-window) pins the same
-#:     function live, plus the banded-Levenshtein rewrite of its verify.
-#: (g) r4 final: multimodal_phash_pairs (aHash64 + 64-bit pigeonhole
-#:     banding — the ONLY driver exposure of the r4-new ahash64 kernel and
-#:     the width>=64 band branch; oracle re-derives the hash integer-exactly
-#:     in SQL and was verified at sf0.001/0.01/0.1 this session). Displaces
-#:     text_repetition: defined once in r1, byte-unchanged since, green in
-#:     BOTH its r1 and r2 driver rows, re-passed this session's tri-SF
-#:     sweeps, and the text family keeps six in-window representatives
-#:     (lang_id, pii_scrub, bigram_corpus_freq, pmi_bigrams,
-#:     boilerplate_scrub, token_quantile_filter). A second block-(g) entry,
-#:     dedup_incremental_minhash (NEW operator: increment-vs-corpus dedup
-#:     probing a persisted minhash index, never re-pairing old x old;
-#:     near-flat in corpus size at 20x — BASELINE.md --incr), displaces
-#:     data_split_counts: defined once, byte-unchanged, green r2 row,
-#:     re-passed this session's tri-SF sweeps, md5-bucket machinery stays
-#:     in-window via corpus_shard_stats. The compensating evidence for both
-#:     displacements is this session's WHOLE-SUITE sweeps at sf0.001, 0.01
-#:     AND 0.1 (111/111 PASS, BASELINE.md) — every rotated-out entry has
-#:     session-dated green evidence even without a driver row.
-#: (h) ROUND-5 window update. In by rule (1):
-#:     - ingest_stream_cdc_merge (NEW: executes two real Structured
-#:       Streaming runs of stream_cdc_merge; oracle = the batch cdc-merge
-#:       SQL — the driver's first streaming-executed row);
-#:     - sim_ann_topk_ivf_trained (NEW: k-means-trained IVF codebook);
-#:     and the r5-changed paths already in-window: dedup_jaccard_prefix
-#:     (prefix-length float guard), validate_drift_stats (per-side decimal),
-#:     dedup_clusters + dedup_incremental_minhash (star-contraction
-#:     connected components), sim_ann_topk_ivf (topk_ivf codebook branch).
-#:     The r5 split of queries_ext.py into themed modules MOVES function
-#:     bytes without changing them (VERDICT r4 #7: rotation unaffected).
-#:     Also in by rule (1): q1_pricing_summary — its ORACLE changed in r5
-#:     (decimal->double via VARCHAR so DuckDB's cast is correctly rounded
-#:     at >=17 significant digits; root-caused on the sf1 sweep, verified
-#:     green at sf0.001/0.01/0.1/sf1 this session). It displaces
-#:     events_value_histogram (r4-green, byte-unchanged; binning is plain
-#:     width_bucket-style arithmetic and the events family keeps six
-#:     in-window representatives).
-#:     Displaced for the two additions, both function-level byte-unchanged
-#:     since their r4-green rows (CORRECTNESS_r04 hash_match) and re-passed
-#:     in this session's post-split oracle sample: analytics_pivot_status
-#:     (`.pivot()` machinery pytest-pinned; the reshape family keeps
-#:     analytics_unpivot_measures in-window) and events_sequence_match
-#:     (regex sequence match; the events family keeps seven in-window
-#:     representatives: gap_fill, anomaly_daily, twap, rolling_7d,
-#:     json_props, value_histogram, interval via asof).
-#: (i) ROUND-5 continuation: three NEW entries, in by rule (1) —
-#:     dedup_containment (directed set-containment pairs via the one-sided
-#:     prefix lemma), sim_bm25_topk (Okapi BM25 keyword retrieval; scoring
-#:     expression string shared verbatim with the oracle, idf quantized to
-#:     1e-9 to pin the one cross-engine-divergent primitive, ln), and
-#:     text_vocab_coverage (top-K vocabulary + cumulative coverage curve).
-#:     All three verified vs their DuckDB oracles at sf0.001/0.01/0.1 this
-#:     session. They displace three r4-green rows (CORRECTNESS_r04
-#:     hash_match, functions and oracles byte-unchanged since — this
-#:     continuation only APPENDS new functions): text_pii_scrub and
-#:     text_lang_id (the text family keeps five in-window representatives —
-#:     bigram_corpus_freq, pmi_bigrams, boilerplate_scrub,
-#:     token_quantile_filter, and the NEW vocab_coverage) and
-#:     sim_knn_label_vote (its topk_able machinery stays pytest-pinned; the
-#:     similarity family keeps sim_ann_topk_ivf, sim_ann_topk_ivf_trained,
-#:     and the NEW sim_bm25_topk in-window).
-#: (j) ROUND-5 continuation, second block: two more NEW entries in by rule
-#:     (1) — dedup_tfidf_cosine (integer-exact tf-idf weighted cosine pairs;
-#:     quantized-BIGINT weights make every dot/norm an order-independent
-#:     exact sum) and events_stream_windowed (the driver's SECOND
-#:     streaming-executed row: four real availableNow drains of the
-#:     watermarked tumbling-window aggregation, append mode, sentinel-flushed;
-#:     oracle = the batch GROUP BY). Verified at sf0.001/0.01/0.1 this
-#:     session. They displace two r4-green byte-unchanged rows:
-#:     events_twap (its exact decimal*1e6 value-scaling contract executes
-#:     in-window inside events_stream_windowed's sums; the events family
-#:     keeps gap_fill, anomaly_daily, rolling_7d, json_props + the new
-#:     streaming entry) and sample_fixed_per_lang (its md5-bucket machinery
-#:     stays in-window via corpus_shard_stats; exact-n-per-stratum is
-#:     pytest-pinned).
-#: (k) ROUND-5 continuation, third block: two NEW pipeline-report entries in
-#:     by rule (1) — corpus_quality_funnel (cumulative quality-gate
-#:     attrition: one conditional-sum scan + the near-dup canonical join;
-#:     the oracle recomputes the component closure recursively) and
-#:     corpus_dedup_by_source (per-feed near-dup attrition, same closure).
-#:     Verified at sf0.001/0.01/0.1 and sf1 this session. They displace two
-#:     r4-green byte-unchanged rows that ALSO re-passed this session's full
-#:     119-entry sf0.01 sweep: cube_flag_status (grouping-sets family keeps
-#:     analytics_window_suite + analytics_unpivot_measures in-window) and
-#:     events_anomaly_daily (the events family keeps gap_fill, rolling_7d,
-#:     json_props and the new streaming entry; its integer-sum mean+2σ
-#:     machinery is pytest-pinned).
+#: ROUND-6 rotation: in by rule (1) — sim_bm25_multi_query (batched
+#: retrieval over a query relation), dedup_incremental_containment
+#: (frozen-order prefix-index probe), dedup_stream_near_dup (the THIRD
+#: streaming-executed row: 3 availableNow drains of the persisted-index
+#: near-dup stream); plus the r6-changed paths already in-window:
+#: dedup_tfidf_cosine (Bayardo weighted-prefix rewrite + overflow guard),
+#: dedup_clusters / corpus_quality_funnel / corpus_dedup_by_source
+#: (connected_components self-pair fix; the two reports now run over the
+#: shared-labels operators), sim_bm25_topk (expression builders factored —
+#: emitted strings byte-identical). Displaced, all r5-green
+#: (CORRECTNESS_r05 hash_match) and byte-unchanged this round, each leaving
+#: family representatives in-window: text_vocab_coverage (text family keeps
+#: bigram_corpus_freq, pmi_bigrams, boilerplate_scrub,
+#: token_quantile_filter), dedup_edit_distance (its simhash60 + banding
+#: machinery executes in-window inside dedup_stream_near_dup's closure;
+#: banded-Levenshtein verify pytest-pinned), q15_top_supplier (the r4
+#: broadcast-1-row-aggregate rewrite family keeps q11_important_parts and
+#: q1 in-window).
 _PRIORITY = [
+    # r6 additions
+    "sim_bm25_multi_query",
+    "dedup_incremental_containment",
+    "dedup_stream_near_dup",
     # r5 additions (block h)
     "ingest_stream_cdc_merge",
     "sim_ann_topk_ivf_trained",
@@ -255,7 +87,6 @@ _PRIORITY = [
     # r5 continuation additions (blocks i, j)
     "dedup_containment",
     "sim_bm25_topk",
-    "text_vocab_coverage",
     "dedup_tfidf_cosine",
     "events_stream_windowed",
     "corpus_quality_funnel",
@@ -270,7 +101,6 @@ _PRIORITY = [
     "ingest_scd2_history",
     "sketch_hll_windowed",
     "events_json_props",
-    "dedup_edit_distance",
     "validate_expectations",
     "layout_zorder_values",
     # NEW in r4, late-session additions (block a)
@@ -292,7 +122,6 @@ _PRIORITY = [
     "skew_salted_agg",            # NEW: driver evidence for the skew family
     # r4 scale rewrites: empty-partitionBy global windows replaced by
     # broadcast 1-row aggregates — changed this round, so in-window
-    "q15_top_supplier",
     "q11_important_parts",
     # NEW in r4: single-sided aggregate IVM (the join/two-sided variants are
     # in block (a) above)
