@@ -78,7 +78,7 @@ def _referenced(func) -> list[object]:
     if src is None:
         return []
     try:
-        tree = ast.parse(inspect.cleandoc("    " * 0 + src) if src[0] in " \t" else src)
+        tree = ast.parse(src)
     except SyntaxError:
         # indented method source — dedent
         import textwrap
