@@ -299,6 +299,73 @@ ORACLES_EXT: dict[str, str] = {
         WHERE n_inter * 1.0 / la.c >= {CONTAINMENT_THRESHOLD}
           AND (src_id % 5 = 0 OR dst_id % 5 = 0)
     """,
+    # the exact FROZEN-STATS pair set: idf / max_df / corpus size computed
+    # over the OLD docs (doc_id % 5 <> 0) only — the pinned incremental
+    # policy — every doc weighted in that space (off-vocabulary terms df 0),
+    # restricted to pairs touching an increment id. Same integer-quantized
+    # weight expression as dedup_tfidf_cosine, so every dot/norm is an exact
+    # BIGINT sum and equality is by construction (lossless Bayardo prefix
+    # under the frozen order + exact verify), not probabilistic.
+    "dedup_incremental_tfidf": f"""
+        WITH stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS _n FROM documents WHERE doc_id % 5 <> 0
+        ),
+        toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        occ AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]) AS s FROM toks),
+        tf AS (SELECT doc_id, s, CAST(count(*) AS BIGINT) AS _tf FROM occ GROUP BY 1, 2),
+        dfreq AS (
+            SELECT s, CAST(count(*) AS BIGINT) AS _df FROM tf
+            WHERE doc_id % 5 <> 0 GROUP BY s
+        ),
+        wd AS (
+            SELECT doc_id, s, _tf, coalesce(_df, CAST(0 AS BIGINT)) AS _df
+            FROM tf LEFT JOIN dfreq USING (s)
+        ),
+        w AS (
+            SELECT doc_id, s, {dedup.tfidf_weight_expr("_tf", "_df", "_n", 10_000)} AS _wt
+            FROM wd CROSS JOIN stats
+            WHERE _df <= CAST(floor(CAST(0.3 AS DOUBLE) * _n) AS BIGINT)
+        ),
+        norms AS (SELECT doc_id, CAST(sum(_wt * _wt) AS BIGINT) AS _n2 FROM w GROUP BY doc_id),
+        dots AS (
+            SELECT a.doc_id AS id_1, b.doc_id AS id_2, CAST(sum(a._wt * b._wt) AS BIGINT) AS _dot
+            FROM w a JOIN w b ON a.s = b.s AND a.doc_id < b.doc_id
+            WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0
+            GROUP BY 1, 2
+        )
+        SELECT id_1, id_2,
+               _dot / sqrt(CAST(na._n2 AS DOUBLE) * CAST(nb._n2 AS DOUBLE)) AS cosine
+        FROM dots JOIN norms na ON na.doc_id = id_1 JOIN norms nb ON nb.doc_id = id_2
+        WHERE _dot / sqrt(CAST(na._n2 AS DOUBLE) * CAST(nb._n2 AS DOUBLE)) >= {TFIDF_COS_THRESHOLD}
+    """,
+    # the DIRECT all-pairs maximal-run computation: every pair's matching
+    # token 4-grams chained along diagonals (gaps-and-islands) into maximal
+    # runs, token length = run + k - 1, floor = window + k - 1. The Spark
+    # side's winnowing candidate stage is lossless at the floor (winnowing
+    # theorem) and its verify is this exact computation, so the sets match.
+    "dedup_substring_spans": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        gs AS (
+            SELECT doc_id,
+                   unnest([{{'pos': i, 'gram': t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]}}
+                           for i in range(1, len(t) - {SUBSTR_K} + 2)]) AS u
+            FROM toks
+        ),
+        g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM gs),
+        m AS (
+            SELECT a.doc_id AS id_1, b.doc_id AS id_2, a.pos AS p1, b.pos AS p2
+            FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        ),
+        r AS (
+            SELECT id_1, id_2, p1, p2, p1 - p2 AS diag,
+                   p1 - row_number() OVER (PARTITION BY id_1, id_2, p1 - p2 ORDER BY p1) AS island
+            FROM m
+        )
+        SELECT id_1, id_2, min(p1) AS start_1, min(p2) AS start_2,
+               CAST(count(*) + {SUBSTR_K} - 1 AS BIGINT) AS match_len
+        FROM r GROUP BY id_1, id_2, diag, island
+        HAVING count(*) + {SUBSTR_K} - 1 >= {SUBSTR_WINDOW} + {SUBSTR_K} - 1
+    """,
     # LSH banding at 32x4 misses a >=0.9-similar pair with prob ~1e-15 and the
     # candidates are exactly verified, so the oracle is the exact pair set.
     "dedup_minhash_lsh": _JACCARD_CTE

