@@ -1838,7 +1838,18 @@ def _tfidf_verify(
     only — a semi-join restriction, not a corpus-wide groupBy), dot = Σ over
     the key union of BIGINT products (absent keys contribute 0) via
     ``map_zip_with`` + ``aggregate``, whole-stage JVM, O(|a|+|b|) per
-    surviving candidate. Norms arrive ON the candidate rows."""
+    surviving candidate. Norms arrive ON the candidate rows.
+
+    The candidate relation is EAGERLY MATERIALIZED first (the
+    near_dup_canonical localCheckpoint pattern): this function references it
+    five times (both cand_ids legs, both map joins, the result join), and
+    each lazy reference would duplicate the candidate subtree — two
+    inverted-index joins over the whole weight lineage — in the logical
+    plan. Execution would still dedupe via ReusedExchange, but CATALYST
+    PLANNING is super-linear in plan size: measured 145s -> 9s at the 20x
+    scale smoke from this one truncation (the relation itself is small by
+    construction — the prune's whole point)."""
+    candidates = candidates.localCheckpoint(eager=True)
     cand_ids = (
         candidates.select(F.col("id_1").alias(id_col))
         .unionByName(candidates.select(F.col("id_2").alias(id_col)))

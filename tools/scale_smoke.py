@@ -900,6 +900,96 @@ def incr_ab(mults: list[int]) -> int:
     return 0
 
 
+def incr_tfidf_ab(mults: list[int]) -> int:
+    """Incremental TF-IDF COSINE curve (VERDICT r6 #3 done-criterion): a
+    FIXED increment probed against a weighted prefix index of an old corpus
+    that grows with the multiplier. Claims: (a) the per-increment probe is
+    near-flat in old-corpus size once the index + df relation are built
+    (paid once per corpus version — the probe gets ``dfreq`` passed, the
+    production shape); (b) the from-scratch batch op over old ∪ new grows
+    with the corpus."""
+    from iceberg_ingestion_spark.operators import dedup
+    from iceberg_ingestion_spark.session import build_session
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = build_session(app_name="scale-smoke-incr-tfidf")
+    spark.range(10_000).repartition(64).mapInPandas(lambda it: it, "id long").count()
+    base = spark.read.parquet(f"{sf}/documents.parquet").repartition(32)
+    # fixed increment: half fresh ids + half exact copies (cross-side
+    # weighted near-dup pairs to find)
+    inc = (
+        base.filter(F.col("doc_id") % 20 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 900_000_000)
+        .unionByName(
+            base.filter(F.col("doc_id") % 20 == 1).withColumn(
+                "doc_id", F.col("doc_id") + 910_000_000
+            )
+        )
+        .cache()
+    )
+    n_inc = inc.count()
+
+    for mult in mults:
+        old = (base if mult == 1 else fresh_blow_up(base, mult)).cache()
+        n_old = old.count()
+        print(f"\n== incr-tfidf {mult}x: old={n_old} docs, increment={n_inc} ==",
+              flush=True)
+        t0 = time.time()
+        index = dedup.tfidf_prefix_index(old, "doc_id", k=3).cache()
+        index.count()
+        dfreq = dedup.tfidf_df_relation(index).cache()
+        dfreq.count()
+        print(f"index + df relation (once per corpus version) {time.time()-t0:7.1f}s",
+              flush=True)
+        bench_cancelable(
+            spark, f"incremental tfidf (index+dfreq) {mult}x",
+            lambda: dedup.tfidf_cosine_pairs_incremental(
+                index, inc, "doc_id", k=3, threshold=0.5, dfreq=dfreq
+            ),
+        )
+        bench_cancelable(
+            spark, f"batch tfidf old ∪ new           {mult}x",
+            lambda: dedup.tfidf_cosine_pairs(
+                old.unionByName(inc), "doc_id", k=3, threshold=0.5
+            ),
+        )
+        dfreq.unpersist()
+        index.unpersist()
+        old.unpersist()
+    spark.stop()
+    return 0
+
+
+def substr_ab(mults: list[int]) -> int:
+    """Winnowing substring-span curve (VERDICT r6 #6 done-criterion): corpus
+    grows fresh-content style (the way real corpora grow — every added doc
+    is a unique token stream, so per-gram selected-fingerprint df stays
+    flat and only the base corpus's true duplicate structure emits spans).
+    Claim: near-linear — the two window passes and the selected-gram
+    equi-join scale with rows, not rows²; the quadratic hazard (corpus-wide
+    boilerplate grams) is the documented pre-scrub/raise-k case, same as
+    the n-gram caps story."""
+    from iceberg_ingestion_spark.operators import dedup
+    from iceberg_ingestion_spark.session import build_session
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = build_session(app_name="scale-smoke-substr")
+    spark.range(10_000).repartition(64).mapInPandas(lambda it: it, "id long").count()
+    base = spark.read.parquet(f"{sf}/documents.parquet").repartition(32)
+
+    for mult in mults:
+        docs = (base if mult == 1 else fresh_blow_up(base, mult)).cache()
+        n = docs.count()
+        print(f"\n== substr {mult}x: {n} docs ==", flush=True)
+        bench_cancelable(
+            spark, f"substring_span_pairs {mult}x",
+            lambda: dedup.substring_span_pairs(docs, "doc_id", k=4, window=5),
+        )
+        docs.unpersist()
+    spark.stop()
+    return 0
+
+
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--caps-ab":
         return caps_ab([int(a) for a in sys.argv[2:]] or [5, 20])
@@ -921,6 +1011,10 @@ def main() -> int:
         return phash_ab([int(a) for a in sys.argv[2:]] or [1, 5, 20])
     if len(sys.argv) > 1 and sys.argv[1] == "--incr-cont":
         return incr_cont_ab([int(a) for a in sys.argv[2:]] or [1, 5, 20])
+    if len(sys.argv) > 1 and sys.argv[1] == "--incr-tfidf":
+        return incr_tfidf_ab([int(a) for a in sys.argv[2:]] or [1, 5, 20])
+    if len(sys.argv) > 1 and sys.argv[1] == "--substr":
+        return substr_ab([int(a) for a in sys.argv[2:]] or [1, 5, 20])
     if len(sys.argv) > 1 and sys.argv[1] == "--incr":
         return incr_ab([int(a) for a in sys.argv[2:]] or [1, 5, 20])
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 20
