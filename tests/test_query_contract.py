@@ -95,6 +95,10 @@ def test_no_unbounded_nested_loop_joins(spark):
         # r6: batched BM25 — corpus stats (N, Σdl) join back as a broadcast
         # 1-row aggregate (the q11/q15 pattern); the BNLJ side is one row
         "sim_bm25_multi_query",
+        # r7: the frozen corpus size N (from the persisted df relation,
+        # limit-1) joins into the increment's weight pass as a broadcast
+        # 1-row relation — same pattern as dedup_tfidf_cosine's stats
+        "dedup_incremental_tfidf",
     }
     offenders = []
     for name, fn in entry_mod.queries().items():
