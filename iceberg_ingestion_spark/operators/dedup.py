@@ -1672,12 +1672,19 @@ def _tfidf_weights(
     per corpus, RLE-compressed to nothing when persisted, and exactly what
     an incremental probe needs to re-weight an increment under FROZEN
     stats without a side relation."""
+    from pyspark.sql import Window
+
     stats = df.agg(F.count(F.lit(1)).cast("long").alias("_n"))
     occ = shingle_occurrences(df, id_col, text_col, k)
     tf = occ.groupBy(id_col, "shingle").agg(F.count(F.lit(1)).alias("_tf"))
-    dfreq = tf.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    # document frequency as a whole-partition count window over the tf
+    # relation (one row per (doc, shingle), so rows-per-shingle IS df):
+    # ONE shingle-keyed shuffle where the r6 groupBy+join-back paid two
+    # over the same relation — measured 2.3s -> 1.5s warm at sf0.1
     return (
-        tf.join(dfreq, "shingle")
+        tf.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
         .crossJoin(F.broadcast(stats))
         .filter(
             F.expr(

@@ -644,6 +644,15 @@ def tfidf_prefix_ab(mults: list[int]) -> int:
             .collect()[0]["r"] or 0
         )
 
+    def norms_of(w):
+        # per-doc Σwt² for the r5 baseline (the operator now derives norms
+        # inside the fused suffix-norm window — r7; this reconstructs the
+        # r5 shape for measurement only)
+        sq = F.col("_wt").cast("decimal(19,0)") * F.col("_wt").cast("decimal(19,0)")
+        return w.groupBy("doc_id").agg(
+            F.sum(sq).cast("long").alias("_n2")
+        )
+
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = build_session(app_name="scale-smoke-tfidf-prefix")
     spark.range(10_000).repartition(64).mapInPandas(lambda it: it, "id long").count()
@@ -657,8 +666,7 @@ def tfidf_prefix_ab(mults: list[int]) -> int:
         n = docs.count()
         print(f"\n== tfidf prefix A/B {mult}x: {n} docs (max_df=0.3 default, 10% boilerplate head) ==")
         w = dedup._tfidf_weights(docs, "doc_id", "text", 3, 0.3, 10_000)
-        norms = dedup._tfidf_norms(w, "doc_id")
-        prefix = dedup._tfidf_prefix(w, norms, "doc_id", t)
+        prefix = dedup._tfidf_prefix(dedup._tfidf_suffix_norms(w, "doc_id"), "doc_id", t)
         full_rows = join_rows(w)
         pref_rows = join_rows(prefix)
         a, b = prefix.alias("a"), prefix.alias("b")
@@ -682,7 +690,7 @@ def tfidf_prefix_ab(mults: list[int]) -> int:
             spark, f"tfidf full join (r5)   {mult}x",
             lambda: fulljoin_baseline(
                 dedup._tfidf_weights(docs, "doc_id", "text", 3, 0.3, 10_000),
-                dedup._tfidf_norms(dedup._tfidf_weights(docs, "doc_id", "text", 3, 0.3, 10_000), "doc_id"),
+                norms_of(dedup._tfidf_weights(docs, "doc_id", "text", 3, 0.3, 10_000)),
                 "doc_id", t),
         )
         w.unpersist()
