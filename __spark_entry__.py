@@ -58,22 +58,24 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (`git log -p __spark_entry__.py`, commits up to round 5).
 #:
 #: ROUND-7 rotation (VERDICT r6 #7 — deliberate staleness-driven refresh):
-#: in by rule (1), the four entries whose closures changed or were created
+#: in by rule (1), the five entries whose closures changed or were created
 #: this round — dedup_incremental_tfidf (NEW: frozen-stats weighted prefix
 #: index probe), dedup_substring_spans (NEW: winnowing any-offset substring
-#: dedup), dedup_tfidf_cosine (fused suffix-norm window + semi-join-restricted
+#: dedup), dedup_incremental_substring (NEW: per-doc-selection index probe),
+#: dedup_tfidf_cosine (fused suffix-norm window + semi-join-restricted
 #: verify), dedup_incremental_containment (persisted-dfreq probe variant).
-#: The other 46 slots go to the entries with the OLDEST driver correctness
-#: row: all 19 whose newest driver row is CORRECTNESS_r02 and 27 of the 42
+#: The other 45 slots go to the entries with the OLDEST driver correctness
+#: row: all 19 whose newest driver row is CORRECTNESS_r02 and 26 of the 42
 #: r3-era ones (alphabetical within a staleness class — no cherry-picking).
 #: Everything displaced is byte-stable per tools/rotation_check.py (ledger
-#: stamped from the r6 full 124/124 sf0.01 sweep, re-stamped after this
-#: round's full sweep) and its newest evidence is at worst that same full
-#: sweep; the remaining r3/r4-era driver rows rotate in next round.
+#: re-stamped from this round's full 126/126 sf0.01 sweep, final sweep
+#: re-stamps again) and its newest evidence is at worst that full sweep;
+#: the remaining r3/r4-era driver rows rotate in next round.
 _PRIORITY = [
     # r7 additions / changed closures (rule 1)
     "dedup_incremental_tfidf",
     "dedup_substring_spans",
+    "dedup_incremental_substring",
     "dedup_tfidf_cosine",
     "dedup_incremental_containment",
     # driver-row refresh: last green driver row r2
@@ -123,7 +125,6 @@ _PRIORITY = [
     "q17_small_quantity_revenue",
     "q18_large_volume_orders",
     "q19_bracketed_revenue",
-    "q20_part_share_suppliers",
 ]
 
 

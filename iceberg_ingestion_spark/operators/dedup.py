@@ -2182,16 +2182,10 @@ def substring_span_pairs(
     if window < 1:
         raise ValueError(f"substring_span_pairs: window must be >= 1, got {window}")
     min_len = window + k - 1
-    g = gram_positions(df, id_col, text_col, k).cache()
-    byid = Window.partitionBy(id_col).orderBy("pos")
-    h = g.withColumn("_h", F.xxhash64("gram"))
-    sel = (
-        h.withColumn("_wmin", F.min("_h").over(byid.rowsBetween(0, window - 1)))
-        .withColumn("_bnd", F.max("_wmin").over(byid.rowsBetween(-(window - 1), 0)))
-        .filter(F.col("_h") <= F.col("_bnd"))
-        .select(id_col, "gram")
-        .distinct()
-    )
+    # same positional-gram + selection relation the incremental form
+    # persists (substring_span_index) — built in-session and cached here
+    g = substring_span_index(df, id_col, text_col, k, window).cache()
+    sel = g.filter("selected").select(id_col, "gram").distinct()
     a, b = sel.alias("a"), sel.alias("b")
     candidates = (
         a.join(
@@ -2206,6 +2200,116 @@ def substring_span_pairs(
     )
     ga = g.select(F.col(id_col).alias("id_1"), F.col("pos").alias("p1"), "gram")
     gb = g.select(F.col(id_col).alias("id_2"), F.col("pos").alias("p2"), "gram")
+    matched = candidates.join(ga, "id_1").join(gb, ["id_2", "gram"]).select(
+        "id_1", "id_2", "p1", "p2"
+    )
+    diag = Window.partitionBy("id_1", "id_2", "_diag").orderBy("p1")
+    return (
+        matched.withColumn("_diag", F.col("p1") - F.col("p2"))
+        .withColumn("_island", F.col("p1") - F.row_number().over(diag))
+        .groupBy("id_1", "id_2", "_diag", "_island")
+        .agg(
+            F.min("p1").alias("start_1"),
+            F.min("p2").alias("start_2"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).alias("match_len"),
+        )
+        .filter(F.col("match_len") >= min_len)
+        .select("id_1", "id_2", "start_1", "start_2", "match_len")
+    )
+
+
+def substring_span_index(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 4, window: int = 5
+) -> DataFrame:
+    """Persistable positional-gram index for incremental substring dedup:
+    ``(id, pos, gram, selected)`` — every token k-gram with its 1-based
+    start position and its winnowing selection flag (min-hash of some
+    covering window of ``window`` grams; see :func:`substring_span_pairs`).
+    Write this to a table once per corpus build; every increment then
+    probes it via :func:`substring_span_pairs_incremental` without
+    re-fingerprinting the old corpus.
+
+    Unlike the df-ordered prefix indexes, winnowing selection is a PURE
+    PER-DOC function (the doc's own gram hashes — no corpus statistics),
+    so nothing is frozen-by-policy here: the incremental probe equals the
+    batch operator restricted to pairs touching the increment EXACTLY,
+    with no stats-refresh caveat. ``k`` and ``window`` are structural
+    parameters of the index (they shape grams and selection) and must
+    match at probe time."""
+    from pyspark.sql import Window
+
+    if window < 1:
+        raise ValueError(f"substring_span_index: window must be >= 1, got {window}")
+    g = gram_positions(df, id_col, text_col, k)
+    byid = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        g.withColumn("_h", F.xxhash64("gram"))
+        .withColumn("_wmin", F.min("_h").over(byid.rowsBetween(0, window - 1)))
+        .withColumn("_bnd", F.max("_wmin").over(byid.rowsBetween(-(window - 1), 0)))
+        .withColumn("selected", F.col("_h") <= F.col("_bnd"))
+        .select(id_col, "pos", "gram", "selected")
+    )
+
+
+def substring_span_pairs_incremental(
+    index: DataFrame,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 5,
+) -> DataFrame:
+    """Maximal common token runs (>= window + k - 1) TOUCHING THE INCREMENT
+    only (id_1 or id_2 is a new doc; old x old is never re-paired) — the
+    persisted-index daily-crawl form of :func:`substring_span_pairs`,
+    completing the family's incremental story (MinHash r4, containment r6,
+    weighted cosine r7, substring r7).
+
+    ``index`` is :func:`substring_span_index` output for the existing
+    corpus (read back from its table; ``k``/``window`` must match). The
+    increment pays one gram+selection pass over ITS OWN rows only.
+    Candidate legs mirror the tfidf incremental (selection collision is
+    symmetric): new-selected × (old ∪ new)-selected with id_1 < id_2, plus
+    old-selected × new-selected — old x old never joins. Verify pulls the
+    FULL positional gram rows of candidate pairs from index ∪ increment
+    and chains diagonal runs exactly as the batch op. Winnowing selection
+    is per-doc (no corpus stats), so the emitted set equals the batch
+    operator over old ∪ new restricted to touching-increment pairs
+    EXACTLY — no frozen-stats policy, no probability. Ids must be
+    disjoint across sides. The candidate relation is eagerly materialized
+    (the tfidf-verify plan-size lesson: it fans into three consumers)."""
+    if window < 1:
+        raise ValueError(
+            f"substring_span_pairs_incremental: window must be >= 1, got {window}"
+        )
+    min_len = window + k - 1
+    from pyspark.sql import Window
+
+    g_new = substring_span_index(new_docs, id_col, text_col, k, window).cache()
+    sel_new = g_new.filter("selected").select(id_col, "gram").distinct()
+    sel_old = index.filter("selected").select(id_col, "gram").distinct()
+
+    def leg(a_side: DataFrame, b_side: DataFrame) -> DataFrame:
+        a, b = a_side.alias("a"), b_side.alias("b")
+        return a.join(
+            b,
+            on=(F.col("a.gram") == F.col("b.gram"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2")
+        )
+
+    candidates = (
+        leg(sel_new, sel_old.unionByName(sel_new))
+        .unionByName(leg(sel_old, sel_new))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    g_all = index.select(id_col, "pos", "gram").unionByName(
+        g_new.select(id_col, "pos", "gram")
+    )
+    ga = g_all.select(F.col(id_col).alias("id_1"), F.col("pos").alias("p1"), "gram")
+    gb = g_all.select(F.col(id_col).alias("id_2"), F.col("pos").alias("p2"), "gram")
     matched = candidates.join(ga, "id_1").join(gb, ["id_2", "gram"]).select(
         "id_1", "id_2", "p1", "p2"
     )

@@ -366,6 +366,34 @@ ORACLES_EXT: dict[str, str] = {
         FROM r GROUP BY id_1, id_2, diag, island
         HAVING count(*) + {SUBSTR_K} - 1 >= {SUBSTR_WINDOW} + {SUBSTR_K} - 1
     """,
+    # the same direct all-pairs maximal-run computation restricted to pairs
+    # touching an increment id (doc_id % 5 = 0): winnowing selection is a
+    # pure per-doc function, so the incremental operator equals the batch
+    # one under that restriction EXACTLY (no frozen stats, no probability)
+    "dedup_incremental_substring": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        gs AS (
+            SELECT doc_id,
+                   unnest([{{'pos': i, 'gram': t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]}}
+                           for i in range(1, len(t) - {SUBSTR_K} + 2)]) AS u
+            FROM toks
+        ),
+        g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM gs),
+        m AS (
+            SELECT a.doc_id AS id_1, b.doc_id AS id_2, a.pos AS p1, b.pos AS p2
+            FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0
+        ),
+        r AS (
+            SELECT id_1, id_2, p1, p2, p1 - p2 AS diag,
+                   p1 - row_number() OVER (PARTITION BY id_1, id_2, p1 - p2 ORDER BY p1) AS island
+            FROM m
+        )
+        SELECT id_1, id_2, min(p1) AS start_1, min(p2) AS start_2,
+               CAST(count(*) + {SUBSTR_K} - 1 AS BIGINT) AS match_len
+        FROM r GROUP BY id_1, id_2, diag, island
+        HAVING count(*) + {SUBSTR_K} - 1 >= {SUBSTR_WINDOW} + {SUBSTR_K} - 1
+    """,
     # LSH banding at 32x4 misses a >=0.9-similar pair with prob ~1e-15 and the
     # candidates are exactly verified, so the oracle is the exact pair set.
     "dedup_minhash_lsh": _JACCARD_CTE

@@ -408,6 +408,29 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANY-OFFSET substring dedup — the daily-crawl shape for
+    the substring family, completing the incremental story for every dedup
+    family (MinHash r4, containment r6, weighted cosine r7, substring r7):
+    docs split old (doc_id % 5 != 0) / increment (% 5 == 0); the old
+    corpus's positional-gram + winnowing-selection index
+    (:func:`dedup.substring_span_index` — persisted in production, built
+    in-session here for self-containment) is probed by the increment; only
+    spans touching an increment doc are produced and old x old is never
+    re-fingerprinted or re-paired. Winnowing selection is a PURE PER-DOC
+    function (no corpus stats), so the emitted set equals the batch
+    operator restricted to touching-increment pairs EXACTLY — no frozen
+    policy, no probability. Oracle: the direct all-pairs maximal-run
+    computation with the touching restriction."""
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    old = d.filter(F.col("doc_id") % 5 != 0)
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    index = dedup.substring_span_index(old, "doc_id", k=SUBSTR_K, window=SUBSTR_WINDOW)
+    return dedup.substring_span_pairs_incremental(
+        index, new, "doc_id", k=SUBSTR_K, window=SUBSTR_WINDOW
+    )
+
+
 def q_dedup_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-exposed STREAMING near-dup (VERDICT r5 #7 — the third entry
     whose Spark side EXECUTES real Structured Streaming): the corpus is

@@ -330,3 +330,73 @@ def test_substring_spans_window_guard(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="window"):
         substring_span_pairs(docs, "doc_id", window=0)
+
+
+# ---------------------------------------------------------------------------
+# r7 continuation: incremental substring spans (per-doc selection index probe)
+# ---------------------------------------------------------------------------
+
+def test_substring_incremental_equals_batch_restricted(spark):
+    """substring_span_pairs_incremental == substring_span_pairs over
+    old ∪ new restricted to pairs touching an increment id — EXACT equality
+    (winnowing selection is per-doc; nothing is frozen), on the fixture
+    corpus."""
+    from iceberg_ingestion_spark.operators.dedup import (
+        substring_span_index,
+        substring_span_pairs,
+        substring_span_pairs_incremental,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    k, w = 4, 5
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    index = substring_span_index(old, "doc_id", k=k, window=w)
+    got = {
+        (r.id_1, r.id_2, r.start_1, r.start_2, r.match_len)
+        for r in substring_span_pairs_incremental(
+            index, new, "doc_id", k=k, window=w
+        ).collect()
+    }
+    want = {
+        (r.id_1, r.id_2, r.start_1, r.start_2, r.match_len)
+        for r in substring_span_pairs(docs, "doc_id", k=k, window=w).collect()
+        if r.id_1 % 5 == 0 or r.id_2 % 5 == 0
+    }
+    assert got == want
+    assert got  # non-vacuous
+    assert all(a % 5 == 0 or b % 5 == 0 for a, b, *_ in got)
+
+
+def test_substring_incremental_no_old_old_pairs(spark):
+    """Old x old spans never appear even when the old corpus is
+    span-dense; cross-side and new x new spans do."""
+    from iceberg_ingestion_spark.operators.dedup import (
+        substring_span_index,
+        substring_span_pairs_incremental,
+    )
+
+    quote = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"
+    old = spark.createDataFrame(
+        [(1, f"a b {quote}"), (2, f"{quote} c d"), (3, "no shared content here at all")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, f"x {quote} y"), (15, f"z {quote} w")],
+        "doc_id long, text string",
+    )
+    index = substring_span_index(old, "doc_id", k=4, window=5)
+    got = {
+        (r.id_1, r.id_2)
+        for r in substring_span_pairs_incremental(index, new, "doc_id", k=4, window=5).collect()
+    }
+    assert (1, 2) not in got            # old x old never re-paired
+    assert {(1, 10), (2, 10), (1, 15), (2, 15), (10, 15)} <= got
+
+
+def test_substring_index_window_guard(spark):
+    from iceberg_ingestion_spark.operators.dedup import substring_span_index
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="window"):
+        substring_span_index(docs, "doc_id", window=0)

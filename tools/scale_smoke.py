@@ -998,6 +998,59 @@ def substr_ab(mults: list[int]) -> int:
     return 0
 
 
+def incr_substr_ab(mults: list[int]) -> int:
+    """Incremental substring-span curve: a FIXED increment probed against a
+    positional-gram + winnowing-selection index of an old corpus that grows
+    with the multiplier. Claims: (a) the per-increment probe is near-flat
+    once the index is built (selection is per-doc, old x old never joins);
+    (b) the from-scratch batch op over old ∪ new grows with the corpus."""
+    from iceberg_ingestion_spark.operators import dedup
+    from iceberg_ingestion_spark.session import build_session
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = build_session(app_name="scale-smoke-incr-substr")
+    spark.range(10_000).repartition(64).mapInPandas(lambda it: it, "id long").count()
+    base = spark.read.parquet(f"{sf}/documents.parquet").repartition(32)
+    inc = (
+        base.filter(F.col("doc_id") % 20 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 900_000_000)
+        .unionByName(
+            base.filter(F.col("doc_id") % 20 == 1).withColumn(
+                "doc_id", F.col("doc_id") + 910_000_000
+            )
+        )
+        .cache()
+    )
+    n_inc = inc.count()
+
+    for mult in mults:
+        old = (base if mult == 1 else fresh_blow_up(base, mult)).cache()
+        n_old = old.count()
+        print(f"\n== incr-substr {mult}x: old={n_old} docs, increment={n_inc} ==",
+              flush=True)
+        t0 = time.time()
+        index = dedup.substring_span_index(old, "doc_id", k=4, window=5).cache()
+        index.count()
+        print(f"index build (once per corpus version)        {time.time()-t0:7.1f}s",
+              flush=True)
+        bench_cancelable(
+            spark, f"incremental substring (index) {mult}x",
+            lambda: dedup.substring_span_pairs_incremental(
+                index, inc, "doc_id", k=4, window=5
+            ),
+        )
+        bench_cancelable(
+            spark, f"batch substring old ∪ new     {mult}x",
+            lambda: dedup.substring_span_pairs(
+                old.unionByName(inc), "doc_id", k=4, window=5
+            ),
+        )
+        index.unpersist()
+        old.unpersist()
+    spark.stop()
+    return 0
+
+
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--caps-ab":
         return caps_ab([int(a) for a in sys.argv[2:]] or [5, 20])
@@ -1023,6 +1076,8 @@ def main() -> int:
         return incr_tfidf_ab([int(a) for a in sys.argv[2:]] or [1, 5, 20])
     if len(sys.argv) > 1 and sys.argv[1] == "--substr":
         return substr_ab([int(a) for a in sys.argv[2:]] or [1, 5, 20])
+    if len(sys.argv) > 1 and sys.argv[1] == "--incr-substr":
+        return incr_substr_ab([int(a) for a in sys.argv[2:]] or [1, 5, 20])
     if len(sys.argv) > 1 and sys.argv[1] == "--incr":
         return incr_ab([int(a) for a in sys.argv[2:]] or [1, 5, 20])
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 20
