@@ -165,8 +165,11 @@ def main() -> int:
     stdout_payload["queries"] = kept
     stdout_payload["queries_elided"] = len(timings) - len(kept)
     stdout_payload["full"] = "BENCH_FULL.json"
-    print(json.dumps(stdout_payload, separators=(",", ":")))
+    # stop FIRST, print LAST: streaming StateStore maintenance threads emit a
+    # benign WARN + stack trace during/after shutdown, and the driver parses
+    # the TAIL of the output — the JSON line must be the final thing written
     spark.stop()
+    print(json.dumps(stdout_payload, separators=(",", ":")), flush=True)
     return 0
 
 
