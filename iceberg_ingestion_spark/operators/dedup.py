@@ -1652,6 +1652,35 @@ def _tfidf_sq_dec() -> Column:
     return F.col("_wt").cast("decimal(19,0)") * F.col("_wt").cast("decimal(19,0)")
 
 
+def _tfidf_max_df_keep(max_df_frac: float) -> Column:
+    """The sklearn ``max_df`` keep-predicate over a (_df, _n) relation —
+    shared verbatim between batch, index-build and frozen-probe weighting so
+    the cut boundary can never drift between sides."""
+    return F.expr(
+        f"_df <= CAST(floor(CAST({max_df_frac!r} AS DOUBLE) * _n) AS BIGINT)"
+    )
+
+
+def _tfidf_tf_df(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, shingle, _tf, _df, _n): the FULL pre-cut term-frequency /
+    document-frequency relation — per-doc term frequencies (one groupBy),
+    document frequency as a whole-partition count window over the tf
+    relation (one row per (doc, shingle), so rows-per-shingle IS df: ONE
+    shingle-keyed shuffle where the r6 groupBy+join-back paid two — measured
+    2.3s -> 1.5s warm at sf0.1), corpus size broadcast on. No ``max_df``
+    cut yet: the index build needs the PRE-cut df for every shingle
+    (ADVICE r7 — cut shingles must keep their true df so an incremental
+    probe can tell 'cut boilerplate' from 'new vocabulary')."""
+    from pyspark.sql import Window
+
+    stats = df.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    occ = shingle_occurrences(df, id_col, text_col, k)
+    tf = occ.groupBy(id_col, "shingle").agg(F.count(F.lit(1)).alias("_tf"))
+    return tf.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    ).crossJoin(F.broadcast(stats))
+
+
 def _tfidf_weights(
     df: DataFrame,
     id_col: str,
@@ -1661,36 +1690,19 @@ def _tfidf_weights(
     scale: int,
 ) -> DataFrame:
     """(id, shingle, _df, _wt): the retained-term quantized-weight relation —
-    per-doc term frequencies (one groupBy), document frequencies (one
-    groupBy), sklearn ``max_df`` cut, integer weights via
-    :func:`tfidf_weight_expr`. CACHED: it feeds several plan subtrees in
-    every consumer (norms, the prefix window, both verify map sides) —
-    without the cache the mapInPandas shingling pass and both aggregations
-    re-execute per subtree (the module's shingle_sets .cache() convention).
-    ``_df`` rides along: it IS the canonical order key, and ``_n`` (the
-    corpus size the stats were computed over) rides along too — constant
-    per corpus, RLE-compressed to nothing when persisted, and exactly what
-    an incremental probe needs to re-weight an increment under FROZEN
-    stats without a side relation."""
-    from pyspark.sql import Window
-
-    stats = df.agg(F.count(F.lit(1)).cast("long").alias("_n"))
-    occ = shingle_occurrences(df, id_col, text_col, k)
-    tf = occ.groupBy(id_col, "shingle").agg(F.count(F.lit(1)).alias("_tf"))
-    # document frequency as a whole-partition count window over the tf
-    # relation (one row per (doc, shingle), so rows-per-shingle IS df):
-    # ONE shingle-keyed shuffle where the r6 groupBy+join-back paid two
-    # over the same relation — measured 2.3s -> 1.5s warm at sf0.1
+    :func:`_tfidf_tf_df` with the sklearn ``max_df`` cut applied and integer
+    weights via :func:`tfidf_weight_expr`. CACHED: it feeds several plan
+    subtrees in every consumer (norms, the prefix window, both verify map
+    sides) — without the cache the mapInPandas shingling pass and both
+    aggregations re-execute per subtree (the module's shingle_sets .cache()
+    convention). ``_df`` rides along: it IS the canonical order key, and
+    ``_n`` (the corpus size the stats were computed over) rides along too —
+    constant per corpus, RLE-compressed to nothing when persisted, and
+    exactly what an incremental probe needs to re-weight an increment under
+    FROZEN stats without a side relation."""
     return (
-        tf.withColumn(
-            "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-        )
-        .crossJoin(F.broadcast(stats))
-        .filter(
-            F.expr(
-                f"_df <= CAST(floor(CAST({max_df_frac!r} AS DOUBLE) * _n) AS BIGINT)"
-            )
-        )
+        _tfidf_tf_df(df, id_col, text_col, k)
+        .filter(_tfidf_max_df_keep(max_df_frac))
         .select(
             F.col(id_col),
             "shingle",
@@ -1915,9 +1927,46 @@ def tfidf_prefix_index(
     positional prune are valid under ANY fixed global order and any fixed
     weighting — both sides just have to use the SAME order and weight
     space, which frozen stats guarantee (see
-    :func:`tfidf_cosine_pairs_incremental` for the policy contract)."""
-    w = _tfidf_weights(df, id_col, text_col, k, max_df_frac, scale)
-    return _tfidf_suffix_norms(w, id_col)
+    :func:`tfidf_cosine_pairs_incremental` for the policy contract).
+
+    Shingles CUT by ``max_df`` are kept as compact TOMBSTONE rows (ADVICE
+    r7): one row per cut shingle with NULL id/_wt/_sfxd/_n2 carrying the
+    true frozen ``_df``. Without them a probe deriving df from the index
+    would see a cut boilerplate shingle as ABSENT, coalesce it to df 0 —
+    maximal idf — and weight the corpus's most common terms as its rarest
+    in every increment doc. With tombstones the probe's frozen ``max_df``
+    filter drops them exactly as the batch contract does, and 'absent from
+    the df relation' means precisely 'genuinely new vocabulary'. Tombstones
+    are one row per cut SHINGLE (not per doc — boilerplate appears in >30%
+    of docs, so per-doc rows would dominate the index); NULL ``_sfxd``
+    makes the prefix filter (:func:`_tfidf_prefix`) drop them for free
+    (NULL comparison), and the incremental verify excludes NULL ``_wt``."""
+    tfdf = _tfidf_tf_df(df, id_col, text_col, k).cache()
+    keep = _tfidf_max_df_keep(max_df_frac)
+    w = tfdf.filter(keep).select(
+        F.col(id_col),
+        "shingle",
+        "_df",
+        F.expr(tfidf_weight_expr("_tf", "_df", "_n", scale)).alias("_wt"),
+        "_n",
+    )
+    kept = _tfidf_suffix_norms(w, id_col)
+    id_type = df.schema[id_col].dataType
+    tombstones = (
+        tfdf.filter(~keep)
+        .select("shingle", "_df", "_n")
+        .distinct()
+        .select(
+            F.lit(None).cast(id_type).alias(id_col),
+            "shingle",
+            "_df",
+            F.lit(None).cast("long").alias("_wt"),
+            "_n",
+            F.lit(None).cast("decimal(38,0)").alias("_sfxd"),
+            F.lit(None).cast("long").alias("_n2"),
+        )
+    )
+    return kept.unionByName(tombstones)
 
 
 def tfidf_df_relation(index: DataFrame) -> DataFrame:
@@ -1925,7 +1974,11 @@ def tfidf_df_relation(index: DataFrame) -> DataFrame:
     from a :func:`tfidf_prefix_index` — persist it ALONGSIDE the index so
     probes re-weight increments without this full-index groupBy (pass it as
     ``dfreq=`` to :func:`tfidf_cosine_pairs_incremental`; when omitted, the
-    probe derives it from the index for self-containment)."""
+    probe derives it from the index for self-containment). COMPLETE over
+    the frozen corpus's full pre-cut vocabulary: the index's tombstone rows
+    (see :func:`tfidf_prefix_index`) carry the true df of every ``max_df``-
+    cut shingle, so a shingle absent from this relation is guaranteed to be
+    genuinely new vocabulary (df 0), never cut boilerplate (ADVICE r7)."""
     return index.groupBy("shingle").agg(
         F.first("_df").alias("_df"), F.first("_n").alias("_n")
     )
@@ -1944,20 +1997,30 @@ def _tfidf_weights_frozen(
     corpus stats (``dfreq`` = (shingle, _df, _n) at index-build time):
     terms outside the frozen vocabulary get df 0 (maximal idf — they sort
     FIRST in the canonical order, correctly: they are the rarest) and the
-    frozen ``max_df`` cut applies unchanged. Same output contract as
-    :func:`_tfidf_weights`, cached for the same reason."""
-    stats = dfreq.select("_n").limit(1)
+    frozen ``max_df`` cut applies unchanged. The coalesce-to-0 is sound
+    because ``dfreq`` is COMPLETE over the frozen pre-cut vocabulary
+    (tombstone rows, :func:`tfidf_prefix_index`): absent truly means new
+    vocabulary, never a cut shingle whose true df the filter needs. Same
+    output contract as :func:`_tfidf_weights`, cached for the same reason.
+
+    An EMPTY ``dfreq`` (empty old corpus / index) substitutes ``_n = 0``
+    instead of silently emptying the crossJoin (ADVICE r7): under frozen
+    stats of an empty corpus every increment term has df 0, idf
+    ``ln(1/1)+1 = 1`` and the cut bound is 0 (df-0 terms pass), so
+    new x new pairs are still emitted — exactly the frozen-stats batch
+    contract evaluated at N = 0."""
+    stats = (
+        dfreq.select("_n")
+        .limit(1)
+        .agg(F.coalesce(F.first("_n"), F.lit(0)).cast("long").alias("_n"))
+    )
     occ = shingle_occurrences(new_docs, id_col, text_col, k)
     tf = occ.groupBy(id_col, "shingle").agg(F.count(F.lit(1)).alias("_tf"))
     return (
         tf.join(dfreq.select("shingle", "_df"), "shingle", "left")
         .withColumn("_df", F.coalesce("_df", F.lit(0).cast("long")))
         .crossJoin(F.broadcast(stats))
-        .filter(
-            F.expr(
-                f"_df <= CAST(floor(CAST({max_df_frac!r} AS DOUBLE) * _n) AS BIGINT)"
-            )
-        )
+        .filter(_tfidf_max_df_keep(max_df_frac))
         .select(
             F.col(id_col),
             "shingle",
@@ -2086,8 +2149,12 @@ def tfidf_cosine_pairs_incremental(
         prefix_new, prefix_old.unionByName(prefix_new), id_col
     ).unionByName(_tfidf_candidate_leg(prefix_old, prefix_new, id_col))
     candidates = _tfidf_positional_prune(joined, threshold)
-    w_all = index.select(id_col, "shingle", "_wt").unionByName(
-        w_new.select(id_col, "shingle", "_wt")
+    # tombstone rows (NULL _wt — cut-shingle df carriers) must not enter the
+    # verify's weight maps: cut terms contribute nothing in the contract
+    w_all = (
+        index.filter(F.col("_wt").isNotNull())
+        .select(id_col, "shingle", "_wt")
+        .unionByName(w_new.select(id_col, "shingle", "_wt"))
     )
     return _tfidf_verify(candidates, w_all, id_col, threshold)
 
