@@ -2285,6 +2285,95 @@ def substring_span_pairs(
     )
 
 
+def substring_span_scrub(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 5,
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """ACT on detected substring duplication (VERDICT r7 #1): rewrite the
+    corpus keeping the FIRST occurrence of every duplicated run — the
+    pipeline step Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better") actually apply after ExactSubstr detection,
+    and the span-level analogue of :func:`corpus.boilerplate_chunk_scrub`.
+
+    Policy (deterministic, decidable, oracle-expressible): a token position
+    in doc ``d`` is removed iff it lies inside a maximal shared run
+    (:func:`substring_span_pairs` row) whose PARTNER doc has a smaller id —
+    i.e. the ``(start_2, match_len)`` range of every span row, since rows
+    carry id_1 < id_2. The minimum-id occurrence of any duplicated run is
+    therefore always retained (keep-first by doc id), every doc appears in
+    the output exactly once (full-coverage rebuild — scrubbed or not, empty
+    string if everything was duplicated), and text is rebuilt in the
+    family's normalized token space (lower/trim/whitespace-split, the
+    shared ``_TOKS`` convention) as
+    ``(id, scrubbed_text, n_removed)``. Cross-doc only: a run repeated
+    WITHIN one doc has no pair row and is untouched (the family contract;
+    within-doc dedup is a different operator).
+
+    Plan shape: span rows are few relative to the corpus (only duplicated
+    docs), so the heavy side is one tokenize pass over the corpus. Removal
+    ranges are distinct-ed, merged per doc into disjoint intervals
+    (gaps-and-islands over start order — bounds the per-doc interval list
+    a clique of partners would otherwise inflate), collected to one array
+    row per doc and joined back (AQE broadcasts the small side); the
+    rebuild is a JVM higher-order ``filter``/``exists`` over the token
+    array — no UDF, no token-level explode/shuffle. Pass a precomputed
+    ``spans`` (e.g. from a persisted run) to skip detection."""
+    from pyspark.sql import Window
+
+    if spans is None:
+        spans = substring_span_pairs(df, id_col, text_col, k, window)
+    rem = spans.select(
+        F.col("id_2").alias(id_col),
+        F.col("start_2").alias("_s"),
+        (F.col("start_2") + F.col("match_len") - F.lit(1)).alias("_e"),
+    ).distinct()
+    ordered = Window.partitionBy(id_col).orderBy("_s", "_e")
+    merged = (
+        rem.withColumn(
+            "_pmax",
+            F.max("_e").over(ordered.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_pmax").isNull() | (F.col("_s") > F.col("_pmax") + 1), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "_grp",
+            F.sum("_new").over(ordered.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(id_col, "_grp")
+        .agg(F.min("_s").alias("_s"), F.max("_e").alias("_e"))
+    )
+    ranges = merged.groupBy(id_col).agg(
+        F.collect_list(F.struct("_s", "_e")).alias("_rem")
+    )
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    in_removed = lambda t, i: F.exists(  # noqa: E731 — 1-based token position
+        "_rem", lambda r: ((i + 1) >= r["_s"]) & ((i + 1) <= r["_e"])
+    )
+    return (
+        df.select(id_col, F.col(text_col))
+        .join(ranges, id_col, "left")
+        .withColumn(
+            "_rem",
+            F.coalesce("_rem", F.array().cast("array<struct<_s:long,_e:long>>")),
+        )
+        .withColumn("_toks", F.coalesce(toks, F.array().cast("array<string>")))
+        .withColumn("_kept", F.filter("_toks", lambda t, i: ~in_removed(t, i)))
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", "_kept").alias("scrubbed_text"),
+            (F.size("_toks") - F.size("_kept")).cast("long").alias("n_removed"),
+        )
+    )
+
+
 def substring_span_index(
     df: DataFrame, id_col: str, text_col: str = "text", k: int = 4, window: int = 5
 ) -> DataFrame:

@@ -39,6 +39,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_tfidf_cosine": q_dedup_tfidf_cosine,  # integer-exact weighted cosine
     "dedup_incremental_tfidf": q_dedup_incremental_tfidf,  # frozen-stats weighted index probe
     "dedup_substring_spans": q_dedup_substring_spans,  # winnowing any-offset substring dedup
+    "dedup_substring_scrub": q_dedup_substring_scrub,  # keep-first span removal (Lee et al. step)
     "dedup_incremental_substring": q_dedup_incremental_substring,  # per-doc-selection index probe
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_incremental_minhash": q_dedup_incremental_minhash,  # index-probe increment dedup

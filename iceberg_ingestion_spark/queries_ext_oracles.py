@@ -366,6 +366,61 @@ ORACLES_EXT: dict[str, str] = {
         FROM r GROUP BY id_1, id_2, diag, island
         HAVING count(*) + {SUBSTR_K} - 1 >= {SUBSTR_WINDOW} + {SUBSTR_K} - 1
     """,
+    # keep-first span scrub: the all-pairs maximal-run relation (same CTE as
+    # dedup_substring_spans) turned into removal ranges on the id_2 (larger
+    # id) side, then the corpus rebuilt token-by-token — positions NOT
+    # covered by any range survive, space-rejoined in order; every doc is
+    # present (LEFT JOIN), empty string when everything was duplicated
+    "dedup_substring_scrub": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        gs AS (
+            SELECT doc_id,
+                   unnest([{{'pos': i, 'gram': t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]}}
+                           for i in range(1, len(t) - {SUBSTR_K} + 2)]) AS u
+            FROM toks
+        ),
+        g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM gs),
+        m AS (
+            SELECT a.doc_id AS id_1, b.doc_id AS id_2, a.pos AS p1, b.pos AS p2
+            FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        ),
+        r AS (
+            SELECT id_1, id_2, p1, p2, p1 - p2 AS diag,
+                   p1 - row_number() OVER (PARTITION BY id_1, id_2, p1 - p2 ORDER BY p1) AS island
+            FROM m
+        ),
+        spans AS (
+            SELECT id_2, min(p2) AS start_2,
+                   CAST(count(*) + {SUBSTR_K} - 1 AS BIGINT) AS match_len
+            FROM r GROUP BY id_1, id_2, diag, island
+            HAVING count(*) + {SUBSTR_K} - 1 >= {SUBSTR_WINDOW} + {SUBSTR_K} - 1
+        ),
+        rem AS (
+            SELECT DISTINCT id_2 AS doc_id, start_2 AS s,
+                   start_2 + match_len - 1 AS e
+            FROM spans
+        ),
+        tokpos AS (
+            SELECT doc_id,
+                   unnest([{{'pos': i, 'tok': t[i]}} for i in range(1, len(t) + 1)]) AS u
+            FROM toks
+        ),
+        tok AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM tokpos),
+        kept AS (
+            SELECT tk.doc_id, tk.pos, tk.tok FROM tok tk
+            WHERE NOT EXISTS (
+                SELECT 1 FROM rem
+                WHERE rem.doc_id = tk.doc_id AND tk.pos BETWEEN rem.s AND rem.e
+            )
+        )
+        SELECT d.doc_id,
+               coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS scrubbed_text,
+               CAST(n.n - count(k.pos) AS BIGINT) AS n_removed
+        FROM documents d
+        JOIN (SELECT doc_id, len(t) AS n FROM toks) n USING (doc_id)
+        LEFT JOIN kept k ON k.doc_id = d.doc_id
+        GROUP BY d.doc_id, n.n
+    """,
     # the same direct all-pairs maximal-run computation restricted to pairs
     # touching an increment id (doc_id % 5 = 0): winnowing selection is a
     # pure per-doc function, so the incremental operator equals the batch

@@ -188,3 +188,104 @@ def test_tfidf_incremental_empty_index_still_pairs_new_new(spark):
         ).collect()
     }
     assert got[(5, 10)] == pytest.approx(1.0, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r7 #1: substring_span_scrub — act on detected spans (keep-first)
+# ---------------------------------------------------------------------------
+
+def _python_scrub_reference(texts: dict[int, str], k: int, window: int):
+    """Keep-first rebuild over the all-pairs maximal-run reference: every
+    token position of doc d covered by a shared run whose partner has a
+    smaller id is removed; text rebuilt in normalized token space."""
+    from tests.test_r7_operators import _python_span_reference
+
+    spans = _python_span_reference(texts, k, window)
+    removed: dict[int, set[int]] = {d: set() for d in texts}
+    for _, d2, _, start_2, ln in spans:
+        removed[d2].update(range(start_2, start_2 + ln))
+    out = {}
+    for d, t in texts.items():
+        toks = t.strip().lower().split()
+        kept = [tok for i, tok in enumerate(toks, 1) if i not in removed[d]]
+        out[d] = (" ".join(kept), len(toks) - len(kept))
+    return out
+
+
+def test_substring_scrub_matches_python_reference(spark):
+    """substring_span_scrub == the keep-first rebuild over the direct
+    all-pairs reference on the crafted corpus from the span tests: shifted
+    quotes, multi-island pairs, a doc that is ENTIRELY duplicated content
+    (scrubs to empty string — the row must still be present)."""
+    from iceberg_ingestion_spark.operators.dedup import substring_span_scrub
+
+    quote = "the five boxing wizards jump quickly over the lazy brown dog tonight"
+    texts = {
+        1: f"intro words here {quote} closing remarks",
+        2: f"{quote} and then a totally different second half of text",
+        3: quote,                                    # entirely duplicated
+        5: f"first island {quote} middle gap words {quote} second island",
+        6: "completely unrelated content with no shared long substrings here",
+        7: "repeat repeat repeat repeat repeat repeat repeat repeat repeat",
+        8: "repeat repeat repeat repeat tail of the eighth document text",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    k, w = 4, 5
+    got = {
+        r.doc_id: (r.scrubbed_text, r.n_removed)
+        for r in substring_span_scrub(docs, "doc_id", k=k, window=w).collect()
+    }
+    want = _python_scrub_reference(texts, k, w)
+    assert got == want
+    assert set(got) == set(texts)            # full coverage, every doc present
+    assert got[3] == ("", len(quote.split()))  # all-duplicate doc -> empty, kept
+    assert got[1][1] == 0                     # min-id occurrence always retained
+
+
+def test_substring_scrub_randomized_equals_reference(spark):
+    """Seeded randomized corpus (planted fragments at random offsets):
+    scrub == keep-first reference on every draw."""
+    import random
+
+    from iceberg_ingestion_spark.operators.dedup import substring_span_scrub
+
+    rng = random.Random(20260816)
+    vocab = [f"w{i}" for i in range(40)]
+    fragment = ["frag%d" % i for i in range(9)]
+    texts = {}
+    for d in range(24):
+        body = [rng.choice(vocab) for _ in range(rng.randint(6, 30))]
+        if d % 3 == 0:
+            at = rng.randint(0, len(body))
+            body = body[:at] + fragment + body[at:]
+        texts[d] = " ".join(body)
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    k, w = 3, 4
+    got = {
+        r.doc_id: (r.scrubbed_text, r.n_removed)
+        for r in substring_span_scrub(docs, "doc_id", k=k, window=w).collect()
+    }
+    assert got == _python_scrub_reference(texts, k, w)
+    assert any(n for _, n in got.values())  # non-vacuous
+
+
+def test_substring_scrub_precomputed_spans(spark):
+    """Passing a precomputed ``spans`` relation (the persisted-run seam)
+    produces the identical rebuild — detection is skipped, not redone."""
+    from iceberg_ingestion_spark.operators.dedup import (
+        substring_span_pairs,
+        substring_span_scrub,
+    )
+
+    quote = "the five boxing wizards jump quickly over the lazy brown dog tonight"
+    docs = spark.createDataFrame(
+        [(1, f"a b {quote}"), (2, f"{quote} c d"), (4, "nothing shared here at all")],
+        "doc_id long, text string",
+    )
+    spans = substring_span_pairs(docs, "doc_id", k=4, window=5)
+    rows = lambda d: sorted(  # noqa: E731
+        (r.doc_id, r.scrubbed_text, r.n_removed) for r in d.collect()
+    )
+    assert rows(
+        substring_span_scrub(docs, "doc_id", k=4, window=5, spans=spans)
+    ) == rows(substring_span_scrub(docs, "doc_id", k=4, window=5))

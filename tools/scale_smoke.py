@@ -998,6 +998,34 @@ def substr_ab(mults: list[int]) -> int:
     return 0
 
 
+def scrub_ab(mults: list[int]) -> int:
+    """Substring-span SCRUB curve (VERDICT r7 #1 done-criterion): the
+    keep-first rebuild over the detected spans, corpus growing fresh-content
+    style. Claim: near-linear — detection is the substr curve, and the
+    rebuild adds one tokenize pass over the corpus plus a ranges join whose
+    build side only holds duplicated docs (flat here: the duplicate
+    structure lives in the fixed base corpus)."""
+    from iceberg_ingestion_spark.operators import dedup
+    from iceberg_ingestion_spark.session import build_session
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = build_session(app_name="scale-smoke-scrub")
+    spark.range(10_000).repartition(64).mapInPandas(lambda it: it, "id long").count()
+    base = spark.read.parquet(f"{sf}/documents.parquet").repartition(32)
+
+    for mult in mults:
+        docs = (base if mult == 1 else fresh_blow_up(base, mult)).cache()
+        n = docs.count()
+        print(f"\n== scrub {mult}x: {n} docs ==", flush=True)
+        bench_cancelable(
+            spark, f"substring_span_scrub {mult}x",
+            lambda: dedup.substring_span_scrub(docs, "doc_id", k=4, window=5),
+        )
+        docs.unpersist()
+    spark.stop()
+    return 0
+
+
 def incr_substr_ab(mults: list[int]) -> int:
     """Incremental substring-span curve: a FIXED increment probed against a
     positional-gram + winnowing-selection index of an old corpus that grows
@@ -1076,6 +1104,8 @@ def main() -> int:
         return incr_tfidf_ab([int(a) for a in sys.argv[2:]] or [1, 5, 20])
     if len(sys.argv) > 1 and sys.argv[1] == "--substr":
         return substr_ab([int(a) for a in sys.argv[2:]] or [1, 5, 20])
+    if len(sys.argv) > 1 and sys.argv[1] == "--scrub":
+        return scrub_ab([int(a) for a in sys.argv[2:]] or [1, 5, 20])
     if len(sys.argv) > 1 and sys.argv[1] == "--incr-substr":
         return incr_substr_ab([int(a) for a in sys.argv[2:]] or [1, 5, 20])
     if len(sys.argv) > 1 and sys.argv[1] == "--incr":
