@@ -289,3 +289,214 @@ def test_substring_scrub_precomputed_spans(spark):
     assert rows(
         substring_span_scrub(docs, "doc_id", k=4, window=5, spans=spans)
     ) == rows(substring_span_scrub(docs, "doc_id", k=4, window=5))
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r7 #2: chained multi-increment contracts (appendable indexes)
+# ---------------------------------------------------------------------------
+# Day split over the fixture corpus: day1 = doc_id % 5 != 0 (the indexed
+# corpus), day2 = % 10 == 0, day3 = % 10 == 5 — three chained daily drops.
+
+def _day_of(doc_id: int) -> int:
+    if doc_id % 5 != 0:
+        return 1
+    return 2 if doc_id % 10 == 0 else 3
+
+
+def _day_splits(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    d1 = docs.filter(F.col("doc_id") % 5 != 0)
+    d2 = docs.filter(F.col("doc_id") % 10 == 0)
+    d3 = docs.filter((F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 10 != 0))
+    return docs, d1, d2, d3
+
+
+def test_substring_chained_increments_union_appendable(spark):
+    """Per-doc selection: (a) index(d1) ∪ index(d2) ∪ index(d3) equals
+    index(d1 ∪ d2 ∪ d3) ROW-FOR-ROW; (b) three chained probes (each against
+    the union-appended index so far) + batch(day1) partition the full batch
+    pair set by the latest day touching each pair — EXACTLY."""
+    from iceberg_ingestion_spark.operators.dedup import (
+        substring_span_index,
+        substring_span_pairs,
+        substring_span_pairs_incremental,
+    )
+
+    docs, d1, d2, d3 = _day_splits(spark)
+    k, w = 4, 5
+    rows = lambda d: sorted(map(tuple, d.collect()))  # noqa: E731
+    idx1 = substring_span_index(d1, "doc_id", k=k, window=w)
+    idx2 = idx1.unionByName(substring_span_index(d2, "doc_id", k=k, window=w))
+    idx3 = idx2.unionByName(substring_span_index(d3, "doc_id", k=k, window=w))
+    assert rows(idx3) == rows(substring_span_index(docs, "doc_id", k=k, window=w))
+
+    pairs = lambda d: {  # noqa: E731
+        (r.id_1, r.id_2, r.start_1, r.start_2, r.match_len) for r in d.collect()
+    }
+    got = (
+        pairs(substring_span_pairs(d1, "doc_id", k=k, window=w))
+        | pairs(substring_span_pairs_incremental(idx1, d2, "doc_id", k=k, window=w))
+        | pairs(substring_span_pairs_incremental(idx2, d3, "doc_id", k=k, window=w))
+    )
+    want = pairs(substring_span_pairs(docs, "doc_id", k=k, window=w))
+    assert got == want
+    assert want  # non-vacuous
+    # the partition is genuine: every chained day contributes
+    days = {max(_day_of(a), _day_of(b)) for a, b, *_ in want}
+    assert days == {1, 2, 3}
+
+
+def test_minhash_chained_increments_union_appendable(spark):
+    """MinHash signatures/band entries are per-doc: the index components are
+    union-appendable row-for-row, and chained probes against the appended
+    index + batch(day1) reproduce the full batch pair set exactly."""
+    from iceberg_ingestion_spark.operators.dedup import (
+        minhash_index,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs, d1, d2, d3 = _day_splits(spark)
+    sets1, ent1 = minhash_index(d1, "doc_id")
+    sets2, ent2 = minhash_index(d2, "doc_id")
+    sets3, ent3 = minhash_index(d3, "doc_id")
+    setsA, entA = minhash_index(docs, "doc_id")
+    erows = lambda d: sorted(map(tuple, d.collect()))  # noqa: E731
+    srows = lambda d: sorted(  # noqa: E731
+        (r[0], tuple(sorted(r[1]))) for r in d.collect()
+    )
+    assert erows(ent1.unionByName(ent2).unionByName(ent3)) == erows(entA)
+    assert srows(sets1.unionByName(sets2).unionByName(sets3)) == srows(setsA)
+
+    idx1 = (sets1, ent1)
+    idx2 = (sets1.unionByName(sets2), ent1.unionByName(ent2))
+    pairs = lambda d: {  # noqa: E731
+        (r.id_1, r.id_2, round(r.jaccard, 12)) for r in d.collect()
+    }
+    got = (
+        pairs(minhash_lsh_pairs(d1, "doc_id", threshold=0.8))
+        | pairs(
+            minhash_lsh_pairs_incremental(None, d2, "doc_id", threshold=0.8, old_index=idx1)
+        )
+        | pairs(
+            minhash_lsh_pairs_incremental(None, d3, "doc_id", threshold=0.8, old_index=idx2)
+        )
+    )
+    want = pairs(minhash_lsh_pairs(docs, "doc_id", threshold=0.8))
+    assert got == want
+    assert want
+
+
+def test_containment_chained_increments_equal_batch(spark):
+    """Frozen-ORDER family: chained probes, each against
+    containment_index_append of the days so far, + batch(day1) reproduce
+    the batch pair set over all days exactly (order is an efficiency
+    choice — the exact count verify pins the set), and the df relation
+    derived from an appended index keeps the frozen order (old vocab:
+    day1 df; appended new vocab: 0)."""
+    from iceberg_ingestion_spark.operators.dedup import (
+        containment_df_relation,
+        containment_index_append,
+        containment_prefix_index,
+        containment_prefix_pairs,
+        containment_prefix_pairs_incremental,
+    )
+
+    docs, d1, d2, d3 = _day_splits(spark)
+    t = 0.8
+    idx1 = containment_prefix_index(d1, "doc_id", k=3)
+    idx2 = containment_index_append(idx1, d2, "doc_id", k=3)
+    pairs = lambda d: {  # noqa: E731
+        (r.src_id, r.dst_id, round(r.containment, 12)) for r in d.collect()
+    }
+    got = (
+        pairs(containment_prefix_pairs(d1, "doc_id", k=3, threshold=t))
+        | pairs(containment_prefix_pairs_incremental(idx1, d2, "doc_id", k=3, threshold=t))
+        | pairs(containment_prefix_pairs_incremental(idx2, d3, "doc_id", k=3, threshold=t))
+    )
+    want = pairs(containment_prefix_pairs(docs, "doc_id", k=3, threshold=t))
+    assert got == want
+    assert want
+
+    df1 = {r.shingle: r._df for r in containment_df_relation(idx1).collect()}
+    df2 = {r.shingle: r._df for r in containment_df_relation(idx2).collect()}
+    assert all(df2[s] == v for s, v in df1.items())      # frozen df preserved
+    assert all(v == 0 for s, v in df2.items() if s not in df1)  # new vocab df 0
+
+
+def _frozen_tfidf_pairs_by_day(rows, t, max_df_frac, scale, k):
+    """Frozen-space reference over a 3-day corpus: stats (df / N / max_df
+    cut) from DAY-1 docs only; every doc weighted in that space; returns
+    {(d1, d2): (cosine, max_day)} for every qualifying pair."""
+    tf = {}
+    for r in rows:
+        toks = (r.text or "").strip().lower().split()
+        tf[r.doc_id] = Counter(
+            " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+        )
+    old_ids = [d for d in tf if _day_of(d) == 1]
+    n = len(old_ids)
+    df_counts = Counter(s for d in old_ids for s in tf[d])
+    max_df = math.floor(max_df_frac * n)
+    w = {
+        d: {
+            s: c
+            * math.floor(
+                (math.log((n + 1.0) / (df_counts.get(s, 0) + 1.0)) + 1.0) * scale + 0.5
+            )
+            for s, c in cnt.items()
+            if df_counts.get(s, 0) <= max_df
+        }
+        for d, cnt in tf.items()
+    }
+    norms = {d: sum(x * x for x in ws.values()) for d, ws in w.items()}
+    want = {}
+    ids = sorted(w)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            shared = set(w[a]) & set(w[b])
+            if not shared or not norms[a] or not norms[b]:
+                continue
+            dot = sum(w[a][s] * w[b][s] for s in shared)
+            cos = dot / math.sqrt(norms[a] * norms[b])
+            if cos >= t:
+                want[(a, b)] = (round(cos, 12), max(_day_of(a), _day_of(b)))
+    return want
+
+
+def test_tfidf_chained_increments_frozen_contract(spark):
+    """Frozen-STATS family: batch(day1) + chained probes, each against
+    tfidf_index_append of the days so far, reproduce the frozen-space batch
+    pair set over all days partitioned by latest touching day — day-1 stats
+    weight every later day, new vocabulary df 0, cut frozen."""
+    from iceberg_ingestion_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+        tfidf_cosine_pairs_incremental,
+        tfidf_index_append,
+        tfidf_prefix_index,
+    )
+
+    docs, d1, d2, d3 = _day_splits(spark)
+    t, frac, scale, k = 0.5, 0.3, 10_000, 2
+    want = _frozen_tfidf_pairs_by_day(docs.collect(), t, frac, scale, k)
+
+    idx1 = tfidf_prefix_index(d1, "doc_id", k=k, max_df_frac=frac, scale=scale)
+    idx2 = tfidf_index_append(idx1, d2, "doc_id", k=k, max_df_frac=frac, scale=scale)
+    pairs = lambda d: {  # noqa: E731
+        (r.id_1, r.id_2): round(r.cosine, 12) for r in d.collect()
+    }
+    got1 = pairs(tfidf_cosine_pairs(d1, "doc_id", k=k, threshold=t, max_df_frac=frac, scale=scale))
+    got2 = pairs(
+        tfidf_cosine_pairs_incremental(
+            idx1, d2, "doc_id", k=k, threshold=t, max_df_frac=frac, scale=scale
+        )
+    )
+    got3 = pairs(
+        tfidf_cosine_pairs_incremental(
+            idx2, d3, "doc_id", k=k, threshold=t, max_df_frac=frac, scale=scale
+        )
+    )
+    assert got1 == {p: c for p, (c, day) in want.items() if day == 1}
+    assert got2 == {p: c for p, (c, day) in want.items() if day == 2}
+    assert got3 == {p: c for p, (c, day) in want.items() if day == 3}
+    assert got2 and got3  # non-vacuous chaining
