@@ -266,6 +266,7 @@ def near_dup_canonical(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.8,
+    materializer=None,
 ) -> DataFrame:
     """Canonical-survivor labels for EVERY document — ``(id, component,
     keep)`` with ``component`` = min id of the doc's near-dup cluster
@@ -280,7 +281,11 @@ def near_dup_canonical(
     #5). Downstream consumers see a scanned, already-computed relation
     (pytest-pinned: report plans contain no shingling/banding nodes). At
     cluster scale the same role is played by persisting the labels to a
-    table; localCheckpoint is the in-session equivalent.
+    table; localCheckpoint is the in-session equivalent, and
+    ``materializer`` is the reliable-storage seam (VERDICT r7 #3): pass
+    :mod:`materialize`'s ``reliable_checkpoint`` or ``parquet_scratch``
+    on a real cluster so an executor loss cannot invalidate the
+    truncated labels plan (default localCheckpoint, behavior unchanged).
     """
     from iceberg_ingestion_spark.operators import dedup
 
@@ -297,7 +302,9 @@ def near_dup_canonical(
         )
         .withColumn("keep", F.col("component") == F.col(id_col))
     )
-    return labels.localCheckpoint()
+    from iceberg_ingestion_spark.operators import materialize as _mat
+
+    return _mat.resolve(materializer)(labels)
 
 
 def quality_funnel_report(

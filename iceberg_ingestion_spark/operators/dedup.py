@@ -1852,6 +1852,7 @@ def tfidf_cosine_pairs(
     threshold: float = 0.5,
     max_df_frac: float = 0.3,
     scale: int = 10_000,
+    materializer=None,
 ) -> DataFrame:
     """Exact WEIGHTED near-dup pairs: cosine similarity of tf-idf k-gram
     vectors >= threshold, (id_1 < id_2, cosine). Where Jaccard treats every
@@ -1913,11 +1914,15 @@ def tfidf_cosine_pairs(
     candidates = _tfidf_positional_prune(
         _tfidf_candidate_leg(prefix, prefix, id_col), threshold
     )
-    return _tfidf_verify(candidates, w, id_col, threshold)
+    return _tfidf_verify(candidates, w, id_col, threshold, materializer)
 
 
 def _tfidf_verify(
-    candidates: DataFrame, w: DataFrame, id_col: str, threshold: float
+    candidates: DataFrame,
+    w: DataFrame,
+    id_col: str,
+    threshold: float,
+    materializer=None,
 ) -> DataFrame:
     """Exact cosine verify for (id_1, id_2, _pn2a, _pn2b) candidates over the
     weight relation ``w``: per-doc term->weight maps (built for candidate ids
@@ -1934,8 +1939,14 @@ def _tfidf_verify(
     plan. Execution would still dedupe via ReusedExchange, but CATALYST
     PLANNING is super-linear in plan size: measured 145s -> 9s at the 20x
     scale smoke from this one truncation (the relation itself is small by
-    construction — the prune's whole point)."""
-    candidates = candidates.localCheckpoint(eager=True)
+    construction — the prune's whole point). ``materializer`` is the
+    reliable-storage seam (VERDICT r7 #3): default localCheckpoint; pass
+    :mod:`materialize`'s reliable_checkpoint / parquet_scratch on real
+    clusters where an executor loss must not invalidate the truncated
+    plan."""
+    from iceberg_ingestion_spark.operators import materialize as _mat
+
+    candidates = _mat.resolve(materializer)(candidates)
     cand_ids = (
         candidates.select(F.col("id_1").alias(id_col))
         .unionByName(candidates.select(F.col("id_2").alias(id_col)))
@@ -2195,6 +2206,7 @@ def tfidf_cosine_pairs_incremental(
     max_df_frac: float = 0.3,
     scale: int = 10_000,
     dfreq: DataFrame | None = None,
+    materializer=None,
 ) -> DataFrame:
     """tf-idf cosine near-dup pairs TOUCHING THE INCREMENT only (id_1 or
     id_2 is a new doc; old x old is never re-paired) — the persisted-index
@@ -2258,7 +2270,7 @@ def tfidf_cosine_pairs_incremental(
         .select(id_col, "shingle", "_wt")
         .unionByName(w_new.select(id_col, "shingle", "_wt"))
     )
-    return _tfidf_verify(candidates, w_all, id_col, threshold)
+    return _tfidf_verify(candidates, w_all, id_col, threshold, materializer)
 
 
 def gram_positions(
@@ -2523,6 +2535,7 @@ def substring_span_pairs_incremental(
     text_col: str = "text",
     k: int = 4,
     window: int = 5,
+    materializer=None,
 ) -> DataFrame:
     """Maximal common token runs (>= window + k - 1) TOUCHING THE INCREMENT
     only (id_1 or id_2 is a new doc; old x old is never re-paired) — the
@@ -2542,7 +2555,9 @@ def substring_span_pairs_incremental(
     operator over old ∪ new restricted to touching-increment pairs
     EXACTLY — no frozen-stats policy, no probability. Ids must be
     disjoint across sides. The candidate relation is eagerly materialized
-    (the tfidf-verify plan-size lesson: it fans into three consumers)."""
+    (the tfidf-verify plan-size lesson: it fans into three consumers);
+    ``materializer`` is the reliable-storage seam (VERDICT r7 #3 — default
+    localCheckpoint, see :mod:`materialize`)."""
     if window < 1:
         raise ValueError(
             f"substring_span_pairs_incremental: window must be >= 1, got {window}"
@@ -2564,11 +2579,12 @@ def substring_span_pairs_incremental(
             F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2")
         )
 
-    candidates = (
+    from iceberg_ingestion_spark.operators import materialize as _mat
+
+    candidates = _mat.resolve(materializer)(
         leg(sel_new, sel_old.unionByName(sel_new))
         .unionByName(leg(sel_old, sel_new))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     g_all = index.select(id_col, "pos", "gram").unionByName(
         g_new.select(id_col, "pos", "gram")

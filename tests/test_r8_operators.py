@@ -500,3 +500,103 @@ def test_tfidf_chained_increments_frozen_contract(spark):
     assert got2 == {p: c for p, (c, day) in want.items() if day == 2}
     assert got3 == {p: c for p, (c, day) in want.items() if day == 3}
     assert got2 and got3  # non-vacuous chaining
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r7 #3: reliable-storage materialization seam
+# ---------------------------------------------------------------------------
+
+def _n_joins(df) -> int:
+    return df._jdf.queryExecution().optimizedPlan().toString().count("Join")
+
+
+def test_materializer_seam_tfidf_identical_and_truncated(spark, tmp_path):
+    """tfidf_cosine_pairs with parquet_scratch / reliable_checkpoint
+    materializers == the default localCheckpoint output, and the verify
+    plan stays truncated (same Join count — the candidate subtree is a
+    scan in every variant, never re-expanded)."""
+    from iceberg_ingestion_spark.operators import materialize
+    from iceberg_ingestion_spark.operators.dedup import tfidf_cosine_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = lambda d: sorted(  # noqa: E731
+        (r.id_1, r.id_2, round(r.cosine, 12)) for r in d.collect()
+    )
+    default = tfidf_cosine_pairs(docs, "doc_id", k=3, threshold=0.5)
+    scratch = tfidf_cosine_pairs(
+        docs, "doc_id", k=3, threshold=0.5,
+        materializer=materialize.parquet_scratch(str(tmp_path / "scr")),
+    )
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    reliable = tfidf_cosine_pairs(
+        docs, "doc_id", k=3, threshold=0.5,
+        materializer=materialize.reliable_checkpoint,
+    )
+    want = rows(default)
+    assert rows(scratch) == want
+    assert rows(reliable) == want
+    assert want  # non-vacuous
+    # truncation preserved: the scratch variant's plan has the same join
+    # shape as the default (candidates are a scan in both; a re-expanded
+    # candidate subtree would double the inverted-index joins)
+    assert _n_joins(scratch) == _n_joins(default)
+
+
+def test_materializer_seam_substring_incremental(spark, tmp_path):
+    """substring_span_pairs_incremental through the parquet_scratch seam ==
+    the default output; scratch tables actually land under the root."""
+    import os
+
+    from iceberg_ingestion_spark.operators import materialize
+    from iceberg_ingestion_spark.operators.dedup import (
+        substring_span_index,
+        substring_span_pairs_incremental,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    index = substring_span_index(old, "doc_id", k=4, window=5)
+    rows = lambda d: sorted(map(tuple, d.collect()))  # noqa: E731
+    root = str(tmp_path / "sscr")
+    got = rows(
+        substring_span_pairs_incremental(
+            index, new, "doc_id", k=4, window=5,
+            materializer=materialize.parquet_scratch(root),
+        )
+    )
+    assert got == rows(
+        substring_span_pairs_incremental(index, new, "doc_id", k=4, window=5)
+    )
+    assert got
+    assert os.path.isdir(os.path.join(root, "scratch_0"))  # really storage-backed
+
+
+def test_materializer_seam_near_dup_canonical(spark, tmp_path):
+    """near_dup_canonical labels through the reliable_checkpoint seam ==
+    the default localCheckpoint labels (every doc labeled, keep flags
+    identical)."""
+    from iceberg_ingestion_spark.operators import corpus, materialize
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt2"))
+    rows = lambda d: sorted(map(tuple, d.collect()))  # noqa: E731
+    got = rows(
+        corpus.near_dup_canonical(docs, materializer=materialize.reliable_checkpoint)
+    )
+    assert got == rows(corpus.near_dup_canonical(docs))
+    assert len(got) == docs.count()
+
+
+def test_parquet_scratch_refuses_clobber(spark, tmp_path):
+    """The scratch materializer writes mode('error'): a pre-existing scratch
+    path raises instead of silently overwriting foreign data."""
+    from iceberg_ingestion_spark.operators import materialize
+
+    root = str(tmp_path / "clob")
+    mat = materialize.parquet_scratch(root)
+    df = spark.range(3)
+    mat(df)  # scratch_0
+    mat2 = materialize.parquet_scratch(root)  # fresh counter -> scratch_0 again
+    with pytest.raises(Exception, match="already exists|ERROR"):
+        mat2(df)
