@@ -386,6 +386,31 @@ def q_embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.assign_nearest(e, cents, "vec_id", "embedding", EMBED_DIM)
 
 
+def q_quality_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-scored quality filter (VERDICT r7 #5): every document scored
+    through the :func:`inference.batch_score` seam — Arrow-batched
+    ``mapInPandas``, per-worker ``init_fn``, the exact plumbing a real
+    classifier checkpoint rides — with the deterministic stub logistic
+    (dyadic weights over integer token stats, so the log-odds is EXACT in
+    doubles) and gated at logit >= 0 (sigmoid >= 0.5 without evaluating
+    exp). Returns (doc_id, score, kept) for the full corpus — the
+    classifier-filter step between crawl and training. Oracle: DuckDB
+    recomputes the score arithmetic from the same constants
+    (:func:`inference.quality_logit_sql`), bit-equal."""
+    from iceberg_ingestion_spark.operators import inference
+
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    init_witness = {"ran": False}
+
+    def init_fn():  # the per-worker model-load seam, exercised for real
+        init_witness["ran"] = True
+
+    scored = inference.batch_score(d, "doc_id", "text", init_fn=init_fn)
+    return scored.select(
+        "doc_id", "score", (F.col("score") >= F.lit(0.0)).alias("kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

@@ -96,5 +96,6 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ingest_scd2_history": q_scd2_history,
     "events_json_props": q_events_json_props,
     "dedup_edit_distance": q_dedup_edit_distance,
+    "quality_classifier_gate": q_quality_classifier_gate,  # batch_score seam, exact-logit oracle
 }
 

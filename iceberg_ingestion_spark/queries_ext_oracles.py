@@ -1181,4 +1181,14 @@ WHERE p.event_type = 'click'
         WHERE levenshtein(n1.t, n2.t) * {EDIT_DEN}
               <= greatest(length(n1.t), length(n2.t)) * {EDIT_NUM}
     """,
+    # the classifier gate's score arithmetic recomputed from the SAME
+    # constants (inference.quality_logit_sql): integer features x dyadic
+    # weights make the log-odds exact in doubles, so the comparison is
+    # bit-equal with no tolerance; the gate is logit >= 0 (sigmoid >= 0.5)
+    "quality_classifier_gate": f"""
+        SELECT doc_id,
+               {inference.quality_logit_sql()} AS score,
+               {inference.quality_logit_sql()} >= 0.0 AS kept
+        FROM documents
+    """,
 }

@@ -14,6 +14,7 @@ from iceberg_ingestion_spark import fixtures
 from iceberg_ingestion_spark.operators import (
     corpus,
     dedup,
+    inference,
     multimodal,
     sessionize,
     similarity,

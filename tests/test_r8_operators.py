@@ -600,3 +600,77 @@ def test_parquet_scratch_refuses_clobber(spark, tmp_path):
     mat2 = materialize.parquet_scratch(root)  # fresh counter -> scratch_0 again
     with pytest.raises(Exception, match="already exists|ERROR"):
         mat2(df)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r7 #5: model-scored quality filter through the inference seam
+# ---------------------------------------------------------------------------
+
+def test_batch_score_matches_local_logit(spark):
+    """batch_score over Arrow batches == quality_logit evaluated locally,
+    on texts exercising every feature: stopwords, digits, punctuation,
+    empty and NULL text."""
+    from iceberg_ingestion_spark.operators.inference import batch_score, quality_logit
+
+    texts = [
+        (1, "the cat sat on the mat and looked to a bird in a tree of leaves"),
+        (2, "short text"),
+        (3, "call 555 0199 now!!! offer ends 31.12.2099; act fast: 100% off, ok?"),
+        (4, ""),
+        (5, None),
+        (6, "word " * 80),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r.doc_id: r.score for r in batch_score(docs, "doc_id", "text").collect()}
+    want = {d: quality_logit([t])[0] for d, t in texts}
+    assert got == want  # bit-equal doubles, no tolerance
+    assert got[1] != got[2]  # features actually discriminate
+
+
+def test_batch_score_init_fn_runs_per_worker(spark, tmp_path):
+    """The per-worker init seam executes before scoring (model-load hook):
+    each initialized worker drops a marker file exactly once."""
+    import os
+
+    from iceberg_ingestion_spark.operators.inference import batch_score
+
+    marker_dir = str(tmp_path / "init_markers")
+    os.makedirs(marker_dir, exist_ok=True)
+
+    def init_fn():
+        open(os.path.join(marker_dir, f"pid_{os.getpid()}"), "a").write("x")
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"), F.lit("some text here").alias("text")
+    ).repartition(4)
+    n = batch_score(docs, "doc_id", "text", init_fn=init_fn).count()
+    assert n == 200
+    markers = os.listdir(marker_dir)
+    assert markers  # init ran on at least one python worker
+    # once per worker, not per batch/row: marker content length == init count
+    for m in markers:
+        assert len(open(os.path.join(marker_dir, m)).read()) == 1
+
+
+def test_quality_logit_sql_matches_python_in_duckdb():
+    """The oracle fragment and the Python kernel agree bit-for-bit in
+    DuckDB itself on feature-exercising texts (the driver comparison's
+    mechanism, pinned locally)."""
+    import duckdb
+
+    from iceberg_ingestion_spark.operators.inference import (
+        quality_logit,
+        quality_logit_sql,
+    )
+
+    texts = [
+        "the cat sat on the mat and looked to a bird",
+        "numbers 123 456 and punct: yes, really!",
+        "",
+        "the " * 50,
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(t,) for t in texts])
+    got = [r[0] for r in con.execute(f"SELECT {quality_logit_sql()} FROM t").fetchall()]
+    assert got == quality_logit(texts)
