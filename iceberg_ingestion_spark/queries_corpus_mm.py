@@ -386,6 +386,66 @@ def q_embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.assign_nearest(e, cents, "vec_id", "embedding", EMBED_DIM)
 
 
+#: corpus-prep pipeline constants (independent of the sibling entries'
+#: closures; the composition is the thing under test here)
+PREP_CHUNK_WORDS = 4
+PREP_MIN_DOCS = 2
+PREP_NGRAM = 4
+PREP_BENCH_MOD = 97
+PREP_MIX = {"en": 1.0, "de": 1.0, "fr": 0.5, "es": 0.5, "zh": 0.5}
+PREP_BUDGET = 512
+PREP_PACK_SHARDS = 8
+PREP_SHARDS = 4
+
+
+def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus prep (VERDICT r7 #6 — the composition, not just the
+    operators): boilerplate scrub → exact dedup on cleaned text →
+    benchmark decontamination → weighted language mix → token-budget
+    sequence packing → export sharding, returning per-shard stats. Every
+    stage is the same operator its standalone entry exercises; the oracle
+    recomputes the WHOLE chain in one CTE pipeline, so a green row pins
+    stage composition (each stage consuming the previous stage's exact
+    output) rather than stages in isolation. All stages are deterministic
+    (md5 buckets, min-id keeps) — no RNG anywhere, the property that makes
+    the pipeline reproducible across engines and reruns."""
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    # 1. corpus-level boilerplate scrub (full coverage, text rewritten)
+    cleaned = (
+        corpus.boilerplate_chunk_scrub(
+            d, chunk_words=PREP_CHUNK_WORDS, min_docs=PREP_MIN_DOCS
+        )
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", F.col("cleaned_text").alias("text"), "lang")
+        .where(F.col("text") != "")  # scrubbed-to-empty docs leave the corpus
+    )
+    # 2. exact dedup on the CLEANED text (scrubbing creates new exact dups)
+    keep = dedup.duplicate_groups(
+        cleaned, "doc_id", text.fingerprint_md5("text"), min_count=1
+    ).select(F.col("keep_id").alias("doc_id"))
+    deduped = cleaned.join(keep, "doc_id")
+    # 3. decontaminate: held-out docs (id % mod == 0, ORIGINAL text) are the
+    # benchmark; they leave the pool, and any pool doc sharing an n-gram
+    # with them is scrubbed via the broadcast-bench anti-join
+    bench = d.where(F.col("doc_id") % PREP_BENCH_MOD == 0)
+    pool = deduped.where(F.col("doc_id") % PREP_BENCH_MOD != 0)
+    hits = corpus.contamination_counts(pool, bench, n=PREP_NGRAM).select("doc_id")
+    decon = pool.join(hits, "doc_id", "left_anti")
+    # 4-6. deterministic mix, pack, shard
+    mixed = corpus.weighted_mix(decon, "lang", PREP_MIX)
+    packed = corpus.pack_sequences(
+        mixed, "lang", text.token_count_ws("text").cast("long"),
+        budget=PREP_BUDGET, shards=PREP_PACK_SHARDS,
+    )
+    sharded = corpus.shard_assign(packed, "doc_id", PREP_SHARDS)
+    return sharded.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang", "shard", "seq_index").alias("n_seqs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
 def q_quality_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-scored quality filter (VERDICT r7 #5): every document scored
     through the :func:`inference.batch_score` seam — Arrow-batched

@@ -1181,6 +1181,99 @@ WHERE p.event_type = 'click'
         WHERE levenshtein(n1.t, n2.t) * {EDIT_DEN}
               <= greatest(length(n1.t), length(n2.t)) * {EDIT_NUM}
     """,
+    # the WHOLE corpus-prep chain recomputed as one CTE pipeline — each CTE
+    # feeds the next exactly as the Spark stages feed each other: scrub
+    # (chunk-df cut, space-rejoin) -> min-id dedup on md5 of the normalized
+    # CLEANED text -> n-gram decon vs the held-out bench (original text) ->
+    # md5-bucket mix -> running-sum packing per (lang, pack-shard) ordered
+    # by doc_id -> md5 export shard -> per-shard stats
+    "corpus_prep_pipeline": f"""
+        WITH toks0 AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        ch0 AS (
+            SELECT doc_id,
+                   [array_to_string(t[s:s+{PREP_CHUNK_WORDS - 1}], ' ')
+                    for s in range(1, len(t) + 1, {PREP_CHUNK_WORDS})] AS chunks
+            FROM toks0
+        ),
+        ch AS (
+            SELECT doc_id, CAST(generate_subscripts(chunks, 1) - 1 AS BIGINT) AS pos,
+                   unnest(chunks) AS chunk
+            FROM ch0
+        ),
+        dfq AS (SELECT chunk, count(DISTINCT doc_id) AS cdocs FROM ch GROUP BY 1),
+        fl AS (SELECT ch.*, cdocs >= {PREP_MIN_DOCS} AS dropf
+               FROM ch JOIN dfq USING (chunk)),
+        cleaned AS (
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN NOT dropf THEN chunk END,
+                                       ' ' ORDER BY pos), '') AS text
+            FROM fl GROUP BY doc_id
+        ),
+        cl AS (
+            SELECT c.doc_id, c.text, d.lang
+            FROM cleaned c JOIN documents d USING (doc_id) WHERE c.text <> ''
+        ),
+        keep AS (
+            SELECT min(doc_id) AS doc_id FROM cl
+            GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        ),
+        dd AS (SELECT cl.* FROM cl JOIN keep USING (doc_id)),
+        pw AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+            FROM dd WHERE doc_id % {PREP_BENCH_MOD} <> 0
+        ),
+        pg AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(w, i, i + {PREP_NGRAM - 1}), ' ') AS ngram
+            FROM pw, UNNEST(range(1, len(w) - {PREP_NGRAM - 2})) AS t(i)
+            WHERE len(w) >= {PREP_NGRAM}
+        ),
+        bg AS (
+            SELECT DISTINCT
+                   array_to_string(list_slice(t, i, i + {PREP_NGRAM - 1}), ' ') AS ngram
+            FROM toks0, UNNEST(range(1, len(t) - {PREP_NGRAM - 2})) AS u(i)
+            WHERE doc_id % {PREP_BENCH_MOD} = 0 AND len(t) >= {PREP_NGRAM}
+        ),
+        hits AS (SELECT DISTINCT doc_id FROM pg JOIN bg USING (ngram)),
+        decon AS (
+            SELECT * FROM dd
+            WHERE doc_id % {PREP_BENCH_MOD} <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM hits)
+        ),
+        mixed AS (
+            SELECT * FROM decon
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 10000
+                  < CASE lang {" ".join(
+                        f"WHEN '{k}' THEN {int(round(v * 10000))}"
+                        for k, v in PREP_MIX.items()
+                    )} ELSE 0 END
+        ),
+        pk0 AS (
+            SELECT doc_id, lang,
+                   CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT)
+                       AS n_tokens,
+                   ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
+                       % {PREP_PACK_SHARDS} AS shard
+            FROM mixed
+        ),
+        pk AS (
+            SELECT *, CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY lang, shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       / {PREP_BUDGET}) AS BIGINT) AS seq_index
+            FROM pk0
+        ),
+        sh AS (
+            SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
+                       % {PREP_SHARDS} AS shard_id
+            FROM pk
+        )
+        SELECT shard_id, count(*) AS n_docs,
+               count(DISTINCT (lang, shard, seq_index)) AS n_seqs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               count(DISTINCT lang) AS n_langs
+        FROM sh GROUP BY shard_id
+    """,
     # the classifier gate's score arithmetic recomputed from the SAME
     # constants (inference.quality_logit_sql): integer features x dyadic
     # weights make the log-odds exact in doubles, so the comparison is

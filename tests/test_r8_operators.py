@@ -674,3 +674,69 @@ def test_quality_logit_sql_matches_python_in_duckdb():
     con.executemany("INSERT INTO t VALUES (?)", [(t,) for t in texts])
     got = [r[0] for r in con.execute(f"SELECT {quality_logit_sql()} FROM t").fetchall()]
     assert got == quality_logit(texts)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r7 #6: end-to-end corpus-prep composition entry
+# ---------------------------------------------------------------------------
+
+def test_corpus_prep_pipeline_stages_all_bite(spark):
+    """The composed entry's stages each do real work on the fixture corpus
+    (guards the composition against silently degenerating into identity
+    stages): scrub rewrites text, dedup+decon+mix each remove docs, packing
+    emits multi-sequence groups, shards are non-trivially populated."""
+    from iceberg_ingestion_spark.operators import corpus, dedup, text
+    from iceberg_ingestion_spark.queries_corpus_mm import (
+        PREP_BENCH_MOD,
+        PREP_BUDGET,
+        PREP_CHUNK_WORDS,
+        PREP_MIN_DOCS,
+        PREP_MIX,
+        PREP_NGRAM,
+        PREP_PACK_SHARDS,
+        q_corpus_prep_pipeline,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    n0 = d.count()
+    cleaned = (
+        corpus.boilerplate_chunk_scrub(
+            d, chunk_words=PREP_CHUNK_WORDS, min_docs=PREP_MIN_DOCS
+        )
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", F.col("cleaned_text").alias("text"), "lang")
+        .where(F.col("text") != "")
+    )
+    assert cleaned.count() > 0
+    # scrub changed at least one doc's text
+    changed = cleaned.join(
+        d.select("doc_id", F.col("text").alias("orig")), "doc_id"
+    ).where(
+        F.col("text")
+        != F.regexp_replace(F.lower(F.trim("orig")), r"\s+", " ")
+    )
+    assert changed.count() > 0
+    keep = dedup.duplicate_groups(
+        cleaned, "doc_id", text.fingerprint_md5("text"), min_count=1
+    ).select(F.col("keep_id").alias("doc_id"))
+    deduped = cleaned.join(keep, "doc_id")
+    n_dedup = deduped.count()
+    assert n_dedup < n0  # dedup (or scrub-to-empty) removed something
+    pool = deduped.where(F.col("doc_id") % PREP_BENCH_MOD != 0)
+    bench = d.where(F.col("doc_id") % PREP_BENCH_MOD == 0)
+    assert bench.count() > 0  # the benchmark side exists at this SF
+    hits = corpus.contamination_counts(pool, bench, n=PREP_NGRAM).select("doc_id")
+    decon = pool.join(hits, "doc_id", "left_anti")
+    n_decon = decon.count()
+    assert n_decon < n_dedup
+    mixed = corpus.weighted_mix(decon, "lang", PREP_MIX)
+    assert 0 < mixed.count() < n_decon  # sub-1.0 strata really sampled
+
+    stats = {r.shard_id: r for r in q_corpus_prep_pipeline(spark, SF).collect()}
+    assert len(stats) == 4
+    assert sum(r.n_docs for r in stats.values()) == mixed.count()
+    # packing produced multiple sequences somewhere (budget bites)
+    assert any(r.n_seqs > PREP_PACK_SHARDS for r in stats.values()) or sum(
+        r.n_seqs for r in stats.values()
+    ) > len(stats)
+    assert all(r.n_tokens > 0 for r in stats.values())
