@@ -57,74 +57,77 @@ def entry(spark: SparkSession) -> DataFrame:
 #: The r1-r5 prose rotation history this block used to carry lives in git
 #: (`git log -p __spark_entry__.py`, commits up to round 5).
 #:
-#: ROUND-7 rotation (VERDICT r6 #7 — deliberate staleness-driven refresh):
-#: in by rule (1), the five entries whose closures changed or were created
-#: this round — dedup_incremental_tfidf (NEW: frozen-stats weighted prefix
-#: index probe), dedup_substring_spans (NEW: winnowing any-offset substring
-#: dedup), dedup_incremental_substring (NEW: per-doc-selection index probe),
-#: dedup_tfidf_cosine (fused suffix-norm window + semi-join-restricted
-#: verify), dedup_incremental_containment (persisted-dfreq probe variant).
-#: The other 45 slots go to the entries with the OLDEST driver correctness
-#: row: all 19 whose newest driver row is CORRECTNESS_r02 and 26 of the 42
-#: r3-era ones (alphabetical within a staleness class — no cherry-picking).
-#: Everything displaced is byte-stable per tools/rotation_check.py (ledger
-#: re-stamped from this round's full 126/126 sf0.01 sweep, final sweep
-#: re-stamps again) and its newest evidence is at worst that full sweep;
-#: the remaining r3/r4-era driver rows rotate in next round.
+#: ROUND-8 rotation (VERDICT r7 #4): in by rule (1), the twelve entries
+#: created or whose transitive closure changed this round — three NEW
+#: (dedup_substring_scrub: keep-first span removal; quality_classifier_gate:
+#: batch_score inference seam; corpus_prep_pipeline: the composed
+#: scrub→dedup→decon→mix→pack→shard chain) and nine whose closures drifted
+#: (the tfidf family via the tombstone-index fix + materializer seam, the
+#: containment/jaccard prefix family via the _df-carrying ranked-shingle
+#: schema, the substring family via the chained-contract docstrings +
+#: materializer, and corpus_quality_funnel / corpus_dedup_by_source via
+#: near_dup_canonical's materializer seam) — the drift list is EXACTLY
+#: tools/rotation_check.py's, not hand-picked. The other 38 slots go to the
+#: entries with the OLDEST driver correctness row: all 16 r3-era, all 10
+#: r4-era, all 3 r5-era, and the first 9 r6-era alphabetically (no
+#: cherry-picking). Displaced entries are byte-stable per the ledger;
+#: stamped from this round's full sweep.
 _PRIORITY = [
-    # r7 additions / changed closures (rule 1)
+    # r8 additions / changed closures (rule 1)
+    "dedup_substring_scrub",
+    "quality_classifier_gate",
+    "corpus_prep_pipeline",
     "dedup_incremental_tfidf",
     "dedup_substring_spans",
     "dedup_incremental_substring",
     "dedup_tfidf_cosine",
     "dedup_incremental_containment",
-    # driver-row refresh: last green driver row r2
-    "analytics_running_totals",
-    "cohort_retention",
-    "data_split_counts",
-    "dedup_exact",
-    "dedup_fingerprint_groups",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "multimodal_resize_plan",
-    "q12_return_class_priority",
-    "rollup_revenue",
-    "sessionize_user_summary",
-    "text_fingerprint",
-    "text_quality",
-    "text_repetition",
-    "text_token_counts",
-    "topn_orders_per_segment",
-    "validate_bag_diff_identity",
+    "dedup_jaccard_prefix",
+    "dedup_containment",
+    "corpus_quality_funnel",
+    "corpus_dedup_by_source",
     # driver-row refresh: last green driver row r3
-    "decon_benchmark_overlap",
-    "dedup_embedding_cosine",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "events_interval_join",
-    "ingest_cdc_dedup_latest",
-    "ingest_cdc_merge",
-    "ingest_changelog_versions",
-    "ingest_detect_deletes",
-    "ingest_detect_inserts",
-    "ingest_detect_updates",
-    "ingest_first_load_cdc",
-    "ingest_replace",
-    "ingest_snapshot_merge_full",
-    "ingest_snapshot_merge_fused",
-    "ingest_snapshot_merge_incremental",
-    "ingest_snapshot_merge_soft_delete",
-    "mix_weighted_sample",
-    "pack_token_budget",
-    "q10_returned_items",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_bracketed_revenue",
+    "q20_part_share_suppliers",
+    "q21_single_late_supplier",
+    "q22_inactive_balance",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_late_shipment_priority",
+    "q5_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "sim_ann_topk_bruteforce",
+    "sim_ann_topk_lsh",
+    "sketch_approx_distinct",
+    "sketch_approx_quantiles",
+    "validate_bag_diff_strictness",
+    # driver-row refresh: last green driver row r4
+    "analytics_pivot_status",
+    "cube_flag_status",
+    "events_anomaly_daily",
+    "events_sequence_match",
+    "events_twap",
+    "events_value_histogram",
+    "sample_fixed_per_lang",
+    "sim_knn_label_vote",
+    "text_lang_id",
+    "text_pii_scrub",
+    # driver-row refresh: last green driver row r5
+    "dedup_edit_distance",
+    "q15_top_supplier",
+    "text_vocab_coverage",
+    # driver-row refresh: last green driver row r6 (alphabetical prefix)
+    "analytics_exact_quantiles",
+    "analytics_tfidf_top_terms",
+    "analytics_unpivot_measures",
+    "analytics_window_suite",
+    "asof_last_click_before_purchase",
+    "corpus_feed_health",
+    "corpus_shard_stats",
+    "decon_bloom_prefilter",
+    "dedup_clusters",
 ]
 
 
