@@ -2399,6 +2399,63 @@ def substring_span_pairs(
     )
 
 
+def substring_self_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 5,
+) -> DataFrame:
+    """WITHIN-DOC duplicated runs (the other half of Lee et al. 2022's
+    ExactSubstr contract — :func:`substring_span_pairs` is cross-doc only):
+    maximal pairs of equal token runs of >= window + k - 1 tokens at two
+    offsets INSIDE one document, emitted as ``(id, start_1, start_2,
+    match_len)`` with start_1 < start_2 (1-based token positions). Catches
+    internally-repeated boilerplate (navigation blocks, chorus/verse
+    repetition, template stutter) that no cross-doc pass can see.
+
+    Relational shape: the positional gram relation self-joins WITHIN each
+    doc (same id, same gram, p1 < p2), matches chain into maximal runs
+    along diagonals (p2 - p1) exactly as the pair verify. No winnowing
+    candidate stage: the join is id-co-partitioned (one id-keyed
+    exchange), so its cost is per-doc gram-collision bound — independent
+    of corpus size, embarrassingly parallel across docs — and recall needs
+    no selection theorem at all. ``window`` only sets the emission floor
+    (window + k - 1), mirroring the pair operator's contract so the two
+    relations compose (e.g. both feed :func:`substring_span_scrub`'s
+    removal-range seam, the later occurrence as the removed side)."""
+    from pyspark.sql import Window
+
+    if window < 1:
+        raise ValueError(f"substring_self_spans: window must be >= 1, got {window}")
+    min_len = window + k - 1
+    g = gram_positions(df, id_col, text_col, k)
+    a, b = g.alias("a"), g.alias("b")
+    matched = a.join(
+        b,
+        on=(F.col(f"a.{id_col}") == F.col(f"b.{id_col}"))
+        & (F.col("a.gram") == F.col("b.gram"))
+        & (F.col("a.pos") < F.col("b.pos")),
+    ).select(
+        F.col(f"a.{id_col}").alias(id_col),
+        F.col("a.pos").alias("p1"),
+        F.col("b.pos").alias("p2"),
+    )
+    diag = Window.partitionBy(id_col, "_diag").orderBy("p1")
+    return (
+        matched.withColumn("_diag", F.col("p2") - F.col("p1"))
+        .withColumn("_island", F.col("p1") - F.row_number().over(diag))
+        .groupBy(id_col, "_diag", "_island")
+        .agg(
+            F.min("p1").alias("start_1"),
+            F.min("p2").alias("start_2"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).alias("match_len"),
+        )
+        .filter(F.col("match_len") >= min_len)
+        .select(id_col, "start_1", "start_2", "match_len")
+    )
+
+
 def substring_span_scrub(
     df: DataFrame,
     id_col: str,

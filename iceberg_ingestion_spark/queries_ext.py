@@ -40,6 +40,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental_tfidf": q_dedup_incremental_tfidf,  # frozen-stats weighted index probe
     "dedup_substring_spans": q_dedup_substring_spans,  # winnowing any-offset substring dedup
     "dedup_substring_scrub": q_dedup_substring_scrub,  # keep-first span removal (Lee et al. step)
+    "dedup_substring_self": q_dedup_substring_self,  # within-doc duplicated runs
     "dedup_incremental_substring": q_dedup_incremental_substring,  # per-doc-selection index probe
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_incremental_minhash": q_dedup_incremental_minhash,  # index-probe increment dedup

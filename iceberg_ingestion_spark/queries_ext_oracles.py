@@ -366,6 +366,45 @@ ORACLES_EXT: dict[str, str] = {
         FROM r GROUP BY id_1, id_2, diag, island
         HAVING count(*) + {SUBSTR_K} - 1 >= {SUBSTR_WINDOW} + {SUBSTR_K} - 1
     """,
+    # the direct WITHIN-DOC maximal-run computation over the identically
+    # salted corpus (every 7th doc gets its first 8 tokens appended):
+    # same-doc gram matches at p1 < p2 chained along diagonals (p2 - p1)
+    "dedup_substring_self": f"""
+        WITH salted AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN
+                       concat_ws(' ', text,
+                           array_to_string(({_TOKS})[1:8], ' '))
+                   ELSE text END AS text
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM salted
+        ),
+        gs AS (
+            SELECT doc_id,
+                   unnest([{{'pos': i, 'gram': t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]}}
+                           for i in range(1, len(t) - {SUBSTR_K} + 2)]) AS u
+            FROM toks
+        ),
+        g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM gs),
+        m AS (
+            SELECT a.doc_id AS doc_id, a.pos AS p1, b.pos AS p2
+            FROM g a JOIN g b
+              ON a.doc_id = b.doc_id AND a.gram = b.gram AND a.pos < b.pos
+        ),
+        r AS (
+            SELECT doc_id, p1, p2, p2 - p1 AS diag,
+                   p1 - row_number() OVER (PARTITION BY doc_id, p2 - p1 ORDER BY p1) AS island
+            FROM m
+        )
+        SELECT doc_id, min(p1) AS start_1, min(p2) AS start_2,
+               CAST(count(*) + {SUBSTR_K} - 1 AS BIGINT) AS match_len
+        FROM r GROUP BY doc_id, diag, island
+        HAVING count(*) + {SUBSTR_K} - 1 >= {SUBSTR_WINDOW} + {SUBSTR_K} - 1
+    """,
     # keep-first span scrub: the all-pairs maximal-run relation (same CTE as
     # dedup_substring_spans) turned into removal ranges on the id_2 (larger
     # id) side, then the corpus rebuilt token-by-token — positions NOT

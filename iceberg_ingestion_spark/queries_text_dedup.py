@@ -432,6 +432,33 @@ def q_dedup_incremental_substring(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_dedup_substring_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-DOC duplicated runs (Lee et al. 2022's ExactSubstr applies
+    inside documents too — internally repeated boilerplate, template
+    stutter): maximal equal-run pairs at two offsets in one doc, >= 8
+    tokens. The corpus is salted with a controlled self-duplicated tail on
+    every 7th doc (the fixture corpus has no natural within-doc repeats at
+    driver SFs) so the entry is non-vacuous at every SF: the doc's first 8
+    tokens are appended after its end, creating exactly one
+    (1, n_tokens+1) run of 8 for salted docs with >= 8 tokens. Oracle: the
+    direct within-doc all-offset-pairs maximal-run computation over the
+    same salted corpus."""
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    salted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat_ws(" ", F.col("text"), F.concat_ws(" ", F.slice(toks, 1, 8))),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dedup.substring_self_spans(
+        salted, "doc_id", k=SUBSTR_K, window=SUBSTR_WINDOW
+    )
+
+
 def q_dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ACT on detected substring duplication (VERDICT r7 #1 — the pipeline
     step Lee et al. 2022 actually run after detection): rewrite the corpus

@@ -740,3 +740,123 @@ def test_corpus_prep_pipeline_stages_all_bite(spark):
         r.n_seqs for r in stats.values()
     ) > len(stats)
     assert all(r.n_tokens > 0 for r in stats.values())
+
+
+# ---------------------------------------------------------------------------
+# r8 continuation: within-doc self-duplication spans (Lee et al.'s other half)
+# ---------------------------------------------------------------------------
+
+def _python_self_span_reference(texts: dict[int, str], k: int, window: int):
+    """Direct within-doc maximal-run reference: equal token runs at two
+    offsets of the SAME doc, start_1 < start_2, length >= window + k - 1."""
+    min_len = window + k - 1
+    want = set()
+    for d, t in texts.items():
+        toks = t.strip().lower().split()
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        matches = {
+            (p1, p2)
+            for p1, g1 in enumerate(grams, 1)
+            for p2, g2 in enumerate(grams, 1)
+            if p1 < p2 and g1 == g2
+        }
+        for p1, p2 in matches:
+            if (p1 - 1, p2 - 1) in matches:
+                continue
+            ln = 0
+            while (p1 + ln, p2 + ln) in matches:
+                ln += 1
+            if ln + k - 1 >= min_len:
+                want.add((d, p1, p2, ln + k - 1))
+    return want
+
+
+def test_substring_self_spans_match_reference(spark):
+    """substring_self_spans == the direct within-doc reference: repeated
+    choruses, overlapping periodic repeats, sub-floor repeats dropped,
+    cross-doc duplication ignored."""
+    from iceberg_ingestion_spark.operators.dedup import substring_self_spans
+
+    chorus = "oh the rain keeps falling on the dusty summer road tonight"
+    texts = {
+        1: f"verse one here {chorus} verse two there {chorus} outro words",
+        2: f"{chorus} totally different second half of this document here",
+        3: f"{chorus} and now {chorus} again and {chorus} a third time",
+        4: "repeat repeat repeat repeat repeat repeat repeat repeat repeat",
+        5: "no internal duplication in this document at all whatsoever okay",
+        6: "short stutter short stutter is only four tokens long total",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    k, w = 4, 5
+    got = {
+        (r.doc_id, r.start_1, r.start_2, r.match_len)
+        for r in substring_self_spans(docs, "doc_id", k=k, window=w).collect()
+    }
+    want = _python_self_span_reference(texts, k, w)
+    assert got == want
+    assert any(d == 1 for d, *_ in got)   # the repeated chorus was caught
+    assert all(d != 2 for d, *_ in got)   # cross-doc dup is NOT within-doc
+    assert all(d != 5 for d, *_ in got)
+    assert all(d != 6 for d, *_ in got)   # sub-floor repeats dropped
+
+
+def test_substring_self_spans_randomized(spark):
+    """Seeded randomized corpus with planted within-doc repeats — operator
+    == reference on every draw."""
+    import random
+
+    from iceberg_ingestion_spark.operators.dedup import substring_self_spans
+
+    rng = random.Random(20260817)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = {}
+    for d in range(20):
+        body = [rng.choice(vocab) for _ in range(rng.randint(8, 25))]
+        if d % 4 == 0:  # plant an internal repeat of a random slice
+            at = rng.randint(0, max(0, len(body) - 9))
+            frag = body[at : at + 9]
+            ins = rng.randint(0, len(body))
+            body = body[:ins] + frag + body[ins:]
+        texts[d] = " ".join(body)
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    k, w = 3, 4
+    got = {
+        (r.doc_id, r.start_1, r.start_2, r.match_len)
+        for r in substring_self_spans(docs, "doc_id", k=k, window=w).collect()
+    }
+    assert got == _python_self_span_reference(texts, k, w)
+    assert got
+
+
+def test_substring_self_spans_compose_with_scrub(spark):
+    """The self-span relation feeds substring_span_scrub's removal seam
+    (later occurrence removed, first kept) — the within-doc scrub Lee et
+    al. apply, via the existing spans= parameter."""
+    from iceberg_ingestion_spark.operators.dedup import (
+        substring_self_spans,
+        substring_span_scrub,
+    )
+
+    chorus = "oh the rain keeps falling on the dusty summer road tonight"
+    docs = spark.createDataFrame(
+        [(1, f"intro {chorus} middle {chorus} outro")],
+        "doc_id long, text string",
+    )
+    self_spans = substring_self_spans(docs, "doc_id", k=4, window=5).select(
+        F.col("doc_id").alias("id_2"),
+        F.col("start_2"),
+        F.col("match_len"),
+    )
+    got = substring_span_scrub(
+        docs, "doc_id", k=4, window=5, spans=self_spans
+    ).collect()[0]
+    assert got.scrubbed_text == f"intro {chorus} middle outro"
+    assert got.n_removed == len(chorus.split())
+
+
+def test_substring_self_spans_window_guard(spark):
+    from iceberg_ingestion_spark.operators.dedup import substring_self_spans
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="window"):
+        substring_self_spans(docs, "doc_id", window=0)
