@@ -2493,18 +2493,33 @@ def substring_span_scrub(
     rebuild is a JVM higher-order ``filter``/``exists`` over the token
     array — no UDF, no token-level explode/shuffle. Pass a precomputed
     ``spans`` (e.g. from a persisted run) to skip detection."""
-    from pyspark.sql import Window
-
     if spans is None:
         spans = substring_span_pairs(df, id_col, text_col, k, window)
     rem = spans.select(
         F.col("id_2").alias(id_col),
         F.col("start_2").alias("_s"),
         (F.col("start_2") + F.col("match_len") - F.lit(1)).alias("_e"),
-    ).distinct()
+    )
+    return _apply_removal_ranges(df, rem, id_col, text_col)
+
+
+def _apply_removal_ranges(
+    df: DataFrame, rem: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Shared rebuild stage of the span scrubs: given removal ranges
+    ``(id, _s, _e)`` (1-based inclusive token positions, any overlap),
+    rewrite every doc of ``df`` as (id, scrubbed_text, n_removed) in the
+    family's normalized token space — ranges distinct-ed and merged per doc
+    into disjoint intervals (gaps-and-islands), collected to one array row,
+    joined back, tokens filtered by a JVM higher-order ``filter``/``exists``
+    (no UDF, no token-level explode/shuffle). Full coverage: every doc
+    emitted, untouched docs with n_removed 0."""
+    from pyspark.sql import Window
+
     ordered = Window.partitionBy(id_col).orderBy("_s", "_e")
     merged = (
-        rem.withColumn(
+        rem.distinct()
+        .withColumn(
             "_pmax",
             F.max("_e").over(ordered.rowsBetween(Window.unboundedPreceding, -1)),
         )
@@ -2543,6 +2558,99 @@ def substring_span_scrub(
             (F.size("_toks") - F.size("_kept")).cast("long").alias("n_removed"),
         )
     )
+
+
+def substring_span_pairs_cross(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 5,
+    materializer=None,
+) -> DataFrame:
+    """Maximal common token runs BETWEEN two relations — left × right pairs
+    ONLY, never left × left or right × right — as ``(id_1, id_2, start_1,
+    start_2, match_len)`` with id_1 from ``left`` and id_2 from ``right``
+    (no id ordering: the sides are roles, not a symmetric corpus; ids must
+    be disjoint across sides). The bipartite form of
+    :func:`substring_span_pairs` for corpus-vs-benchmark span detection
+    (train-on-test contamination at SPAN granularity — Lee et al. 2022's
+    machinery aimed across relations).
+
+    Same winnowing candidate stage (selection is per-doc, so losslessness
+    at the window + k - 1 floor holds across relations exactly as within
+    one), same exact diagonal run-chaining verify over the full positional
+    gram rows of both sides; the candidate relation is eagerly
+    materialized through the :mod:`materialize` seam."""
+    from pyspark.sql import Window
+
+    if window < 1:
+        raise ValueError(
+            f"substring_span_pairs_cross: window must be >= 1, got {window}"
+        )
+    min_len = window + k - 1
+    from iceberg_ingestion_spark.operators import materialize as _mat
+
+    g_l = substring_span_index(left, id_col, text_col, k, window).cache()
+    g_r = substring_span_index(right, id_col, text_col, k, window).cache()
+    sel_l = g_l.filter("selected").select(id_col, "gram").distinct().alias("a")
+    sel_r = g_r.filter("selected").select(id_col, "gram").distinct().alias("b")
+    candidates = _mat.resolve(materializer)(
+        sel_l.join(sel_r, on=F.col("a.gram") == F.col("b.gram"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2")
+        )
+        .distinct()
+    )
+    ga = g_l.select(F.col(id_col).alias("id_1"), F.col("pos").alias("p1"), "gram")
+    gb = g_r.select(F.col(id_col).alias("id_2"), F.col("pos").alias("p2"), "gram")
+    matched = candidates.join(ga, "id_1").join(gb, ["id_2", "gram"]).select(
+        "id_1", "id_2", "p1", "p2"
+    )
+    diag = Window.partitionBy("id_1", "id_2", "_diag").orderBy("p1")
+    return (
+        matched.withColumn("_diag", F.col("p1") - F.col("p2"))
+        .withColumn("_island", F.col("p1") - F.row_number().over(diag))
+        .groupBy("id_1", "id_2", "_diag", "_island")
+        .agg(
+            F.min("p1").alias("start_1"),
+            F.min("p2").alias("start_2"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).alias("match_len"),
+        )
+        .filter(F.col("match_len") >= min_len)
+        .select("id_1", "id_2", "start_1", "start_2", "match_len")
+    )
+
+
+def decon_span_scrub(
+    pool: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 5,
+    materializer=None,
+) -> DataFrame:
+    """SPAN-LEVEL benchmark decontamination: rewrite the training pool
+    removing every token run of >= window + k - 1 tokens that also appears
+    in a benchmark document — the surgical refinement of whole-doc
+    decontamination (``corpus.contamination_counts`` + anti-join): a crawl
+    page quoting one benchmark item loses the QUOTE, not the page. Returns
+    the full pool as (id, scrubbed_text, n_removed); benchmark docs are a
+    separate relation and are never emitted. Detection is
+    :func:`substring_span_pairs_cross` (pool × bench only); the rebuild is
+    the shared merged-interval scrub stage. Pool and bench ids must be
+    disjoint."""
+    spans = substring_span_pairs_cross(
+        pool, bench, id_col, text_col, k, window, materializer
+    )
+    rem = spans.select(
+        F.col("id_1").alias(id_col),
+        F.col("start_1").alias("_s"),
+        (F.col("start_1") + F.col("match_len") - F.lit(1)).alias("_e"),
+    )
+    return _apply_removal_ranges(pool, rem, id_col, text_col)
 
 
 def substring_span_index(

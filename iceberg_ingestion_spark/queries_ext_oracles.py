@@ -405,6 +405,76 @@ ORACLES_EXT: dict[str, str] = {
         FROM r GROUP BY doc_id, diag, island
         HAVING count(*) + {SUBSTR_K} - 1 >= {SUBSTR_WINDOW} + {SUBSTR_K} - 1
     """,
+    # span-level decon: the direct BIPARTITE maximal-run computation over
+    # the identically salted pool/bench relations (held-out docs + the
+    # sentinel item; every 13th pool doc salted), runs chained per
+    # (pool doc, bench doc, diagonal), removal ranges on the pool side,
+    # NOT-EXISTS rebuild with full pool coverage
+    "decon_span_scrub": f"""
+        WITH bench AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+            UNION ALL SELECT {DECON_SENTINEL_ID}, '{DECON_SENTINEL}'
+        ),
+        pool AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 13 = 1
+                        THEN concat_ws(' ', text, '{DECON_SENTINEL}')
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 97 <> 0
+        ),
+        tp AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM pool),
+        tb AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM bench),
+        gp0 AS (
+            SELECT doc_id,
+                   unnest([{{'pos': i, 'gram': t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]}}
+                           for i in range(1, len(t) - {SUBSTR_K} + 2)]) AS u
+            FROM tp
+        ),
+        gb0 AS (
+            SELECT doc_id,
+                   unnest([{{'pos': i, 'gram': t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]}}
+                           for i in range(1, len(t) - {SUBSTR_K} + 2)]) AS u
+            FROM tb
+        ),
+        gp AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM gp0),
+        gb AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM gb0),
+        m AS (
+            SELECT p.doc_id AS id_1, b.doc_id AS id_2, p.pos AS p1, b.pos AS p2
+            FROM gp p JOIN gb b ON p.gram = b.gram
+        ),
+        r AS (
+            SELECT id_1, id_2, p1, p2, p1 - p2 AS diag,
+                   p1 - row_number() OVER (PARTITION BY id_1, id_2, p1 - p2 ORDER BY p1) AS island
+            FROM m
+        ),
+        spans AS (
+            SELECT id_1, min(p1) AS s,
+                   CAST(count(*) + {SUBSTR_K} - 1 AS BIGINT) AS ml
+            FROM r GROUP BY id_1, id_2, diag, island
+            HAVING count(*) + {SUBSTR_K} - 1 >= {SUBSTR_WINDOW} + {SUBSTR_K} - 1
+        ),
+        rem AS (SELECT DISTINCT id_1 AS doc_id, s, s + ml - 1 AS e FROM spans),
+        tokpos AS (
+            SELECT doc_id,
+                   unnest([{{'pos': i, 'tok': t[i]}} for i in range(1, len(t) + 1)]) AS u
+            FROM tp
+        ),
+        tok AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM tokpos),
+        kept AS (
+            SELECT tk.doc_id, tk.pos, tk.tok FROM tok tk
+            WHERE NOT EXISTS (
+                SELECT 1 FROM rem
+                WHERE rem.doc_id = tk.doc_id AND tk.pos BETWEEN rem.s AND rem.e
+            )
+        )
+        SELECT p.doc_id,
+               coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS scrubbed_text,
+               CAST(n.n - count(k.pos) AS BIGINT) AS n_removed
+        FROM pool p
+        JOIN (SELECT doc_id, len(t) AS n FROM tp) n USING (doc_id)
+        LEFT JOIN kept k ON k.doc_id = p.doc_id
+        GROUP BY p.doc_id, n.n
+    """,
     # keep-first span scrub: the all-pairs maximal-run relation (same CTE as
     # dedup_substring_spans) turned into removal ranges on the id_2 (larger
     # id) side, then the corpus rebuilt token-by-token — positions NOT

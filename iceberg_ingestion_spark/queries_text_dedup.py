@@ -475,6 +475,49 @@ def q_dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: >= 8 tokens (the window + k - 1 floor), appended to every 13th pool doc
+#: and present as a synthetic benchmark item, so the span-level decon entry
+#: is non-vacuous at every driver SF (the PII-scrub salting pattern)
+DECON_SENTINEL = "the quick benchmark sentinel phrase appears here exactly once"
+DECON_SENTINEL_ID = 10_000_000
+
+
+def q_decon_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-LEVEL benchmark decontamination: training-pool docs are
+    rewritten with every >= 8-token run shared with a benchmark doc
+    REMOVED — the surgical refinement of whole-doc decon
+    (`decon_benchmark_overlap` drops the whole page; this removes the
+    quote). Benchmark = held-out docs (doc_id % 97 == 0) plus one
+    synthetic sentinel item; every 13th pool doc is salted with the
+    sentinel so the scrub provably fires at every SF, and any organic
+    pool↔bench overlap is removed too. Full pool coverage
+    (doc_id, scrubbed_text, n_removed). Oracle: the direct bipartite
+    maximal-run computation over the identically salted relations feeding
+    the identical NOT-EXISTS rebuild."""
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    bench = (
+        d.where(F.col("doc_id") % 97 == 0)
+        .select("doc_id", "text")
+        .unionByName(
+            spark.createDataFrame(
+                [(DECON_SENTINEL_ID, DECON_SENTINEL)], "doc_id long, text string"
+            )
+        )
+    )
+    pool = d.where(F.col("doc_id") % 97 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 1,
+            F.concat_ws(" ", F.col("text"), F.lit(DECON_SENTINEL)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dedup.decon_span_scrub(
+        pool, bench, "doc_id", k=SUBSTR_K, window=SUBSTR_WINDOW
+    )
+
+
 def q_dedup_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-exposed STREAMING near-dup (VERDICT r5 #7 — the third entry
     whose Spark side EXECUTES real Structured Streaming): the corpus is

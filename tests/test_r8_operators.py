@@ -860,3 +860,135 @@ def test_substring_self_spans_window_guard(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="window"):
         substring_self_spans(docs, "doc_id", window=0)
+
+
+# ---------------------------------------------------------------------------
+# r8 continuation: bipartite spans + span-level benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def _python_cross_span_reference(left: dict, right: dict, k: int, window: int):
+    """Direct bipartite maximal-run reference: runs between a left doc and a
+    right doc only, (id_1, id_2, start_1, start_2, match_len)."""
+    min_len = window + k - 1
+
+    def grams(t):
+        toks = t.strip().lower().split()
+        return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+    want = set()
+    for d1, t1 in left.items():
+        g1 = grams(t1)
+        for d2, t2 in right.items():
+            g2 = grams(t2)
+            matches = {
+                (p1, p2)
+                for p1, a in enumerate(g1, 1)
+                for p2, b in enumerate(g2, 1)
+                if a == b
+            }
+            for p1, p2 in matches:
+                if (p1 - 1, p2 - 1) in matches:
+                    continue
+                ln = 0
+                while (p1 + ln, p2 + ln) in matches:
+                    ln += 1
+                if ln + k - 1 >= min_len:
+                    want.add((d1, d2, p1, p2, ln + k - 1))
+    return want
+
+
+def test_cross_spans_match_reference_and_exclude_within_side(spark):
+    """substring_span_pairs_cross == the bipartite reference; left x left
+    and right x right duplication is invisible to it."""
+    from iceberg_ingestion_spark.operators.dedup import substring_span_pairs_cross
+
+    quote = "the five boxing wizards jump quickly over the lazy brown dog"
+    left = {
+        1: f"page intro {quote} page outro",
+        2: f"{quote} and unrelated tail content here",          # dups doc 1 too
+        3: "completely clean training document with nothing shared",
+    }
+    right = {
+        100: f"benchmark item contains {quote} verbatim",
+        101: "another benchmark item with distinct content entirely",
+        102: f"x {quote} y",                                     # dups 100 too
+    }
+    l_df = spark.createDataFrame(list(left.items()), "doc_id long, text string")
+    r_df = spark.createDataFrame(list(right.items()), "doc_id long, text string")
+    k, w = 4, 5
+    got = {
+        tuple(r) for r in substring_span_pairs_cross(
+            l_df, r_df, "doc_id", k=k, window=w
+        ).collect()
+    }
+    assert got == _python_cross_span_reference(left, right, k, w)
+    assert got
+    ids1 = {a for a, *_ in got}
+    ids2 = {b for _, b, *_ in got}
+    assert ids1 <= set(left) and ids2 <= set(right)  # strictly bipartite
+
+
+def test_decon_span_scrub_removes_quote_keeps_page(spark):
+    """The surgical contract: a pool page quoting a benchmark item loses
+    exactly the quote; clean pages are untouched; a pool page that IS a
+    benchmark item scrubs to empty but stays in the pool."""
+    from iceberg_ingestion_spark.operators.dedup import decon_span_scrub
+
+    quote = "the five boxing wizards jump quickly over the lazy brown dog"
+    pool = spark.createDataFrame(
+        [
+            (1, f"useful training prose {quote} more useful prose"),
+            (2, "entirely clean document that must survive untouched fully"),
+            (3, quote),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"bench item: {quote}")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.scrubbed_text, r.n_removed)
+        for r in decon_span_scrub(pool, bench, "doc_id", k=4, window=5).collect()
+    }
+    assert got[1] == ("useful training prose more useful prose", len(quote.split()))
+    assert got[2] == ("entirely clean document that must survive untouched fully", 0)
+    assert got[3] == ("", len(quote.split()))
+    assert set(got) == {1, 2, 3}  # full pool coverage, bench never emitted
+
+
+def test_decon_span_scrub_matches_bipartite_reference(spark):
+    """decon_span_scrub == removal of exactly the bipartite-reference spans
+    on a randomized corpus with planted benchmark fragments."""
+    import random
+
+    from iceberg_ingestion_spark.operators.dedup import decon_span_scrub
+
+    rng = random.Random(20260818)
+    vocab = [f"w{i}" for i in range(30)]
+    frag = [f"b{i}" for i in range(9)]
+    pool_texts, bench_texts = {}, {}
+    for d in range(18):
+        body = [rng.choice(vocab) for _ in range(rng.randint(8, 25))]
+        if d % 3 == 0:
+            at = rng.randint(0, len(body))
+            body = body[:at] + frag + body[at:]
+        pool_texts[d] = " ".join(body)
+    bench_texts[1000] = " ".join(frag + [rng.choice(vocab) for _ in range(5)])
+    k, w = 3, 4
+    spans = _python_cross_span_reference(pool_texts, bench_texts, k, w)
+    removed = {d: set() for d in pool_texts}
+    for d1, _, p1, _, ln in spans:
+        removed[d1].update(range(p1, p1 + ln))
+    want = {}
+    for d, t in pool_texts.items():
+        toks = t.strip().lower().split()
+        kept = [tok for i, tok in enumerate(toks, 1) if i not in removed[d]]
+        want[d] = (" ".join(kept), len(toks) - len(kept))
+    pool = spark.createDataFrame(list(pool_texts.items()), "doc_id long, text string")
+    bench = spark.createDataFrame(list(bench_texts.items()), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.scrubbed_text, r.n_removed)
+        for r in decon_span_scrub(pool, bench, "doc_id", k=k, window=w).collect()
+    }
+    assert got == want
+    assert any(n for _, n in got.values())

@@ -1026,6 +1026,41 @@ def scrub_ab(mults: list[int]) -> int:
     return 0
 
 
+def self_spans_ab(mults: list[int]) -> int:
+    """Within-doc self-span curve: the gram self-join is id-co-partitioned
+    (cost = Σ per-doc collision work, independent of corpus size), so
+    fresh-content growth should be strictly LINEAR — flatter than any
+    cross-doc family. Every 7th doc gets a self-duplicated 8-token tail so
+    spans exist at every scale."""
+    from iceberg_ingestion_spark.operators import dedup
+    from iceberg_ingestion_spark.session import build_session
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = build_session(app_name="scale-smoke-selfspans")
+    spark.range(10_000).repartition(64).mapInPandas(lambda it: it, "id long").count()
+    base0 = spark.read.parquet(f"{sf}/documents.parquet").repartition(32)
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    base = base0.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat_ws(" ", F.col("text"), F.concat_ws(" ", F.slice(toks, 1, 8))),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+
+    for mult in mults:
+        docs = (base if mult == 1 else fresh_blow_up(base, mult)).cache()
+        n = docs.count()
+        print(f"\n== self-spans {mult}x: {n} docs ==", flush=True)
+        bench_cancelable(
+            spark, f"substring_self_spans {mult}x",
+            lambda: dedup.substring_self_spans(docs, "doc_id", k=4, window=5),
+        )
+        docs.unpersist()
+    spark.stop()
+    return 0
+
+
 def incr_substr_ab(mults: list[int]) -> int:
     """Incremental substring-span curve: a FIXED increment probed against a
     positional-gram + winnowing-selection index of an old corpus that grows
@@ -1106,6 +1141,8 @@ def main() -> int:
         return substr_ab([int(a) for a in sys.argv[2:]] or [1, 5, 20])
     if len(sys.argv) > 1 and sys.argv[1] == "--scrub":
         return scrub_ab([int(a) for a in sys.argv[2:]] or [1, 5, 20])
+    if len(sys.argv) > 1 and sys.argv[1] == "--self-spans":
+        return self_spans_ab([int(a) for a in sys.argv[2:]] or [1, 5, 20])
     if len(sys.argv) > 1 and sys.argv[1] == "--incr-substr":
         return incr_substr_ab([int(a) for a in sys.argv[2:]] or [1, 5, 20])
     if len(sys.argv) > 1 and sys.argv[1] == "--incr":
