@@ -1026,6 +1026,39 @@ def scrub_ab(mults: list[int]) -> int:
     return 0
 
 
+def decon_scrub_ab(mults: list[int]) -> int:
+    """Span-level decon curve: the benchmark side is FIXED (eval suites
+    don't grow with the corpus — the same premise as the whole-doc decon
+    broadcast), so pool growth should be ~linear: one gram+selection pass
+    over the pool, a selected-gram join whose right side is constant, and
+    a rebuild pass over the pool."""
+    from iceberg_ingestion_spark.operators import dedup
+    from iceberg_ingestion_spark.session import build_session
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = build_session(app_name="scale-smoke-decon-scrub")
+    spark.range(10_000).repartition(64).mapInPandas(lambda it: it, "id long").count()
+    base = spark.read.parquet(f"{sf}/documents.parquet").repartition(32)
+    bench = base.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text").cache()
+    n_bench = bench.count()
+
+    for mult in mults:
+        pool0 = (base if mult == 1 else fresh_blow_up(base, mult))
+        pool = (
+            pool0.filter(F.col("doc_id") % 97 != 0).select("doc_id", "text").cache()
+        )
+        n = pool.count()
+        print(f"\n== decon-scrub {mult}x: pool={n} docs, bench={n_bench} ==",
+              flush=True)
+        bench_cancelable(
+            spark, f"decon_span_scrub {mult}x",
+            lambda: dedup.decon_span_scrub(pool, bench, "doc_id", k=4, window=5),
+        )
+        pool.unpersist()
+    spark.stop()
+    return 0
+
+
 def self_spans_ab(mults: list[int]) -> int:
     """Within-doc self-span curve: the gram self-join is id-co-partitioned
     (cost = Σ per-doc collision work, independent of corpus size), so
@@ -1143,6 +1176,8 @@ def main() -> int:
         return scrub_ab([int(a) for a in sys.argv[2:]] or [1, 5, 20])
     if len(sys.argv) > 1 and sys.argv[1] == "--self-spans":
         return self_spans_ab([int(a) for a in sys.argv[2:]] or [1, 5, 20])
+    if len(sys.argv) > 1 and sys.argv[1] == "--decon-scrub":
+        return decon_scrub_ab([int(a) for a in sys.argv[2:]] or [1, 5, 20])
     if len(sys.argv) > 1 and sys.argv[1] == "--incr-substr":
         return incr_substr_ab([int(a) for a in sys.argv[2:]] or [1, 5, 20])
     if len(sys.argv) > 1 and sys.argv[1] == "--incr":
