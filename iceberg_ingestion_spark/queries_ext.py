@@ -42,6 +42,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_substring_scrub": q_dedup_substring_scrub,  # keep-first span removal (Lee et al. step)
     "dedup_substring_self": q_dedup_substring_self,  # within-doc duplicated runs
     "decon_span_scrub": q_decon_span_scrub,  # span-level benchmark decontamination
+    "dedup_chained_substring": q_dedup_chained_substring,  # 3-day chained probes == batch
     "dedup_incremental_substring": q_dedup_incremental_substring,  # per-doc-selection index probe
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_incremental_minhash": q_dedup_incremental_minhash,  # index-probe increment dedup

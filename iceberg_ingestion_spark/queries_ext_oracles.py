@@ -1394,3 +1394,9 @@ WHERE p.event_type = 'click'
         FROM documents
     """,
 }
+
+# the chained 3-day entry's contract IS batch equality: its oracle is the
+# identical full-corpus all-pairs maximal-run SQL (no restriction clause) —
+# a green row proves chained probes over union-appended indexes reproduce
+# the one-shot batch answer exactly
+ORACLES_EXT["dedup_chained_substring"] = ORACLES_EXT["dedup_substring_spans"]
