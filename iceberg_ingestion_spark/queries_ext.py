@@ -41,6 +41,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_substring_spans": q_dedup_substring_spans,  # winnowing any-offset substring dedup
     "dedup_substring_scrub": q_dedup_substring_scrub,  # keep-first span removal (Lee et al. step)
     "dedup_substring_self": q_dedup_substring_self,  # within-doc duplicated runs
+    "dedup_self_scrub": q_dedup_self_scrub,  # act on within-doc runs (keep first)
     "decon_span_scrub": q_decon_span_scrub,  # span-level benchmark decontamination
     "dedup_chained_substring": q_dedup_chained_substring,  # 3-day chained probes == batch
     "dedup_incremental_substring": q_dedup_incremental_substring,  # per-doc-selection index probe

@@ -475,6 +475,68 @@ ORACLES_EXT: dict[str, str] = {
         LEFT JOIN kept k ON k.doc_id = p.doc_id
         GROUP BY p.doc_id, n.n
     """,
+    # act on within-doc runs: the self-span relation's LATER occurrence
+    # becomes a removal range, NOT-EXISTS rebuild over the same salted
+    # corpus — salted docs provably lose exactly the appended tail
+    "dedup_self_scrub": f"""
+        WITH salted AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN
+                       concat_ws(' ', text,
+                           array_to_string(({_TOKS})[1:8], ' '))
+                   ELSE text END AS text
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM salted
+        ),
+        gs AS (
+            SELECT doc_id,
+                   unnest([{{'pos': i, 'gram': t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]}}
+                           for i in range(1, len(t) - {SUBSTR_K} + 2)]) AS u
+            FROM toks
+        ),
+        g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM gs),
+        m AS (
+            SELECT a.doc_id AS doc_id, a.pos AS p1, b.pos AS p2
+            FROM g a JOIN g b
+              ON a.doc_id = b.doc_id AND a.gram = b.gram AND a.pos < b.pos
+        ),
+        r AS (
+            SELECT doc_id, p1, p2, p2 - p1 AS diag,
+                   p1 - row_number() OVER (PARTITION BY doc_id, p2 - p1 ORDER BY p1) AS island
+            FROM m
+        ),
+        spans AS (
+            SELECT doc_id, min(p2) AS s,
+                   CAST(count(*) + {SUBSTR_K} - 1 AS BIGINT) AS ml
+            FROM r GROUP BY doc_id, diag, island
+            HAVING count(*) + {SUBSTR_K} - 1 >= {SUBSTR_WINDOW} + {SUBSTR_K} - 1
+        ),
+        rem AS (SELECT DISTINCT doc_id, s, s + ml - 1 AS e FROM spans),
+        tokpos AS (
+            SELECT doc_id,
+                   unnest([{{'pos': i, 'tok': t[i]}} for i in range(1, len(t) + 1)]) AS u
+            FROM toks
+        ),
+        tok AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM tokpos),
+        kept AS (
+            SELECT tk.doc_id, tk.pos, tk.tok FROM tok tk
+            WHERE NOT EXISTS (
+                SELECT 1 FROM rem
+                WHERE rem.doc_id = tk.doc_id AND tk.pos BETWEEN rem.s AND rem.e
+            )
+        )
+        SELECT s.doc_id,
+               coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS scrubbed_text,
+               CAST(n.n - count(k.pos) AS BIGINT) AS n_removed
+        FROM salted s
+        JOIN (SELECT doc_id, len(t) AS n FROM toks) n USING (doc_id)
+        LEFT JOIN kept k ON k.doc_id = s.doc_id
+        GROUP BY s.doc_id, n.n
+    """,
     # keep-first span scrub: the all-pairs maximal-run relation (same CTE as
     # dedup_substring_spans) turned into removal ranges on the id_2 (larger
     # id) side, then the corpus rebuilt token-by-token — positions NOT

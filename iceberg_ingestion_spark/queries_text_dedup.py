@@ -432,20 +432,13 @@ def q_dedup_incremental_substring(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def q_dedup_substring_self(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WITHIN-DOC duplicated runs (Lee et al. 2022's ExactSubstr applies
-    inside documents too — internally repeated boilerplate, template
-    stutter): maximal equal-run pairs at two offsets in one doc, >= 8
-    tokens. The corpus is salted with a controlled self-duplicated tail on
-    every 7th doc (the fixture corpus has no natural within-doc repeats at
-    driver SFs) so the entry is non-vacuous at every SF: the doc's first 8
-    tokens are appended after its end, creating exactly one
-    (1, n_tokens+1) run of 8 for salted docs with >= 8 tokens. Oracle: the
-    direct within-doc all-offset-pairs maximal-run computation over the
-    same salted corpus."""
-    d = read_table(spark, sf_dir, "documents", spread=True)
+def _self_salted(d: DataFrame) -> DataFrame:
+    """Every 7th doc gets its own first 8 tokens appended — a controlled
+    within-doc duplicate (the fixture corpus has no natural within-doc
+    repeats at driver SFs), shared by the self-span detect and act
+    entries so their rows stay non-vacuous at every SF."""
     toks = F.split(F.lower(F.trim("text")), r"\s+")
-    salted = d.select(
+    return d.select(
         "doc_id",
         F.when(
             F.col("doc_id") % 7 == 0,
@@ -454,8 +447,38 @@ def q_dedup_substring_self(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
+
+
+def q_dedup_substring_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-DOC duplicated runs (Lee et al. 2022's ExactSubstr applies
+    inside documents too — internally repeated boilerplate, template
+    stutter): maximal equal-run pairs at two offsets in one doc, >= 8
+    tokens, over the :func:`_self_salted` corpus (the doc's first 8 tokens
+    appended on every 7th doc create exactly one (1, n_tokens+1) run of 8
+    for salted docs with >= 8 tokens). Oracle: the direct within-doc
+    all-offset-pairs maximal-run computation over the same salted corpus."""
+    d = read_table(spark, sf_dir, "documents", spread=True)
     return dedup.substring_self_spans(
+        _self_salted(d), "doc_id", k=SUBSTR_K, window=SUBSTR_WINDOW
+    )
+
+
+def q_dedup_self_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACT on within-doc duplication: the detected self-span rows feed
+    :func:`dedup.substring_span_scrub`'s removal seam — the LATER
+    occurrence (start_2 range) of every within-doc repeat is removed, the
+    first kept, full-coverage rebuild over the same :func:`_self_salted`
+    corpus as the detect entry. For the salted docs this provably strips
+    exactly the appended 8-token tail, restoring the normalized original.
+    Oracle: within-doc maximal runs -> later-occurrence removal ranges ->
+    NOT-EXISTS rebuild, recomputed end-to-end."""
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    salted = _self_salted(d)
+    spans = dedup.substring_self_spans(
         salted, "doc_id", k=SUBSTR_K, window=SUBSTR_WINDOW
+    ).select(F.col("doc_id").alias("id_2"), "start_2", "match_len")
+    return dedup.substring_span_scrub(
+        salted, "doc_id", k=SUBSTR_K, window=SUBSTR_WINDOW, spans=spans
     )
 
 

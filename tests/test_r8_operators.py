@@ -992,3 +992,24 @@ def test_decon_span_scrub_matches_bipartite_reference(spark):
     }
     assert got == want
     assert any(n for _, n in got.values())
+
+
+def test_self_scrub_entry_restores_salted_docs(spark):
+    """The dedup_self_scrub driver entry strips exactly the appended
+    8-token tail from every salted doc (scrubbed == normalized original)
+    and leaves unsalted docs untouched."""
+    from iceberg_ingestion_spark.queries_text_dedup import q_dedup_self_scrub
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    norm = {
+        r.doc_id: " ".join((r.text or "").strip().lower().split())
+        for r in docs.collect()
+    }
+    got = {r.doc_id: (r.scrubbed_text, r.n_removed)
+           for r in q_dedup_self_scrub(spark, SF).collect()}
+    assert set(got) == set(norm)
+    for d, (text, n) in got.items():
+        if d % 7 == 0 and len(norm[d].split()) >= 8:
+            assert text == norm[d] and n == 8
+        else:
+            assert text == norm[d] and n == 0
