@@ -57,11 +57,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: The r1-r5 prose rotation history this block used to carry lives in git
 #: (`git log -p __spark_entry__.py`, commits up to round 5).
 #:
-#: ROUND-8 rotation (VERDICT r7 #4): in by rule (1), the sixteen entries
-#: created or whose transitive closure changed this round — seven NEW
+#: ROUND-8 rotation (VERDICT r7 #4): in by rule (1), the seventeen entries
+#: created or whose transitive closure changed this round — eight NEW
 #: (dedup_substring_scrub: keep-first span removal; dedup_substring_self /
 #: dedup_self_scrub: within-doc duplicated runs, detect and act; decon_span_scrub: span-level benchmark
-#: decontamination; dedup_chained_substring: 3-day chained probes == batch; quality_classifier_gate:
+#: decontamination; dedup_chained_substring: 3-day chained probes == batch; sim_ann_topk_pq:
+#: product-quantization ADC; quality_classifier_gate:
 #: batch_score inference seam; corpus_prep_pipeline: the composed
 #: scrub→dedup→decon→mix→pack→shard chain) and nine whose closures drifted
 #: (the tfidf family via the tombstone-index fix + materializer seam, the
@@ -69,12 +70,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: schema, the substring family via the chained-contract docstrings +
 #: materializer, and corpus_quality_funnel / corpus_dedup_by_source via
 #: near_dup_canonical's materializer seam) — the drift list is EXACTLY
-#: tools/rotation_check.py's, not hand-picked. The other 34 slots go to the
+#: tools/rotation_check.py's, not hand-picked. The other 33 slots go to the
 #: entries with the OLDEST driver correctness row: all 16 r3-era, all 10
-#: r4-era, all 3 r5-era, and the first 5 r6-era alphabetically (no
+#: r4-era, all 3 r5-era, and the first 4 r6-era alphabetically (no
 #: cherry-picking; dedup_substring_self and decon_span_scrub joined rule 1 late and
-#: displaced dedup_clusters, decon_bloom_prefilter, corpus_shard_stats and
-#: corpus_feed_health, the 6th-9th). Displaced entries are byte-stable per the ledger;
+#: displaced the 5th-9th r6-era names (dedup_clusters, decon_bloom_prefilter,
+#: corpus_shard_stats, corpus_feed_health, asof_last_click_before_purchase)). Displaced entries are byte-stable per the ledger;
 #: stamped from this round's full sweep.
 _PRIORITY = [
     # r8 additions / changed closures (rule 1)
@@ -83,6 +84,7 @@ _PRIORITY = [
     "dedup_self_scrub",
     "decon_span_scrub",
     "dedup_chained_substring",
+    "sim_ann_topk_pq",
     "quality_classifier_gate",
     "corpus_prep_pipeline",
     "dedup_incremental_tfidf",
@@ -131,7 +133,6 @@ _PRIORITY = [
     "analytics_tfidf_top_terms",
     "analytics_unpivot_measures",
     "analytics_window_suite",
-    "asof_last_click_before_purchase",
 ]
 
 

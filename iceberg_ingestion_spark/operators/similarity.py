@@ -584,6 +584,194 @@ def topk_ivf(
     )
 
 
+def pq_codebooks(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 16,
+) -> DataFrame:
+    """Per-subspace PRODUCT-QUANTIZATION codebooks (Jégou, Douze & Schmid,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+    ``(subspace, code, centroid array<double>[dim/m])`` — the vector space
+    split into ``m`` orthogonal subspaces of ``dim/m`` dims, each with its
+    own ``n_codes``-entry codebook. Codebook draw is the family's
+    deterministic train-free convention (hash-spread corpus rows, same as
+    ``topk_ivf``; code = md5-rank order), sliced per subspace. m × n_codes
+    × dim/m doubles total — broadcast-trivial at any corpus size."""
+    if dim % m != 0:
+        raise ValueError(f"pq_codebooks: dim {dim} not divisible by m {m}")
+    sub = dim // m
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    seeds = (
+        df.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_codes)
+        .select(v.alias("_v"))
+        .withColumn("code", F.row_number().over(Window.orderBy(F.lit(1))) - 1)
+    )
+    return seeds.select(
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("subspace"),
+        "code",
+        "_v",
+    ).select(
+        "subspace",
+        "code",
+        F.slice(F.col("_v"), F.col("subspace") * sub + 1, sub).alias("centroid"),
+    )
+
+
+def pq_codes(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    codebooks: DataFrame,
+    m: int = 8,
+) -> DataFrame:
+    """(id, codes array<int>): every vector compressed to ``m`` sub-codes —
+    the PERSISTABLE PQ index, ``m·log2(n_codes)`` bits per vector (8 bytes
+    at m=8/n_codes=16 vs 512 for raw float64×64: the memory story that
+    makes 100 TB of embeddings scannable). Per-subspace argmin over the
+    broadcast codebook (squared L2, ties to smaller code), the same
+    order-independent ``min(struct)`` aggregation as
+    ``clustering.assign_nearest`` — corpus never shuffles for encoding;
+    the one groupBy is keyed by (id, subspace), uniform."""
+    from iceberg_ingestion_spark.operators.clustering import sqdist
+
+    sub = dim // m
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    pieces = (
+        df.select(F.col(id_col), v.alias("_v"))
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("subspace"),
+            F.col("_v"),
+        )
+        .select(
+            id_col,
+            "subspace",
+            F.slice(F.col("_v"), F.col("subspace") * sub + 1, sub).alias("_sv"),
+        )
+    )
+    assigned = (
+        pieces.join(F.broadcast(codebooks), "subspace")
+        .withColumn("_d", sqdist(F.col("_sv"), F.col("centroid"), sub))
+        .groupBy(id_col, "subspace")
+        .agg(F.min(F.struct(F.col("_d"), F.col("code"))).alias("_best"))
+        .select(id_col, "subspace", F.col("_best.code").alias("code"))
+    )
+    return assigned.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("subspace", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+
+
+def topk_pq(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int,
+    query_filter: Column,
+    m: int = 8,
+    n_codes: int = 16,
+    shortlist_mult: int = 8,
+    codes: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate top-k cosine via PRODUCT QUANTIZATION with asymmetric
+    distance computation (ADC) + exact re-rank — the memory-bound ANN
+    scale path: the scan touches only the 8-byte code relation, never the
+    raw vectors, until the per-query shortlist is exact-reranked.
+
+    ADC (Jégou et al. 2011, asymmetric form): queries stay EXACT; a
+    query's similarity to a code word is looked up, not computed —
+    ``dot(q, x) ≈ Σ_s dot(q_s, centroid[code_s])`` and ``‖x‖² ≈
+    Σ_s ‖centroid[code_s]‖²``, so approx-cosine needs one small LUT of
+    |queries| × m × n_codes rows (broadcast) joined against the exploded
+    code relation on (subspace, code) — map-side, then one
+    (query, vec)-keyed partial-sum shuffle. The ``shortlist_mult·k`` best
+    ADC candidates per query are exactly re-ranked with the ordered-fold
+    kernel (same scorer as brute force), so emitted cosines are exact and
+    recall is governed by shortlist quality (pinned by the driver's
+    recall bound-check). Pass persisted ``codes``/``codebooks``
+    (:func:`pq_codes` / :func:`pq_codebooks`) so the probe never touches
+    corpus raw vectors except for the shortlist re-rank; at 100 TB,
+    compose with IVF cells to drop the linear code scan too."""
+    if codebooks is None:
+        codebooks = pq_codebooks(df, id_col, vec_col, dim, m, n_codes)
+    codebooks = codebooks.cache()
+    if codes is None:
+        codes = pq_codes(df, id_col, vec_col, dim, codebooks, m)
+    sub = dim // m
+    pre = pack_vectors(df, id_col, vec_col, dim).cache()
+    q = pre.filter(query_filter).select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm2").alias("qn"),
+    )
+    # LUT: per (query, subspace, code) the partial dot + the code word's
+    # partial squared norm — |queries| x m x n_codes rows, broadcast
+    lut = (
+        q.crossJoin(codebooks)
+        .select(
+            "query_id",
+            "qn",
+            "subspace",
+            "code",
+            dot(
+                F.slice(F.col("qv"), F.col("subspace") * sub + 1, sub),
+                F.col("centroid"),
+                sub,
+            ).alias("_pdot"),
+            dot(F.col("centroid"), F.col("centroid"), sub).alias("_pn2"),
+        )
+    )
+    exploded = codes.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.posexplode("codes").alias("subspace", "code"),
+    )
+    adc = (
+        exploded.join(F.broadcast(lut), ["subspace", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id", "qn")
+        .agg(F.sum("_pdot").alias("_adot"), F.sum("_pn2").alias("_an2"))
+        .withColumn(
+            "_acos",
+            F.col("_adot")
+            / F.sqrt(F.col("qn") * F.greatest(F.col("_an2"), F.lit(1e-300))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_acos").desc(), F.col("neighbor_id")
+    )
+    short = (
+        adc.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= shortlist_mult * k)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank of the shortlist with the shared bit-exact scorer
+    qs = q.select("query_id", "qv", "qn")
+    cs = pre.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("norm2").alias("nn"),
+    )
+    pairs = short.join(F.broadcast(qs), "query_id").join(cs, "neighbor_id")
+    scored = score_pairs(pairs)
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def knn_label_vote(topk: DataFrame, labels: DataFrame, id_col: str, label_col: str) -> DataFrame:
     """Majority label among a query's top-k neighbors (ties -> smaller label)."""
     joined = topk.join(

@@ -55,6 +55,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_topk_lsh": q_ann_topk_lsh,  # recall bound-check vs brute force
     "sim_ann_topk_ivf": q_ann_topk_ivf,  # recall bound-check vs brute force
     "sim_ann_topk_ivf_trained": q_ann_topk_ivf_trained,  # k-means codebook
+    "sim_ann_topk_pq": q_ann_topk_pq,  # product-quantization ADC + exact re-rank
     "sim_knn_label_vote": q_knn_label_vote,
     "sim_bm25_topk": q_sim_bm25_topk,  # Okapi BM25 keyword retrieval, shared-expr oracle
     "sim_bm25_multi_query": q_sim_bm25_multi_query,  # batched retrieval, query relation

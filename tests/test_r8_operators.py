@@ -1013,3 +1013,87 @@ def test_self_scrub_entry_restores_salted_docs(spark):
             assert text == norm[d] and n == 8
         else:
             assert text == norm[d] and n == 0
+
+
+# ---------------------------------------------------------------------------
+# r8 continuation: product-quantization ANN (Jégou et al. 2011)
+# ---------------------------------------------------------------------------
+
+def test_pq_codes_shape_and_determinism(spark):
+    """pq_codes emits one m-length code array per vector with codes in
+    [0, n_codes); codebooks are deterministic (same draw twice)."""
+    from iceberg_ingestion_spark.operators.similarity import pq_codebooks, pq_codes
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    m, nc = 16, 32
+    cb1 = pq_codebooks(e, "vec_id", "embedding", 64, m, nc)
+    cb2 = pq_codebooks(e, "vec_id", "embedding", 64, m, nc)
+    rows = lambda d: sorted(  # noqa: E731
+        (r.subspace, r.code, tuple(r.centroid)) for r in d.collect()
+    )
+    assert rows(cb1) == rows(cb2)
+    assert len(rows(cb1)) == m * nc
+    codes = pq_codes(e, "vec_id", "embedding", 64, cb1, m).collect()
+    assert len(codes) == e.count()
+    for r in codes:
+        assert len(r.codes) == m
+        assert all(0 <= c < nc for c in r.codes)
+
+
+def test_topk_pq_persisted_codes_path_identical(spark, tmp_path):
+    """topk_pq with persisted codes + codebooks (parquet round-trip) equals
+    the self-contained form — the probe-from-index contract."""
+    from pyspark.sql import functions as F
+
+    from iceberg_ingestion_spark.operators.similarity import (
+        pq_codebooks,
+        pq_codes,
+        topk_pq,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    flt = F.col("vec_id") % 50 == 0
+    args = dict(m=16, n_codes=32, shortlist_mult=16)
+    cb_path, codes_path = str(tmp_path / "pqcb"), str(tmp_path / "pqcodes")
+    cb = pq_codebooks(e, "vec_id", "embedding", 64, 16, 32)
+    cb.write.parquet(cb_path)
+    cb_back = spark.read.parquet(cb_path)
+    pq_codes(e, "vec_id", "embedding", 64, cb_back, 16).write.parquet(codes_path)
+    codes_back = spark.read.parquet(codes_path)
+
+    rows = lambda d: sorted(  # noqa: E731
+        (r.query_id, r.neighbor_id, r.rank, round(r.cosine, 12)) for r in d.collect()
+    )
+    live = topk_pq(e, "vec_id", "embedding", 64, 5, flt, **args)
+    persisted = topk_pq(
+        e, "vec_id", "embedding", 64, 5, flt,
+        codes=codes_back, codebooks=cb_back, **args,
+    )
+    assert rows(persisted) == rows(live)
+    assert rows(live)
+
+
+def test_topk_pq_recall_floor(spark):
+    """PQ-ADC + exact re-rank clears the family recall floor on the fixture
+    embeddings, and emitted cosines are exactly the true cosines (the
+    re-rank is exact — only WHICH candidates enter is approximate)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_ingestion_spark.operators.similarity import topk_bruteforce, topk_pq
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    flt = F.col("vec_id") % 50 == 0
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in topk_bruteforce(e, "vec_id", "embedding", 64, 5, flt).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in topk_pq(
+            e, "vec_id", "embedding", 64, 5, flt, m=16, n_codes=32, shortlist_mult=16
+        ).collect()
+    }
+    hit = set(exact) & set(approx)
+    assert len(hit) / len(exact) >= 0.3
+    for pair in hit:
+        assert approx[pair] == exact[pair]  # bit-equal: shared exact scorer
