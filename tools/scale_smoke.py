@@ -313,6 +313,11 @@ def ann_curve(mults: list[int]) -> int:
             ("ivf", lambda: similarity.topk_ivf(
                 vecs, "vec_id", "embedding", 64, 5, qf, n_cells=16, nprobe=4)),
             ("ivf_trained", _trained),
+            # code build inside the timed region (honest end-to-end);
+            # production amortizes it via the persisted codes= path
+            ("pq", lambda: similarity.topk_pq(
+                vecs, "vec_id", "embedding", 64, 5, qf,
+                m=16, n_codes=32, shortlist_mult=16)),
         ]:
             t0 = time.time()
             try:
@@ -325,7 +330,7 @@ def ann_curve(mults: list[int]) -> int:
         if "brute" in results:
             exact_pairs = results["brute"].select("query_id", "neighbor_id")
             n_exact = exact_pairs.count()
-            for name in ("lsh", "ivf", "ivf_trained"):
+            for name in ("lsh", "ivf", "ivf_trained", "pq"):
                 if name not in results:
                     continue
                 hits = exact_pairs.join(
