@@ -604,11 +604,19 @@ def pq_codebooks(
         raise ValueError(f"pq_codebooks: dim {dim} not divisible by m {m}")
     sub = dim // m
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # empty-partitionBy window is safe here: it runs over the LIMIT-bounded
+    # n_codes rows (<=32), never the corpus — the module's documented
+    # value-space-bounded window convention; ordered by the md5 draw key
+    # (NOT a constant) so code ids are deterministic across runs/engines
     seeds = (
-        df.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        df.select(
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+            F.col(id_col).alias("_i"),
+            v.alias("_v"),
+        )
+        .orderBy("_h", "_i")
         .limit(n_codes)
-        .select(v.alias("_v"))
-        .withColumn("code", F.row_number().over(Window.orderBy(F.lit(1))) - 1)
+        .withColumn("code", F.row_number().over(Window.orderBy("_h", "_i")) - 1)
     )
     return seeds.select(
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("subspace"),

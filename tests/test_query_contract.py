@@ -99,6 +99,11 @@ def test_no_unbounded_nested_loop_joins(spark):
         # limit-1) joins into the increment's weight pass as a broadcast
         # 1-row relation — same pattern as dedup_tfidf_cosine's stats
         "dedup_incremental_tfidf",
+        # r8: PQ — the ADC LUT is queries x (m x n_codes) codebook rows by
+        # DESIGN (|queries| x 512 tiny rows, broadcast; that lookup table
+        # replacing per-pair arithmetic is the whole point of ADC), plus
+        # the brute-force exact counterpart for the in-query recall bound
+        "sim_ann_topk_pq",
     }
     offenders = []
     for name, fn in entry_mod.queries().items():
