@@ -780,6 +780,129 @@ def topk_pq(
     )
 
 
+def topk_ivfpq(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int,
+    query_filter: Column,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    shortlist_mult: int = 8,
+) -> DataFrame:
+    """IVF × PQ composition — the shape a 100 TB ANN index actually runs
+    (Jégou et al. 2011's IVFADC, minus residual encoding — cells prune
+    WHICH codes are scanned, PQ prunes what a scan READS): corpus vectors
+    carry a coarse cell id (hash-spread centroids, broadcast — the
+    ``topk_ivf`` quantizer) plus their PQ codes; a query exactly ranks the
+    coarse centroids, probes its ``nprobe`` nearest cells, ADC-scores ONLY
+    the code rows in probed cells (candidate volume ~nprobe/n_cells of the
+    corpus, each read as ``m`` bytes of codes), and the shortlist is
+    exact-reranked with the shared scorer. Both prunes multiply: the scan
+    is linear in neither corpus bytes nor corpus rows."""
+    from iceberg_ingestion_spark.operators.clustering import (
+        assign_nearest,
+        hash_spread_centroids,
+    )
+
+    sub = dim // m
+    cents = hash_spread_centroids(df, id_col, vec_col, n_cells).cache()
+    cells = assign_nearest(df, cents, id_col, vec_col, dim).select(
+        F.col(id_col).cast("long").alias("neighbor_id"), "cluster_id"
+    )
+    codebooks = pq_codebooks(df, id_col, vec_col, dim, m, n_codes).cache()
+    codes = pq_codes(df, id_col, vec_col, dim, codebooks, m)
+    pre = pack_vectors(df, id_col, vec_col, dim).cache()
+    q = pre.filter(query_filter).select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm2").alias("qn"),
+    )
+    # each query's nprobe nearest coarse cells (exact over broadcast cents)
+    qcells = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "_d",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"), F.col("centroid"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("_d"), F.col("cluster_id"))
+            ),
+        )
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", "cluster_id")
+    )
+    # candidate (query, neighbor) pairs: corpus rows in probed cells only
+    cand = cells.join(F.broadcast(qcells), "cluster_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id")
+    lut = (
+        q.crossJoin(codebooks)
+        .select(
+            "query_id",
+            "qn",
+            "subspace",
+            "code",
+            dot(
+                F.slice(F.col("qv"), F.col("subspace") * sub + 1, sub),
+                F.col("centroid"),
+                sub,
+            ).alias("_pdot"),
+            dot(F.col("centroid"), F.col("centroid"), sub).alias("_pn2"),
+        )
+    )
+    exploded = codes.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.posexplode("codes").alias("subspace", "code"),
+    )
+    adc = (
+        cand.join(exploded, "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "subspace", "code"])
+        .groupBy("query_id", "neighbor_id", "qn")
+        .agg(F.sum("_pdot").alias("_adot"), F.sum("_pn2").alias("_an2"))
+        .withColumn(
+            "_acos",
+            F.col("_adot")
+            / F.sqrt(F.col("qn") * F.greatest(F.col("_an2"), F.lit(1e-300))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_acos").desc(), F.col("neighbor_id")
+    )
+    short = (
+        adc.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= shortlist_mult * k)
+        .select("query_id", "neighbor_id")
+    )
+    qs = q.select("query_id", "qv", "qn")
+    cs = pre.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("norm2").alias("nn"),
+    )
+    pairs = short.join(F.broadcast(qs), "query_id").join(cs, "neighbor_id")
+    scored = score_pairs(pairs)
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def knn_label_vote(topk: DataFrame, labels: DataFrame, id_col: str, label_col: str) -> DataFrame:
     """Majority label among a query's top-k neighbors (ties -> smaller label)."""
     joined = topk.join(

@@ -1097,3 +1097,36 @@ def test_topk_pq_recall_floor(spark):
     assert len(hit) / len(exact) >= 0.3
     for pair in hit:
         assert approx[pair] == exact[pair]  # bit-equal: shared exact scorer
+
+
+def test_topk_ivfpq_recall_and_exact_rerank(spark):
+    """IVF x PQ composition (the 100-TB index shape: cells prune which
+    codes are scanned, PQ prunes what a scan reads): clears the family
+    recall floor, emitted cosines are exact on hit pairs, output shape
+    matches the sibling top-k operators."""
+    from pyspark.sql import functions as F
+
+    from iceberg_ingestion_spark.operators.similarity import (
+        topk_bruteforce,
+        topk_ivfpq,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    flt = F.col("vec_id") % 50 == 0
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in topk_bruteforce(e, "vec_id", "embedding", 64, 5, flt).collect()
+    }
+    rows = topk_ivfpq(
+        e, "vec_id", "embedding", 64, 5, flt,
+        n_cells=16, nprobe=6, m=16, n_codes=32, shortlist_mult=16,
+    ).collect()
+    approx = {(r.query_id, r.neighbor_id): r.cosine for r in rows}
+    hit = set(exact) & set(approx)
+    assert len(hit) / len(exact) >= 0.3
+    for pair in hit:
+        assert approx[pair] == exact[pair]
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
