@@ -318,6 +318,9 @@ def ann_curve(mults: list[int]) -> int:
             ("pq", lambda: similarity.topk_pq(
                 vecs, "vec_id", "embedding", 64, 5, qf,
                 m=16, n_codes=32, shortlist_mult=16)),
+            ("ivfpq", lambda: similarity.topk_ivfpq(
+                vecs, "vec_id", "embedding", 64, 5, qf,
+                n_cells=16, nprobe=6, m=16, n_codes=32, shortlist_mult=16)),
         ]:
             t0 = time.time()
             try:
@@ -330,7 +333,7 @@ def ann_curve(mults: list[int]) -> int:
         if "brute" in results:
             exact_pairs = results["brute"].select("query_id", "neighbor_id")
             n_exact = exact_pairs.count()
-            for name in ("lsh", "ivf", "ivf_trained", "pq"):
+            for name in ("lsh", "ivf", "ivf_trained", "pq", "ivfpq"):
                 if name not in results:
                     continue
                 hits = exact_pairs.join(
