@@ -1513,8 +1513,17 @@ def containment_df_relation(index: DataFrame) -> DataFrame:
     probe derives it from the index for self-containment. Reads the stored
     frozen ``_df`` (constant per shingle) rather than counting rows, so the
     derivation is exact on an APPENDED index too — appended rows carry the
-    frozen df they were ranked under (new vocabulary: 0)."""
-    return index.groupBy("shingle").agg(F.first("_df").alias("_df"))
+    frozen df they were ranked under (new vocabulary: 0).
+
+    SCHEMA NOTE (ADVICE r8): ``_df`` joined the persisted index schema in
+    r8 ("v2"). Indexes persisted by the r6/r7 schema lack the column, and
+    for a never-appended index counting rows IS the frozen df — so v1
+    indexes fall back to the count derivation instead of failing analysis.
+    A v1 index that was appended to can't exist (append requires v2), so
+    the fallback is always exact."""
+    if "_df" in index.columns:
+        return index.groupBy("shingle").agg(F.first("_df").alias("_df"))
+    return index.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
 
 
 def containment_index_append(

@@ -69,13 +69,17 @@ def quality_logit(texts: list[str]) -> list[float]:
     regex whitespace split of lower(trim(coalesce(text,''))) — note
     ``re.split(r'\\s+', '')`` gives ``['']`` like DuckDB/Spark's split,
     NOT Python ``str.split``'s ``[]`` — digit/punct counts over the raw
-    coalesced text."""
+    coalesced text. The pre-split strip is ``strip(' ')`` (SPACES only),
+    matching SQL ``trim``: bare ``str.strip()`` strips tabs/newlines too,
+    which on tab/newline-padded text drops the empty edge token the SQL
+    side keeps (ADVICE r8) — the bit-equal contract must hold on ALL
+    inputs, not just the fixture corpus."""
     import re
 
     out = []
     for t in texts:
         t = t or ""
-        toks = re.split(r"\s+", t.strip().lower())
+        toks = re.split(r"\s+", t.strip(" ").lower())
         z = (
             QUALITY_BIAS
             + QUALITY_W_TOKENS * len(toks)

@@ -710,8 +710,11 @@ def topk_pq(
     corpus raw vectors except for the shortlist re-rank; at 100 TB,
     compose with IVF cells to drop the linear code scan too."""
     if codebooks is None:
-        codebooks = pq_codebooks(df, id_col, vec_col, dim, m, n_codes)
-    codebooks = codebooks.cache()
+        # cache only the relation THIS function builds — caching a
+        # caller-passed codebook would mutate persistence state the caller
+        # owns (and leak it: nothing here could safely unpersist a
+        # DataFrame reused across probes)
+        codebooks = pq_codebooks(df, id_col, vec_col, dim, m, n_codes).cache()
     if codes is None:
         codes = pq_codes(df, id_col, vec_col, dim, codebooks, m)
     sub = dim // m

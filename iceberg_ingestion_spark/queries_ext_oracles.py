@@ -709,7 +709,9 @@ ORACLES_EXT: dict[str, str] = {
                    ROW_NUMBER() OVER (PARTITION BY q.vec_id
                        ORDER BY {_cosine_sql('q.embedding', 'c.embedding')} DESC, c.vec_id) AS rank
             FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
-            WHERE q.vec_id % 50 = 0
+            WHERE q.vec_id IN (SELECT vec_id FROM embeddings
+                               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                               LIMIT {ANN_PANEL_SIZE})
             QUALIFY rank <= {ANN_K}
         ), votes AS (
             SELECT query_id, label, count(*) AS votes FROM topk GROUP BY 1, 2

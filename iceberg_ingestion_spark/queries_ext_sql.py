@@ -101,13 +101,21 @@ sessioned AS (
 """.format(gap=SESSION_GAP_US)
 
 
+#: the fixed-size md5-rank query panel (VERDICT r8 #1) — mirrors
+#: ``ann_panel_filter``'s bounded draw exactly: Spark md5(CAST(bigint AS
+#: string)) and DuckDB md5(CAST(... AS VARCHAR)) hash the same decimal text
+_ANN_PANEL_SQL = (
+    "SELECT vec_id FROM embeddings "
+    f"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {ANN_PANEL_SIZE}"
+)
+
 _BRUTEFORCE_TOPK_SQL = f"""
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                ROW_NUMBER() OVER (PARTITION BY q.vec_id
                    ORDER BY {_cosine_sql('q.embedding', 'c.embedding')} DESC, c.vec_id) AS rank,
                {_cosine_sql('q.embedding', 'c.embedding')} AS cosine
         FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
-        WHERE q.vec_id % 50 = 0
+        WHERE q.vec_id IN ({_ANN_PANEL_SQL})
         QUALIFY rank <= {ANN_K}
     """
 

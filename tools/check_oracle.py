@@ -61,6 +61,9 @@ def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> str:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    if not os.path.isdir(sf_dir):
+        print(f"check_oracle: sf dir {sf_dir!r} does not exist", file=sys.stderr)
+        return 2
 
     import __spark_entry__ as e
     from iceberg_ingestion_spark.session import build_session
