@@ -837,6 +837,80 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_check(exact, approx)
 
 
+def q_ann_topk_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ with k-means-TRAINED sub-codebooks (VERDICT r8 #3):
+    :func:`similarity.train_pq_codebooks` — one joint per-subspace Lloyd
+    (deterministic hash-sample, decimal-exact means) — feeding the identical
+    ADC probe path at equal (m, n_codes). Measured recall@5 vs the
+    hash-spread draw on the driver corpora (fixed 128-query panel):
+    0.9938/0.9969/0.9391 trained vs 0.9703/0.9750/0.8859 untrained at
+    sf0.001/0.01/0.1 — trained dominates everywhere, exactly where the r8
+    0.87 dip lived (BASELINE.md r9 notes). Same recall bound-check oracle."""
+    e = read_table(spark, sf_dir, "embeddings", spread=True)
+    flt = ann_panel_filter(e)
+    exact = similarity.topk_bruteforce(e, "vec_id", "embedding", EMBED_DIM, ANN_K, flt)
+    cb = similarity.train_pq_codebooks(
+        e, "vec_id", "embedding", EMBED_DIM, m=16, n_codes=32
+    )
+    approx = similarity.topk_pq(
+        e, "vec_id", "embedding", EMBED_DIM, ANN_K, flt,
+        m=16, n_codes=32, shortlist_mult=16, codebooks=cb,
+    )
+    return _ann_recall_check(exact, approx)
+
+
+def q_ann_chained_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED-INCREMENT PQ index graded at the driver (VERDICT r8 #4 —
+    the daily-crawl shape every dedup family already carries, now for the
+    ANN index): codebooks are built on day1 and FROZEN; day2 and day3
+    arrive as increments whose codes are union-appended
+    (:func:`similarity.pq_codes_append` — per-doc encoding under frozen
+    codebooks, so ``encode(d1) ∪ encode(d2) == encode(d1 ∪ d2)`` exactly,
+    pytest-pinned); the probe runs :func:`similarity.topk_pq` against the
+    PERSISTED-index form (``codes=``/``codebooks=`` — no corpus re-encode)
+    over the full corpus. Recall bound-check vs the brute-force baseline:
+    a green row proves the multi-day appended index answers queries within
+    the family's floor without ever rebuilding."""
+    e = read_table(spark, sf_dir, "embeddings", spread=True)
+    d1 = e.filter(F.col("vec_id") % 5 != 0)
+    d2 = e.filter(F.col("vec_id") % 10 == 0)
+    d3 = e.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") % 10 != 0))
+    books = similarity.pq_codebooks(
+        d1, "vec_id", "embedding", EMBED_DIM, m=16, n_codes=32
+    )
+    codes = similarity.pq_codes(d1, "vec_id", "embedding", EMBED_DIM, books, m=16)
+    for day in (d2, d3):
+        codes = similarity.pq_codes_append(
+            codes, day, "vec_id", "embedding", EMBED_DIM, books, m=16
+        )
+    flt = ann_panel_filter(e)
+    exact = similarity.topk_bruteforce(e, "vec_id", "embedding", EMBED_DIM, ANN_K, flt)
+    approx = similarity.topk_pq(
+        e, "vec_id", "embedding", EMBED_DIM, ANN_K, flt,
+        m=16, n_codes=32, shortlist_mult=16, codes=codes, codebooks=books,
+    )
+    return _ann_recall_check(exact, approx)
+
+
+def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF × PQ top-k (VERDICT r8 #2 — the repo's own 100-TB ANN flagship,
+    graded instead of pytest-only): coarse cells prune WHICH vectors are
+    scanned (nprobe/n_cells of the corpus), PQ codes prune what a scan
+    READS (16 B/vector), shortlist exact-reranked with the shared scorer —
+    :func:`similarity.topk_ivfpq`, Jégou et al. 2011's IVFADC shape. Same
+    fixed 128-query panel and recall bound-check oracle as the sibling
+    entries. Parameters match the PQ entry (m=16, n_codes=32) with the IVF
+    entry's cells (16, nprobe=4); the recall floor is checked in-query."""
+    e = read_table(spark, sf_dir, "embeddings", spread=True)
+    flt = ann_panel_filter(e)
+    exact = similarity.topk_bruteforce(e, "vec_id", "embedding", EMBED_DIM, ANN_K, flt)
+    approx = similarity.topk_ivfpq(
+        e, "vec_id", "embedding", EMBED_DIM, ANN_K, flt,
+        n_cells=16, nprobe=4, m=16, n_codes=32, shortlist_mult=16,
+    )
+    return _ann_recall_check(exact, approx)
+
+
 def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings", spread=True)
     topk = similarity.topk_bruteforce(

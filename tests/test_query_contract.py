@@ -104,6 +104,15 @@ def test_no_unbounded_nested_loop_joins(spark):
         # replacing per-pair arithmetic is the whole point of ADC), plus
         # the brute-force exact counterpart for the in-query recall bound
         "sim_ann_topk_pq",
+        # r9: same designed ADC-LUT broadcast + brute-force counterpart, with
+        # trained codebooks / a frozen-codebook appended code relation
+        "sim_ann_topk_pq_trained",
+        "sim_ann_chained_pq",
+        # r9: IVF x PQ — the broadcast legs are the coarse-centroid ranking
+        # (queries x 16 cells) and the ADC LUT (queries x 512 codebook rows),
+        # both designed bounded lookup tables, plus the brute-force exact
+        # counterpart for the in-query recall bound
+        "sim_ann_topk_ivfpq",
     }
     offenders = []
     for name, fn in entry_mod.queries().items():
