@@ -139,6 +139,74 @@ def batch_score(
     )
 
 
+#: Stub-BPE granularity: ~4 chars per subtoken is the classic BPE rule of
+#: thumb; the count is exact integer arithmetic so any engine recomputes it.
+BPE_CHARS_PER_TOKEN = 4
+
+
+def stub_bpe_count(texts: list[str]) -> list[int]:
+    """Deterministic stand-in for a real tokenizer's ``len(encode(text))``
+    (VERDICT r8 #7): whitespace words of lower(trim-spaces(text)), each
+    contributing ``ceil(len(word)/4)`` subtokens — the BPE-shaped property
+    that long words cost MORE than one token (whitespace counting, which
+    the r1-r8 packing entries used, treats 'a' and
+    'antidisestablishmentarianism' identically). Same whitespace class as
+    :func:`quality_logit` (strip SPACES only — SQL ``trim``); the empty
+    edge token costs 0. Swap in a real tokenizer via ``count_fn`` on
+    :func:`batch_tokenize`."""
+    import re
+
+    out = []
+    for t in texts:
+        toks = re.split(r"\s+", (t or "").strip(" ").lower())
+        out.append(
+            sum(
+                (len(w) + BPE_CHARS_PER_TOKEN - 1) // BPE_CHARS_PER_TOKEN
+                for w in toks
+            )
+        )
+    return out
+
+
+def stub_bpe_count_sql(text_expr: str = "coalesce(text, '')") -> str:
+    """The stub-BPE count as a DuckDB expression from the SAME constant —
+    pure integer arithmetic, so the oracle recomputation is exact."""
+    toks = f"regexp_split_to_array(lower(trim({text_expr})), '\\s+')"
+    per = f"(len(w) + {BPE_CHARS_PER_TOKEN - 1}) // {BPE_CHARS_PER_TOKEN}"
+    return f"CAST(list_sum(list_transform({toks}, w -> {per})) AS BIGINT)"
+
+
+def batch_tokenize(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    count_fn: Callable[[list[str]], list[int]] = stub_bpe_count,
+    init_fn: Callable[[], object] | None = None,
+) -> DataFrame:
+    """(id, n_tokens: bigint) for every row — the tokenizer seam
+    (VERDICT r8 #7), the third rider on the :func:`batch_score` /
+    :func:`batch_embed` plumbing: Arrow batches through ``mapInPandas``,
+    ``init_fn`` (tokenizer load — e.g. a BPE merges file) once per Python
+    worker, ``count_fn`` over each batch's text list. Token counts drive
+    packing budgets and quantile gates; at scale this is map-only, and the
+    counts relation joins back to the corpus on the (uniform) id."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        if init_fn is not None:
+            init_fn()
+        for pdf in batches:
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "n_tokens": count_fn(list(pdf[text_col]))}
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} {id_type}, n_tokens bigint"
+    )
+
+
 def batch_embed(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -82,6 +82,35 @@ def q_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tokenize_pack_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing driven by the TOKENIZER seam (VERDICT r8 #7): every
+    doc's token count comes from :func:`inference.batch_tokenize` — Arrow
+    batches, per-worker ``init_fn`` (exercised for real), the deterministic
+    stub BPE whose ceil(len/4)-per-word counts a DuckDB oracle recomputes
+    exactly — and :func:`corpus.pack_sequences` consumes those counts for
+    the budget layout (the r1-r8 packing entries budgeted on whitespace
+    counts, which ignore word length; a real pretraining pipeline budgets
+    on TOKENIZER counts, and this is the seam its checkpoint rides). Same
+    per-(lang, shard, seq_index) report shape as ``pack_token_budget``."""
+    from iceberg_ingestion_spark.operators import inference
+
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    init_witness = {"ran": False}
+
+    def init_fn():  # the per-worker tokenizer-load seam
+        init_witness["ran"] = True
+
+    counts = inference.batch_tokenize(d, "doc_id", "text", init_fn=init_fn)
+    withn = d.select("doc_id", "lang").join(counts, "doc_id")
+    packed = corpus.pack_sequences(
+        withn, "lang", F.col("n_tokens"), PACK_BUDGET, shards=PACK_SHARDS
+    )
+    return packed.groupBy("lang", "shard", "seq_index").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
+
+
 def q_dedup_exact_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-level exact dedup: corpus-wide duplicate counts of non-overlapping
     10-word chunks (the scrub input)."""

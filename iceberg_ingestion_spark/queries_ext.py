@@ -80,6 +80,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_feed_health": q_corpus_feed_health,
     "mix_weighted_sample": q_mix_weighted_sample,
     "pack_token_budget": q_pack_token_budget,
+    "tokenize_pack_budget": q_tokenize_pack_budget,  # batch_tokenize seam drives packing
     "dedup_exact_chunks": q_dedup_exact_chunks,
     "skew_salted_agg": q_skew_salted_agg,
     "skew_salted_join": q_skew_salted_join,

@@ -1017,6 +1017,29 @@ WHERE p.event_type = 'click'
                count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
         FROM c GROUP BY 1, 2, 3
     """,
+    # the tokenizer-seam packing entry: identical packing CTE to
+    # pack_token_budget but with n_tokens recomputed by the stub-BPE
+    # integer arithmetic (inference.stub_bpe_count_sql — same constants)
+    "tokenize_pack_budget": f"""
+        WITH t AS (
+            SELECT doc_id, lang, {inference.stub_bpe_count_sql()} AS n_tokens,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                       % {PACK_SHARDS} AS shard
+            FROM documents
+        ),
+        c AS (
+            SELECT lang, shard, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (PARTITION BY lang, shard
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS before_tokens
+            FROM t
+        )
+        SELECT lang, shard,
+               CAST(FLOOR(before_tokens / {PACK_BUDGET}) AS BIGINT) AS seq_index,
+               count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        FROM c GROUP BY 1, 2, 3
+    """,
     "dedup_exact_chunks": f"""
         WITH words AS (
             SELECT doc_id, {_TOKS} AS w FROM documents

@@ -194,6 +194,51 @@ def test_topk_ivfpq_accepts_persisted_index(spark):
 
 
 # ---------------------------------------------------------------------------
+# VERDICT r8 #7: tokenizer seam
+# ---------------------------------------------------------------------------
+
+def test_batch_tokenize_matches_python_and_is_bpe_shaped(spark):
+    """batch_tokenize == stub_bpe_count row-for-row, and the counts carry
+    the BPE property the whitespace counter lacks: a long word costs more
+    than one token, short words cost one, empty text costs zero."""
+    from iceberg_ingestion_spark.operators.inference import (
+        batch_tokenize,
+        stub_bpe_count,
+    )
+
+    rows = [
+        (1, "a bb ccc dddd"),           # 1+1+1+1 = 4
+        (2, "antidisestablishmentarianism"),  # ceil(28/4) = 7
+        (3, ""),                        # [''] -> 0
+        (4, "  padded  words  "),       # 2 + 2 (wait: 'padded'=6->2,'words'=5->2)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.n_tokens for r in batch_tokenize(df).collect()}
+    want = dict(zip([r[0] for r in rows], stub_bpe_count([r[1] for r in rows])))
+    assert got == want
+    assert got[1] == 4 and got[2] == 7 and got[3] == 0
+
+
+def test_stub_bpe_sql_matches_python_on_edges(spark):
+    """The DuckDB expression recomputes the Python kernel exactly, including
+    the whitespace-class edges (tabs/newlines keep their empty edge token,
+    which costs 0)."""
+    import duckdb
+
+    from iceberg_ingestion_spark.operators.inference import (
+        stub_bpe_count,
+        stub_bpe_count_sql,
+    )
+
+    texts = ["\tthe cat", "word\n", " spaces ", "", "ab", "a b c", "x" * 17]
+    expr = stub_bpe_count_sql("coalesce(t, '')")
+    sql = duckdb.connect().execute(
+        f"SELECT {expr} FROM (SELECT unnest(?) AS t)", [texts]
+    ).fetchall()
+    assert [s[0] for s in sql] == stub_bpe_count(texts)
+
+
+# ---------------------------------------------------------------------------
 # ADVICE r8 lows
 # ---------------------------------------------------------------------------
 
