@@ -475,6 +475,101 @@ def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_prep_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus prep, SPAN-LEVEL + MODEL-GATED (VERDICT r8 #5 —
+    the chain Lee et al. 2022 / C4-style pipelines actually run, composing
+    the r8/r9 operators the v1 entry predates): keep-first SPAN scrub
+    (:func:`dedup.substring_span_scrub` — any-offset duplicated runs, not
+    chunk-aligned boilerplate) → exact dedup on the scrubbed text →
+    SPAN-LEVEL benchmark decontamination (:func:`dedup.decon_span_scrub` —
+    the quote is removed, not the page; bench = held-out docs + the
+    sentinel item, every 13th pool doc salted so the stage provably fires
+    at every SF, same fixture convention as the standalone entry) →
+    classifier gate (:func:`inference.batch_score`, logit >= 0) →
+    weighted language mix → sequence packing on TOKENIZER counts
+    (:func:`inference.batch_tokenize` — the budget a real pipeline uses)
+    → export sharding, reporting per-shard stats. Every stage consumes the
+    previous stage's exact output and the oracle recomputes the WHOLE
+    chain in one CTE pipeline; all stages deterministic (md5 buckets,
+    min-id keeps, dyadic-weight exact logit, integer BPE counts).
+
+    Each scrub stage's output is MATERIALIZED at the stage boundary (the
+    ``operators/materialize`` seam — exactly what a production pipeline
+    persists between stages): every boundary relation fans into 2+ plan
+    subtrees (dedup key + survivor join; score + gate join; counts + pack
+    join), and lazy references would re-execute the span-scrub legs once
+    per consumer — measured 50 s -> ~8 s at sf0.001 from the three
+    truncations."""
+    from iceberg_ingestion_spark.operators import inference
+    from iceberg_ingestion_spark.operators.materialize import resolve
+
+    mat = resolve(None)
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    # 1. keep-first span scrub over the full corpus
+    cleaned = mat(
+        dedup.substring_span_scrub(d, "doc_id", k=SUBSTR_K, window=SUBSTR_WINDOW)
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", F.col("scrubbed_text").alias("text"), "lang")
+        .where(F.col("text") != "")
+    )
+    # 2. exact dedup on the scrubbed text
+    keep = dedup.duplicate_groups(
+        cleaned, "doc_id", text.fingerprint_md5("text"), min_count=1
+    ).select(F.col("keep_id").alias("doc_id"))
+    deduped = cleaned.join(keep, "doc_id")
+    # 3. span-level decon: bench = held-out ORIGINAL docs + sentinel item;
+    # pool = surviving docs, salted with the sentinel every 13th doc
+    bench = (
+        d.where(F.col("doc_id") % PREP_BENCH_MOD == 0)
+        .select("doc_id", "text")
+        .unionByName(
+            spark.createDataFrame(
+                [(DECON_SENTINEL_ID, DECON_SENTINEL)], "doc_id long, text string"
+            )
+        )
+    )
+    pool = deduped.where(F.col("doc_id") % PREP_BENCH_MOD != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 1,
+            F.concat_ws(" ", F.col("text"), F.lit(DECON_SENTINEL)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+    )
+    deconned = mat(
+        dedup.decon_span_scrub(
+            pool.select("doc_id", "text"), bench, "doc_id",
+            k=SUBSTR_K, window=SUBSTR_WINDOW,
+        )
+        .join(pool.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", F.col("scrubbed_text").alias("text"), "lang")
+        .where(F.col("text") != "")
+    )
+    # 4. model-scored quality gate through the batch_score seam
+    kept_ids = (
+        inference.batch_score(deconned, "doc_id", "text")
+        .where(F.col("score") >= 0.0)
+        .select("doc_id")
+    )
+    gated = deconned.join(kept_ids, "doc_id")
+    # 5-7. deterministic mix, tokenizer-count packing, sharding
+    mixed = mat(corpus.weighted_mix(gated, "lang", PREP_MIX))
+    counts = inference.batch_tokenize(mixed, "doc_id", "text")
+    packed = corpus.pack_sequences(
+        mixed.select("doc_id", "lang").join(counts, "doc_id"),
+        "lang", F.col("n_tokens"), budget=PREP_BUDGET, shards=PREP_PACK_SHARDS,
+    )
+    sharded = corpus.shard_assign(packed, "doc_id", PREP_SHARDS)
+    return sharded.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang", "shard", "seq_index").alias("n_seqs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
 def q_quality_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-scored quality filter (VERDICT r7 #5): every document scored
     through the :func:`inference.batch_score` seam — Arrow-batched

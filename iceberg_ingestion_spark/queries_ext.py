@@ -107,5 +107,6 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_edit_distance": q_dedup_edit_distance,
     "quality_classifier_gate": q_quality_classifier_gate,  # batch_score seam, exact-logit oracle
     "corpus_prep_pipeline": q_corpus_prep_pipeline,  # scrub->dedup->decon->mix->pack->shard composed
+    "corpus_prep_pipeline_v2": q_corpus_prep_pipeline_v2,  # span scrubs + classifier gate + BPE pack
 }
 

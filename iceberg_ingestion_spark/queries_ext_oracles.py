@@ -1474,6 +1474,171 @@ WHERE p.event_type = 'click'
                count(DISTINCT lang) AS n_langs
         FROM sh GROUP BY shard_id
     """,
+    # the v2 composed pipeline: span scrub -> exact dedup -> span decon ->
+    # classifier gate -> mix -> tokenizer-count pack -> shard, the WHOLE
+    # chain recomputed as one CTE pipeline (each stage consuming the
+    # previous stage's exact output; every scrub is the NOT-EXISTS rebuild
+    # of the standalone entries, the gate is the exact dyadic logit, the
+    # pack budget the exact integer stub-BPE count)
+    "corpus_prep_pipeline_v2": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        s1g0 AS (
+            SELECT doc_id,
+                   unnest([{{'pos': i, 'gram': t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]}}
+                           for i in range(1, len(t) - {SUBSTR_K} + 2)]) AS u
+            FROM toks
+        ),
+        s1g AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM s1g0),
+        s1m AS (
+            SELECT a.doc_id AS id_1, b.doc_id AS id_2, a.pos AS p1, b.pos AS p2
+            FROM s1g a JOIN s1g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        ),
+        s1r AS (
+            SELECT id_1, id_2, p1, p2, p1 - p2 AS diag,
+                   p1 - row_number() OVER (PARTITION BY id_1, id_2, p1 - p2 ORDER BY p1) AS island
+            FROM s1m
+        ),
+        s1spans AS (
+            SELECT id_2, min(p2) AS start_2,
+                   CAST(count(*) + {SUBSTR_K} - 1 AS BIGINT) AS match_len
+            FROM s1r GROUP BY id_1, id_2, diag, island
+            HAVING count(*) + {SUBSTR_K} - 1 >= {SUBSTR_WINDOW} + {SUBSTR_K} - 1
+        ),
+        s1rem AS (
+            SELECT DISTINCT id_2 AS doc_id, start_2 AS s,
+                   start_2 + match_len - 1 AS e
+            FROM s1spans
+        ),
+        s1tokpos AS (
+            SELECT doc_id,
+                   unnest([{{'pos': i, 'tok': t[i]}} for i in range(1, len(t) + 1)]) AS u
+            FROM toks
+        ),
+        s1tok AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM s1tokpos),
+        s1kept AS (
+            SELECT tk.doc_id, tk.pos, tk.tok FROM s1tok tk
+            WHERE NOT EXISTS (
+                SELECT 1 FROM s1rem
+                WHERE s1rem.doc_id = tk.doc_id AND tk.pos BETWEEN s1rem.s AND s1rem.e
+            )
+        ),
+        scrub AS (
+            SELECT d.doc_id,
+                   coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS text
+            FROM documents d LEFT JOIN s1kept k ON k.doc_id = d.doc_id
+            GROUP BY d.doc_id
+        ),
+        cl AS (
+            SELECT s.doc_id, s.text, d.lang
+            FROM scrub s JOIN documents d USING (doc_id) WHERE s.text <> ''
+        ),
+        keep2 AS (
+            SELECT min(doc_id) AS doc_id FROM cl
+            GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        ),
+        dd AS (SELECT cl.* FROM cl JOIN keep2 USING (doc_id)),
+        bench AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % {PREP_BENCH_MOD} = 0
+            UNION ALL SELECT {DECON_SENTINEL_ID}, '{DECON_SENTINEL}'
+        ),
+        pool AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 13 = 1
+                        THEN concat_ws(' ', text, '{DECON_SENTINEL}')
+                        ELSE text END AS text,
+                   lang
+            FROM dd WHERE doc_id % {PREP_BENCH_MOD} <> 0
+        ),
+        tp AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM pool),
+        tb AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM bench),
+        gp0 AS (
+            SELECT doc_id,
+                   unnest([{{'pos': i, 'gram': t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]}}
+                           for i in range(1, len(t) - {SUBSTR_K} + 2)]) AS u
+            FROM tp
+        ),
+        gb0 AS (
+            SELECT doc_id,
+                   unnest([{{'pos': i, 'gram': t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]}}
+                           for i in range(1, len(t) - {SUBSTR_K} + 2)]) AS u
+            FROM tb
+        ),
+        gp AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM gp0),
+        gb AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM gb0),
+        s3m AS (
+            SELECT p.doc_id AS id_1, b.doc_id AS id_2, p.pos AS p1, b.pos AS p2
+            FROM gp p JOIN gb b ON p.gram = b.gram
+        ),
+        s3r AS (
+            SELECT id_1, id_2, p1, p2, p1 - p2 AS diag,
+                   p1 - row_number() OVER (PARTITION BY id_1, id_2, p1 - p2 ORDER BY p1) AS island
+            FROM s3m
+        ),
+        s3spans AS (
+            SELECT id_1, min(p1) AS s,
+                   CAST(count(*) + {SUBSTR_K} - 1 AS BIGINT) AS ml
+            FROM s3r GROUP BY id_1, id_2, diag, island
+            HAVING count(*) + {SUBSTR_K} - 1 >= {SUBSTR_WINDOW} + {SUBSTR_K} - 1
+        ),
+        s3rem AS (SELECT DISTINCT id_1 AS doc_id, s, s + ml - 1 AS e FROM s3spans),
+        s3tokpos AS (
+            SELECT doc_id,
+                   unnest([{{'pos': i, 'tok': t[i]}} for i in range(1, len(t) + 1)]) AS u
+            FROM tp
+        ),
+        s3tok AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM s3tokpos),
+        s3kept AS (
+            SELECT tk.doc_id, tk.pos, tk.tok FROM s3tok tk
+            WHERE NOT EXISTS (
+                SELECT 1 FROM s3rem
+                WHERE s3rem.doc_id = tk.doc_id AND tk.pos BETWEEN s3rem.s AND s3rem.e
+            )
+        ),
+        decon AS (
+            SELECT p.doc_id,
+                   coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS text,
+                   p.lang
+            FROM pool p LEFT JOIN s3kept k ON k.doc_id = p.doc_id
+            GROUP BY p.doc_id, p.lang
+        ),
+        dc AS (SELECT * FROM decon WHERE text <> ''),
+        gate AS (
+            SELECT * FROM dc
+            WHERE {inference.quality_logit_sql("coalesce(text, '')")} >= 0.0
+        ),
+        mixed AS (
+            SELECT * FROM gate
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 10000
+                  < CASE lang {" ".join(
+                        f"WHEN '{k}' THEN {int(round(v * 10000))}"
+                        for k, v in PREP_MIX.items()
+                    )} ELSE 0 END
+        ),
+        pk0 AS (
+            SELECT doc_id, lang,
+                   {inference.stub_bpe_count_sql()} AS n_tokens,
+                   ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
+                       % {PREP_PACK_SHARDS} AS shard
+            FROM mixed
+        ),
+        pk AS (
+            SELECT *, CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY lang, shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       / {PREP_BUDGET}) AS BIGINT) AS seq_index
+            FROM pk0
+        ),
+        sh AS (
+            SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT
+                       % {PREP_SHARDS} AS shard_id
+            FROM pk
+        )
+        SELECT shard_id, count(*) AS n_docs,
+               count(DISTINCT (lang, shard, seq_index)) AS n_seqs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               count(DISTINCT lang) AS n_langs
+        FROM sh GROUP BY shard_id
+    """,
     # the classifier gate's score arithmetic recomputed from the SAME
     # constants (inference.quality_logit_sql): integer features x dyadic
     # weights make the log-odds exact in doubles, so the comparison is
