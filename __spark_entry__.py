@@ -57,82 +57,78 @@ def entry(spark: SparkSession) -> DataFrame:
 #: The r1-r5 prose rotation history this block used to carry lives in git
 #: (`git log -p __spark_entry__.py`, commits up to round 5).
 #:
-#: ROUND-8 rotation (VERDICT r7 #4): in by rule (1), the seventeen entries
-#: created or whose transitive closure changed this round — eight NEW
-#: (dedup_substring_scrub: keep-first span removal; dedup_substring_self /
-#: dedup_self_scrub: within-doc duplicated runs, detect and act; decon_span_scrub: span-level benchmark
-#: decontamination; dedup_chained_substring: 3-day chained probes == batch; sim_ann_topk_pq:
-#: product-quantization ADC; quality_classifier_gate:
-#: batch_score inference seam; corpus_prep_pipeline: the composed
-#: scrub→dedup→decon→mix→pack→shard chain) and nine whose closures drifted
-#: (the tfidf family via the tombstone-index fix + materializer seam, the
-#: containment/jaccard prefix family via the _df-carrying ranked-shingle
-#: schema, the substring family via the chained-contract docstrings +
-#: materializer, and corpus_quality_funnel / corpus_dedup_by_source via
-#: near_dup_canonical's materializer seam) — the drift list is EXACTLY
-#: tools/rotation_check.py's, not hand-picked. The other 33 slots go to the
-#: entries with the OLDEST driver correctness row: all 16 r3-era, all 10
-#: r4-era, all 3 r5-era, and the first 4 r6-era alphabetically (no
-#: cherry-picking; dedup_substring_self and decon_span_scrub joined rule 1 late and
-#: displaced the 5th-9th r6-era names (dedup_clusters, decon_bloom_prefilter,
-#: corpus_shard_stats, corpus_feed_health, asof_last_click_before_purchase)). Displaced entries are byte-stable per the ledger;
-#: stamped from this round's full sweep.
+#: ROUND-9 rotation (VERDICT r8 #6): in by rule (1), the fourteen entries
+#: created or whose transitive closure changed this round — five NEW
+#: (corpus_prep_pipeline_v2: span scrubs + classifier gate + tokenizer-count
+#: packing composed; sim_ann_topk_ivfpq: the IVF×PQ flagship promoted from
+#: pytest-only; sim_ann_topk_pq_trained: per-subspace-Lloyd codebooks;
+#: sim_ann_chained_pq: frozen-codebook appended index probe;
+#: tokenize_pack_budget: batch_tokenize seam driving packing) and nine whose
+#: closures drifted (the six ANN/knn entries via the fixed-size md5-rank
+#: query panel — VERDICT r8's one `weak`, sim_ann_topk_pq additionally via
+#: the cache-ownership fix; quality_classifier_gate via quality_logit's
+#: whitespace-class fix; decon_span_scrub via the sentinel-id guard;
+#: dedup_incremental_containment via containment_df_relation's v1-schema
+#: fallback) — the drift list is EXACTLY tools/rotation_check.py's, not
+#: hand-picked. The other 36 slots go to the entries with the OLDEST driver
+#: correctness row: the r6-era names alphabetically (including all five
+#: displaced late in r8), leaving only the two alphabetically-last r6-era
+#: names (validate_drift_stats, validate_expectations) and the r7/r8-era
+#: rows displaced — all byte-stable per the ledger; stamped from this
+#: round's full sweep.
 _PRIORITY = [
-    # r8 additions / changed closures (rule 1)
-    "dedup_substring_scrub",
-    "dedup_substring_self",
-    "dedup_self_scrub",
-    "decon_span_scrub",
-    "dedup_chained_substring",
-    "sim_ann_topk_pq",
-    "quality_classifier_gate",
-    "corpus_prep_pipeline",
-    "dedup_incremental_tfidf",
-    "dedup_substring_spans",
-    "dedup_incremental_substring",
-    "dedup_tfidf_cosine",
-    "dedup_incremental_containment",
-    "dedup_jaccard_prefix",
-    "dedup_containment",
-    "corpus_quality_funnel",
-    "corpus_dedup_by_source",
-    # driver-row refresh: last green driver row r3
-    "q20_part_share_suppliers",
-    "q21_single_late_supplier",
-    "q22_inactive_balance",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_late_shipment_priority",
-    "q5_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
+    # r9 additions / changed closures (rule 1)
+    "corpus_prep_pipeline_v2",
+    "sim_ann_topk_ivfpq",
+    "sim_ann_topk_pq_trained",
+    "sim_ann_chained_pq",
+    "tokenize_pack_budget",
     "sim_ann_topk_bruteforce",
     "sim_ann_topk_lsh",
-    "sketch_approx_distinct",
-    "sketch_approx_quantiles",
-    "validate_bag_diff_strictness",
-    # driver-row refresh: last green driver row r4
-    "analytics_pivot_status",
-    "cube_flag_status",
-    "events_anomaly_daily",
-    "events_sequence_match",
-    "events_twap",
-    "events_value_histogram",
-    "sample_fixed_per_lang",
+    "sim_ann_topk_ivf",
+    "sim_ann_topk_ivf_trained",
+    "sim_ann_topk_pq",
     "sim_knn_label_vote",
-    "text_lang_id",
-    "text_pii_scrub",
-    # driver-row refresh: last green driver row r5
-    "dedup_edit_distance",
-    "q15_top_supplier",
-    "text_vocab_coverage",
-    # driver-row refresh: last green driver row r6 (alphabetical prefix)
-    "analytics_exact_quantiles",
-    "analytics_tfidf_top_terms",
-    "analytics_unpivot_measures",
-    "analytics_window_suite",
+    "quality_classifier_gate",
+    "decon_span_scrub",
+    "dedup_incremental_containment",
+    # driver-row refresh: last green driver row r6 (alphabetical)
+    "asof_last_click_before_purchase",
+    "corpus_feed_health",
+    "corpus_shard_stats",
+    "decon_bloom_prefilter",
+    "dedup_clusters",
+    "dedup_exact_chunks",
+    "dedup_incremental_minhash",
+    "dedup_semantic_blocked",
+    "dedup_stream_near_dup",
+    "embedding_kmeans_assign",
+    "events_gap_fill",
+    "events_json_props",
+    "events_rolling_7d",
+    "events_stream_windowed",
+    "funnel_conversion",
+    "ingest_changelog_scan_sink",
+    "ingest_incremental_agg",
+    "ingest_incremental_join_agg",
+    "ingest_incremental_two_sided",
+    "ingest_scd2_history",
+    "ingest_stream_cdc_merge",
+    "layout_zorder_values",
+    "multimodal_phash_pairs",
+    "q11_important_parts",
+    "q1_pricing_summary",
+    "sessionize_stats",
+    "sim_bm25_multi_query",
+    "sim_bm25_topk",
+    "sketch_count_min",
+    "sketch_hll_windowed",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "text_bigram_corpus_freq",
+    "text_boilerplate_scrub",
+    "text_pmi_bigrams",
+    "text_token_quantile_filter",
 ]
 
 

@@ -318,6 +318,14 @@ def ann_curve(mults: list[int]) -> int:
             ("pq", lambda: similarity.topk_pq(
                 vecs, "vec_id", "embedding", 64, 5, qf,
                 m=16, n_codes=32, shortlist_mult=16)),
+            # trained sub-codebooks (VERDICT r8 #3): per-subspace Lloyd
+            # INSIDE the timed region, same probe path — the recall delta
+            # at equal (m, n_codes) is the thing under measurement
+            ("pq_trained", lambda: similarity.topk_pq(
+                vecs, "vec_id", "embedding", 64, 5, qf,
+                m=16, n_codes=32, shortlist_mult=16,
+                codebooks=similarity.train_pq_codebooks(
+                    vecs, "vec_id", "embedding", 64, m=16, n_codes=32))),
             ("ivfpq", lambda: similarity.topk_ivfpq(
                 vecs, "vec_id", "embedding", 64, 5, qf,
                 n_cells=16, nprobe=6, m=16, n_codes=32, shortlist_mult=16)),
@@ -333,7 +341,7 @@ def ann_curve(mults: list[int]) -> int:
         if "brute" in results:
             exact_pairs = results["brute"].select("query_id", "neighbor_id")
             n_exact = exact_pairs.count()
-            for name in ("lsh", "ivf", "ivf_trained", "pq", "ivfpq"):
+            for name in ("lsh", "ivf", "ivf_trained", "pq", "pq_trained", "ivfpq"):
                 if name not in results:
                     continue
                 hits = exact_pairs.join(
