@@ -920,6 +920,7 @@ def topk_ivfpq(
     codebook: DataFrame | None = None,
     codebooks: DataFrame | None = None,
     codes: DataFrame | None = None,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF × PQ composition — the shape a 100 TB ANN index actually runs
     (Jégou et al. 2011's IVFADC, minus residual encoding — cells prune
@@ -934,11 +935,14 @@ def topk_ivfpq(
 
     Persisted-index form (same contract as :func:`topk_pq` / ``topk_ivf``):
     pass ``codebook=`` — the coarse ``(cluster_id, centroid)`` relation,
-    e.g. :func:`train_ivf_codebook` — and/or ``codebooks=``/``codes=``
+    e.g. :func:`train_ivf_codebook` — plus ``cells=`` — the corpus cell
+    assignment ``(<id_col>, cluster_id)``, i.e.
+    ``clustering.assign_nearest(...)`` persisted at index-build time
+    (per-doc under a frozen codebook, hence union-appendable exactly like
+    :func:`pq_codes_append`) — and/or ``codebooks=``/``codes=``
     (:func:`pq_codebooks` or :func:`train_pq_codebooks` /
-    :func:`pq_codes`, appendable via :func:`pq_codes_append`) so a probe
-    builds nothing corpus-scale; caller-passed relations are never cached
-    here (ownership stays with the caller)."""
+    :func:`pq_codes`) so a probe builds nothing corpus-scale; caller-passed
+    relations are never cached here (ownership stays with the caller)."""
     from iceberg_ingestion_spark.operators.clustering import (
         assign_nearest,
         hash_spread_centroids,
@@ -950,7 +954,9 @@ def topk_ivfpq(
         if codebook is None
         else codebook
     )
-    cells = assign_nearest(df, cents, id_col, vec_col, dim).select(
+    if cells is None:
+        cells = assign_nearest(df, cents, id_col, vec_col, dim)
+    cells = cells.select(
         F.col(id_col).cast("long").alias("neighbor_id"), "cluster_id"
     )
     if codebooks is None:

@@ -174,9 +174,13 @@ def test_topk_pq_does_not_cache_caller_codebooks(spark):
 
 
 def test_topk_ivfpq_accepts_persisted_index(spark):
-    """topk_ivfpq with codebook=/codebooks=/codes= (the persisted form)
-    matches the self-contained call — same quantizers, so identical rows."""
-    from iceberg_ingestion_spark.operators.clustering import hash_spread_centroids
+    """topk_ivfpq with codebook=/cells=/codebooks=/codes= (the persisted
+    form) matches the self-contained call — same quantizers, identical
+    rows, and the probe builds nothing corpus-scale."""
+    from iceberg_ingestion_spark.operators.clustering import (
+        assign_nearest,
+        hash_spread_centroids,
+    )
     from iceberg_ingestion_spark.queries_text_dedup import ANN_K
 
     e = _emb(spark)
@@ -188,7 +192,9 @@ def test_topk_ivfpq_accepts_persisted_index(spark):
     codes = similarity.pq_codes(e, "vec_id", "embedding", DIM, books, 8)
     probed = similarity.topk_ivfpq(
         e, "vec_id", "embedding", DIM, ANN_K, flt,
-        codebook=cents, codebooks=books, codes=codes, **kw,
+        codebook=cents, codebooks=books, codes=codes,
+        cells=assign_nearest(e, cents, "vec_id", "embedding", DIM),
+        **kw,
     )
     assert sorted(map(tuple, inline.collect())) == sorted(map(tuple, probed.collect()))
 
