@@ -498,8 +498,8 @@ def q_corpus_prep_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     persists between stages): every boundary relation fans into 2+ plan
     subtrees (dedup key + survivor join; score + gate join; counts + pack
     join), and lazy references would re-execute the span-scrub legs once
-    per consumer — measured 50 s -> ~8 s at sf0.001 from the three
-    truncations."""
+    per consumer — the three truncations took the entry from ~50 s to
+    under 10 s warm at every driver SF (9.6 s at sf0.1; BASELINE.md r9)."""
     from iceberg_ingestion_spark.operators import inference
     from iceberg_ingestion_spark.operators.materialize import resolve
 
