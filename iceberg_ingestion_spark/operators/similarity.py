@@ -591,6 +591,7 @@ def pq_codebooks(
     dim: int,
     m: int = 8,
     n_codes: int = 16,
+    seed_salt: str = "",
 ) -> DataFrame:
     """Per-subspace PRODUCT-QUANTIZATION codebooks (Jégou, Douze & Schmid,
     "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
@@ -599,7 +600,16 @@ def pq_codebooks(
     own ``n_codes``-entry codebook. Codebook draw is the family's
     deterministic train-free convention (hash-spread corpus rows, same as
     ``topk_ivf``; code = md5-rank order), sliced per subspace. m × n_codes
-    × dim/m doubles total — broadcast-trivial at any corpus size."""
+    × dim/m doubles total — broadcast-trivial at any corpus size.
+
+    ``seed_salt`` decorrelates the draw from OTHER md5-rank draws over the
+    same id space: :func:`topk_ivfpq_residual` encodes residuals, and the
+    unsalted draw picks exactly the coarse-quantizer seed docs — whose
+    residuals are all ZERO (each coarse seed is its own cell's centroid),
+    a degenerate all-zero codebook that quantizes every doc to code 0
+    (measured: constant recall across any m — the codes carried no
+    information). Salting the rank key (``md5(salt || id)``) makes the two
+    draws independent at zero cost."""
     if dim % m != 0:
         raise ValueError(f"pq_codebooks: dim {dim} not divisible by m {m}")
     sub = dim // m
@@ -610,7 +620,9 @@ def pq_codebooks(
     # (NOT a constant) so code ids are deterministic across runs/engines
     seeds = (
         df.select(
-            F.md5(F.col(id_col).cast("string")).alias("_h"),
+            F.md5(
+                F.concat(F.lit(seed_salt), F.col(id_col).cast("string"))
+            ).alias("_h"),
             F.col(id_col).alias("_i"),
             v.alias("_v"),
         )
@@ -1023,6 +1035,195 @@ def topk_ivfpq(
             "_acos",
             F.col("_adot")
             / F.sqrt(F.col("qn") * F.greatest(F.col("_an2"), F.lit(1e-300))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_acos").desc(), F.col("neighbor_id")
+    )
+    short = (
+        adc.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= shortlist_mult * k)
+        .select("query_id", "neighbor_id")
+    )
+    qs = q.select("query_id", "qv", "qn")
+    cs = pre.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("norm2").alias("nn"),
+    )
+    pairs = short.join(F.broadcast(qs), "query_id").join(cs, "neighbor_id")
+    scored = score_pairs(pairs)
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def topk_ivfpq_residual(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int,
+    query_filter: Column,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    shortlist_mult: int = 8,
+) -> DataFrame:
+    """FULL IVFADC (Jégou et al. TPAMI 2011 §IV) — IVF coarse cells + PQ
+    over the RESIDUAL ``v - centroid[cell]``, the piece :func:`topk_ivfpq`
+    leaves out: residuals concentrate around zero once the coarse
+    quantizer removes the cell mean, so the same m×n_codes code budget
+    spends its precision on the informative part of the vector — better
+    shortlists at equal bits (the paper's core argument for IVFADC over
+    plain ADC; measured on the driver corpora in BASELINE.md r9).
+
+    Exact decomposition used by the scorer: with ``x ≈ c + r̂`` (c the
+    cell centroid, r̂ the PQ-decoded residual, both subspace-decomposed):
+
+        dot(q, x)  ≈ dot(q, c)            [exact per (query, cell)]
+                   + Σ_s dot(q_s, R[s, code_s])     [query LUT]
+        ‖x‖²       ≈ ‖c‖²  + 2·Σ_s dot(c_s, R[s, code_s])
+                   + Σ_s ‖R[s, code_s]‖²            [cell LUT]
+
+    so ADC needs TWO broadcast lookup tables: per (query, subspace, code)
+    — |q|·m·n_codes rows — and per (cell, subspace, code) —
+    n_cells·m·n_codes rows, corpus-size-independent. The code relation is
+    built by the UNCHANGED :func:`pq_codebooks`/:func:`pq_codes` machinery
+    applied to the residual relation (hash-spread residual rows as
+    sub-codebook words), so the persisted-index/append story carries over
+    verbatim. Shortlist is exact-reranked with the shared scorer, recall
+    pinned by the driver's bound-check."""
+    from iceberg_ingestion_spark.operators.clustering import (
+        assign_nearest,
+        hash_spread_centroids,
+    )
+
+    sub = dim // m
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    cents = hash_spread_centroids(df, id_col, vec_col, n_cells).cache()
+    cells = assign_nearest(df, cents, id_col, vec_col, dim).select(
+        F.col(id_col), "cluster_id"
+    )
+    # residual relation: (id, cluster_id, residual array<double>)
+    residuals = (
+        df.select(F.col(id_col), v.alias("_v"))
+        .join(cells, id_col)
+        .join(F.broadcast(cents), "cluster_id")
+        .select(
+            id_col,
+            "cluster_id",
+            F.zip_with("_v", "centroid", lambda a, b: a - b).alias("_r"),
+        )
+    )
+    codebooks = pq_codebooks(
+        residuals, id_col, "_r", dim, m, n_codes, seed_salt="residual"
+    ).cache()
+    codes = pq_codes(residuals, id_col, "_r", dim, codebooks, m)
+    pre = pack_vectors(df, id_col, vec_col, dim).cache()
+    q = pre.filter(query_filter).select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm2").alias("qn"),
+    )
+    # query x cell: exact dot(q, c) + the probe ranking distance
+    qcell = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qn",
+            "cluster_id",
+            dot(F.col("qv"), F.col("centroid"), dim).alias("_qc"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"), F.col("centroid"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("_d"),
+            F.col("qv"),
+        )
+    )
+    probed = (
+        qcell.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("_d"), F.col("cluster_id"))
+            ),
+        )
+        .filter(F.col("_rk") <= nprobe)
+        .select("query_id", "qn", "cluster_id", "_qc", "qv")
+    )
+    # query LUT: dot(q_s, R[s, code]) per (query, subspace, code)
+    qlut = probed.select("query_id", "qv").dropDuplicates(["query_id"]).crossJoin(
+        F.broadcast(codebooks)
+    ).select(
+        "query_id",
+        "subspace",
+        "code",
+        dot(
+            F.slice(F.col("qv"), F.col("subspace") * sub + 1, sub),
+            F.col("centroid"),
+            sub,
+        ).alias("_qr"),
+    )
+    # cell LUT: dot(c_s, R[s, code]) and ||R[s, code]||^2 per (cell, s, code)
+    clut = (
+        cents.crossJoin(F.broadcast(codebooks.withColumnRenamed("centroid", "_rc")))
+        .select(
+            "cluster_id",
+            "subspace",
+            "code",
+            dot(
+                F.slice(F.col("centroid"), F.col("subspace") * sub + 1, sub),
+                F.col("_rc"),
+                sub,
+            ).alias("_cr"),
+            dot(F.col("_rc"), F.col("_rc"), sub).alias("_rn2"),
+        )
+    )
+    cnorm = cents.select(
+        "cluster_id", dot(F.col("centroid"), F.col("centroid"), dim).alias("_cn2")
+    )
+    cand = (
+        residuals.select(F.col(id_col).cast("long").alias("neighbor_id"), "cluster_id")
+        .join(
+            F.broadcast(probed.select("query_id", "qn", "cluster_id", "_qc")),
+            "cluster_id",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    exploded = codes.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.posexplode("codes").alias("subspace", "code"),
+    )
+    adc = (
+        cand.join(exploded, "neighbor_id")
+        .join(F.broadcast(qlut), ["query_id", "subspace", "code"])
+        .join(F.broadcast(clut), ["cluster_id", "subspace", "code"])
+        .groupBy("query_id", "neighbor_id", "cluster_id", "qn", "_qc")
+        .agg(
+            F.sum("_qr").alias("_sqr"),
+            F.sum("_cr").alias("_scr"),
+            F.sum("_rn2").alias("_srn2"),
+        )
+        .join(F.broadcast(cnorm), "cluster_id")
+        .withColumn(
+            "_acos",
+            (F.col("_qc") + F.col("_sqr"))
+            / F.sqrt(
+                F.col("qn")
+                * F.greatest(
+                    F.col("_cn2") + 2 * F.col("_scr") + F.col("_srn2"),
+                    F.lit(1e-300),
+                )
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

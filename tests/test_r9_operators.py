@@ -200,6 +200,74 @@ def test_topk_ivfpq_accepts_persisted_index(spark):
 
 
 # ---------------------------------------------------------------------------
+# Full IVFADC (residual encoding)
+# ---------------------------------------------------------------------------
+
+def test_residual_codebook_draw_is_decorrelated(spark):
+    """The residual PQ codebook must NOT collapse to the all-zero quantizer:
+    the unsalted md5-rank draw picks exactly the coarse-quantizer seed docs,
+    whose residuals are all zero (each coarse seed IS its own cell's
+    centroid) — every doc then encodes to code 0 and the codes carry no
+    information (the bug seed_salt fixes). Pin: residual codes over the
+    fixture corpus use >1 distinct code in >= half the subspaces."""
+    from iceberg_ingestion_spark.operators.clustering import (
+        assign_nearest,
+        hash_spread_centroids,
+    )
+
+    e = _emb(spark)
+    cents = hash_spread_centroids(e, "vec_id", "embedding", 16)
+    cells = assign_nearest(e, cents, "vec_id", "embedding", DIM).select(
+        "vec_id", "cluster_id"
+    )
+    residuals = (
+        e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("_v"))
+        .join(cells, "vec_id")
+        .join(F.broadcast(cents), "cluster_id")
+        .select(
+            "vec_id",
+            F.zip_with("_v", "centroid", lambda a, b: a - b).alias("_r"),
+        )
+    )
+    books = similarity.pq_codebooks(
+        residuals, "vec_id", "_r", DIM, 8, 16, seed_salt="residual"
+    )
+    codes = similarity.pq_codes(residuals, "vec_id", "_r", DIM, books, 8)
+    per_sub = (
+        codes.select(F.posexplode("codes").alias("subspace", "code"))
+        .groupBy("subspace")
+        .agg(F.countDistinct("code").alias("n"))
+        .collect()
+    )
+    assert sum(r.n > 1 for r in per_sub) >= len(per_sub) // 2
+
+
+def test_topk_ivfpq_residual_recall_floor(spark):
+    """Full IVFADC at the coarse budget (m=4, n_codes=8 — 0.5 B/vector of
+    code payload, the regime residual encoding exists for; measured
+    residual 0.5312 vs plain 0.4984 at sf0.01, BASELINE.md r9): recall vs
+    brute force holds the family floor, and the output schema/rank
+    contract matches the sibling operators."""
+    from iceberg_ingestion_spark.queries_text_dedup import (
+        ANN_K,
+        ANN_RECALL_FLOOR,
+        ann_panel_filter,
+    )
+
+    e = _emb(spark)
+    flt = ann_panel_filter(e)
+    exact = similarity.topk_bruteforce(
+        e, "vec_id", "embedding", DIM, ANN_K, flt
+    ).cache()
+    approx = similarity.topk_ivfpq_residual(
+        e, "vec_id", "embedding", DIM, ANN_K, flt,
+        n_cells=16, nprobe=8, m=4, n_codes=8, shortlist_mult=16,
+    )
+    assert approx.columns == ["query_id", "neighbor_id", "rank", "cosine"]
+    assert _recall(exact, approx) >= ANN_RECALL_FLOOR
+
+
+# ---------------------------------------------------------------------------
 # VERDICT r8 #7: tokenizer seam
 # ---------------------------------------------------------------------------
 
