@@ -58,6 +58,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_topk_pq": q_ann_topk_pq,  # product-quantization ADC + exact re-rank
     "sim_ann_topk_pq_trained": q_ann_topk_pq_trained,  # per-subspace Lloyd codebooks
     "sim_ann_chained_pq": q_ann_chained_pq,  # frozen-codebook appended index probe
+    "sim_ann_stream_pq": q_ann_stream_pq,  # REAL streaming: 3 drains maintain the PQ index
     "sim_ann_topk_ivfpq": q_ann_topk_ivfpq,  # IVF cells x PQ codes (IVFADC shape)
     "sim_knn_label_vote": q_knn_label_vote,
     "sim_bm25_topk": q_sim_bm25_topk,  # Okapi BM25 keyword retrieval, shared-expr oracle

@@ -687,6 +687,7 @@ ORACLES_EXT: dict[str, str] = {
     "sim_ann_topk_pq": _ANN_RECALL_ORACLE,
     "sim_ann_topk_pq_trained": _ANN_RECALL_ORACLE,
     "sim_ann_chained_pq": _ANN_RECALL_ORACLE,
+    "sim_ann_stream_pq": _ANN_RECALL_ORACLE,
     "sim_ann_topk_ivfpq": _ANN_RECALL_ORACLE,
     # Sketch bound-checks: the exact-side columns recomputed by DuckDB plus
     # TRUE for the in-query error-bound boolean.

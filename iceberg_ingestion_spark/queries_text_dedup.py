@@ -892,6 +892,59 @@ def q_ann_chained_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_check(exact, approx)
 
 
+def q_ann_stream_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED ANN-index maintenance graded at the driver (the fourth
+    driver entry whose Spark side executes real Structured Streaming, and
+    the streaming analogue of ``sim_ann_chained_pq``): the embedding corpus
+    arrives as three file drops drained through
+    :func:`streaming.ann_stream.stream_pq_index` — three ``availableNow``
+    drains against one checkpoint; batch 0 builds the PQ codebooks (then
+    FROZEN), each micro-batch encodes its new vectors and appends 16-byte
+    code rows idempotently. The probe then runs :func:`similarity.topk_pq`
+    against the PERSISTED streamed index (``codes=``/``codebooks=`` read
+    back from disk). Invariant (pytest-pinned incl. redelivery): the
+    streamed code table equals the one-shot batch encoding under the
+    frozen codebooks, so the probe is bit-identical to a batch-index
+    probe. Recall bound-check vs brute force — same oracle as the family."""
+    import os
+    import tempfile
+
+    from iceberg_ingestion_spark.streaming.ann_stream import stream_pq_index
+
+    e = read_table(spark, sf_dir, "embeddings", spread=True)
+    vecs = e.select("vec_id", "embedding")
+    root = tempfile.mkdtemp(prefix="stream_pq_")
+    feed = os.path.join(root, "feed")
+    codes_dir = os.path.join(root, "codes")
+    books_dir = os.path.join(root, "books")
+    ckpt = os.path.join(root, "ckpt")
+
+    def drain(part: DataFrame) -> None:
+        part.coalesce(1).write.mode("append").parquet(feed)
+        q = stream_pq_index(
+            spark, feed, part.schema, codes_dir, books_dir, ckpt,
+            dim=EMBED_DIM, m=16, n_codes=32,
+        )
+        # a timed-out drain must FAIL the entry: a partial batch would
+        # silently shrink the index and the recall grade with it
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("sim_ann_stream_pq: drain exceeded 300s")
+
+    for r in (0, 1, 2):
+        drain(vecs.filter(F.col("vec_id") % 3 == r))
+
+    books = spark.read.parquet(books_dir)
+    codes = spark.read.parquet(codes_dir).select("vec_id", "codes")
+    flt = ann_panel_filter(e)
+    exact = similarity.topk_bruteforce(e, "vec_id", "embedding", EMBED_DIM, ANN_K, flt)
+    approx = similarity.topk_pq(
+        e, "vec_id", "embedding", EMBED_DIM, ANN_K, flt,
+        m=16, n_codes=32, shortlist_mult=16, codes=codes, codebooks=books,
+    )
+    return _ann_recall_check(exact, approx)
+
+
 def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF × PQ top-k (VERDICT r8 #2 — the repo's own 100-TB ANN flagship,
     graded instead of pytest-only): coarse cells prune WHICH vectors are

@@ -108,6 +108,7 @@ def test_no_unbounded_nested_loop_joins(spark):
         # trained codebooks / a frozen-codebook appended code relation
         "sim_ann_topk_pq_trained",
         "sim_ann_chained_pq",
+        "sim_ann_stream_pq",
         # r9: IVF x PQ — the broadcast legs are the coarse-centroid ranking
         # (queries x 16 cells) and the ADC LUT (queries x 512 codebook rows),
         # both designed bounded lookup tables, plus the brute-force exact

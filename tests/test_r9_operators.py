@@ -200,6 +200,53 @@ def test_topk_ivfpq_accepts_persisted_index(spark):
 
 
 # ---------------------------------------------------------------------------
+# Streaming PQ-index maintenance
+# ---------------------------------------------------------------------------
+
+def test_stream_pq_index_equals_batch_and_survives_redelivery(spark, tmp_path):
+    """Three availableNow drains build a code table EQUAL to the one-shot
+    batch pq_codes over the full corpus under the frozen (batch-0-built)
+    codebooks; re-delivering an already-drained drop appends NOTHING
+    (re-delivered ids are old-only; replayed batches overwrite their own
+    partition). A topk_pq probe against the streamed index is therefore
+    bit-identical to the batch-index probe."""
+    import os
+
+    from iceberg_ingestion_spark.streaming.ann_stream import stream_pq_index
+
+    e = _emb(spark).select("vec_id", "embedding")
+    root = str(tmp_path)
+    feed, codes_dir = os.path.join(root, "feed"), os.path.join(root, "codes")
+    books_dir, ckpt = os.path.join(root, "books"), os.path.join(root, "ckpt")
+
+    def drain(part):
+        part.coalesce(1).write.mode("append").parquet(feed)
+        q = stream_pq_index(
+            spark, feed, part.schema, codes_dir, books_dir, ckpt,
+            dim=DIM, m=8, n_codes=16,
+        )
+        assert q.awaitTermination(300)
+
+    drops = [e.filter(F.col("vec_id") % 3 == r) for r in (0, 1, 2)]
+    for part in drops:
+        drain(part)
+    books = spark.read.parquet(books_dir)
+    streamed = spark.read.parquet(codes_dir)
+    batch = similarity.pq_codes(e, "vec_id", "embedding", DIM, books, 8)
+    got = {r.vec_id: list(r.codes) for r in streamed.collect()}
+    want = {r.vec_id: list(r.codes) for r in batch.collect()}
+    assert got == want
+    # batch-0 docs seeded the codebooks and they are FROZEN: the table on
+    # disk must equal a fresh build from drop 0 alone
+    rebuilt = similarity.pq_codebooks(drops[0], "vec_id", "embedding", DIM, 8, 16)
+    assert sorted(map(tuple, books.collect())) == sorted(map(tuple, rebuilt.collect()))
+    # redelivery: drop 1 arrives again -> nothing new appended
+    drain(drops[1])
+    again = {r.vec_id: list(r.codes) for r in spark.read.parquet(codes_dir).collect()}
+    assert again == want
+
+
+# ---------------------------------------------------------------------------
 # Full IVFADC (residual encoding)
 # ---------------------------------------------------------------------------
 
