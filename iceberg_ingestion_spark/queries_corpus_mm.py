@@ -519,6 +519,15 @@ def q_corpus_prep_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = cleaned.join(keep, "doc_id")
     # 3. span-level decon: bench = held-out ORIGINAL docs + sentinel item;
     # pool = surviving docs, salted with the sentinel every 13th doc
+    # (same bounded disjointness guard as the standalone entry — the r9
+    # sf1 sweep proved corpora DO outgrow sentinel constants)
+    max_id = d.agg(F.max("doc_id")).first()[0]
+    if max_id is not None and max_id >= DECON_SENTINEL_ID:
+        raise ValueError(
+            f"corpus_prep_pipeline_v2: corpus max doc_id {max_id} >= sentinel "
+            f"id {DECON_SENTINEL_ID}; raise DECON_SENTINEL_ID above the "
+            "corpus id space"
+        )
     bench = (
         d.where(F.col("doc_id") % PREP_BENCH_MOD == 0)
         .select("doc_id", "text")

@@ -532,9 +532,14 @@ def q_dedup_chained_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: >= 8 tokens (the window + k - 1 floor), appended to every 13th pool doc
 #: and present as a synthetic benchmark item, so the span-level decon entry
-#: is non-vacuous at every driver SF (the PII-scrub salting pattern)
+#: is non-vacuous at every driver SF (the PII-scrub salting pattern).
+#: The id sits above any generated corpus's id space (sf1 already reaches
+#: 9e7; 1e10 clears sf100's ~9e9) and the entry GUARDS the disjointness
+#: with a bounded max(doc_id) check — the r9 sf1 sweep caught the previous
+#: 1e7 sentinel INSIDE the sf1 id range via that guard (ADVICE r8 was
+#: right: nothing but the guard makes this safe as corpora grow)
 DECON_SENTINEL = "the quick benchmark sentinel phrase appears here exactly once"
-DECON_SENTINEL_ID = 10_000_000
+DECON_SENTINEL_ID = 10_000_000_000
 
 
 def q_decon_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
