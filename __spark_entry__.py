@@ -57,31 +57,35 @@ def entry(spark: SparkSession) -> DataFrame:
 #: The r1-r5 prose rotation history this block used to carry lives in git
 #: (`git log -p __spark_entry__.py`, commits up to round 5).
 #:
-#: ROUND-9 rotation (VERDICT r8 #6): in by rule (1), the fifteen entries
-#: created or whose transitive closure changed this round — six NEW
+#: ROUND-9 rotation (VERDICT r8 #6): in by rule (1), the sixteen entries
+#: created or whose transitive closure changed this round — seven NEW
 #: (corpus_prep_pipeline_v2: span scrubs + classifier gate + tokenizer-count
 #: packing composed; sim_ann_stream_pq: streamed PQ-index maintenance,
-#: the fourth real-streaming driver entry; sim_ann_topk_ivfpq: the IVF×PQ
-#: flagship promoted from pytest-only; sim_ann_topk_pq_trained:
-#: per-subspace-Lloyd codebooks; sim_ann_chained_pq: frozen-codebook
-#: appended index probe; tokenize_pack_budget: batch_tokenize seam driving
-#: packing) and nine whose closures drifted (the six ANN/knn entries via
-#: the fixed-size md5-rank query panel — VERDICT r8's one `weak`,
-#: sim_ann_topk_pq additionally via the cache-ownership fix +
-#: pq_codebooks' seed_salt; quality_classifier_gate via quality_logit's
-#: whitespace-class fix; decon_span_scrub via the sentinel-id guard;
+#: the fourth real-streaming driver entry; sim_bm25_rerank:
+#: retrieve-then-rerank via the cross-encoder pair-scoring seam;
+#: sim_ann_topk_ivfpq: the IVF×PQ flagship promoted from pytest-only;
+#: sim_ann_topk_pq_trained: per-subspace-Lloyd codebooks;
+#: sim_ann_chained_pq: frozen-codebook appended index probe;
+#: tokenize_pack_budget: batch_tokenize seam driving packing) and nine
+#: whose closures drifted (the six ANN/knn entries via the fixed-size
+#: md5-rank query panel — VERDICT r8's one `weak`, sim_ann_topk_pq
+#: additionally via the cache-ownership fix + pq_codebooks' seed_salt;
+#: quality_classifier_gate via quality_logit's whitespace-class fix;
+#: decon_span_scrub via the sentinel-id guard;
 #: dedup_incremental_containment via containment_df_relation's v1-schema
 #: fallback) — the drift list is EXACTLY tools/rotation_check.py's, not
-#: hand-picked. The other 35 slots go to the entries with the OLDEST driver
+#: hand-picked. The other 34 slots go to the entries with the OLDEST driver
 #: correctness row: the r6-era names alphabetically (including all five
-#: displaced late in r8), leaving only the three alphabetically-last
-#: r6-era names (text_token_quantile_filter, validate_drift_stats,
-#: validate_expectations) and the r7/r8-era rows displaced — all
-#: byte-stable per the ledger; stamped from this round's full sweep.
+#: displaced late in r8), leaving only the four alphabetically-last
+#: r6-era names (text_pmi_bigrams, text_token_quantile_filter,
+#: validate_drift_stats, validate_expectations) and the r7/r8-era rows
+#: displaced — all byte-stable per the ledger; stamped from this round's
+#: full sweeps.
 _PRIORITY = [
     # r9 additions / changed closures (rule 1)
     "corpus_prep_pipeline_v2",
     "sim_ann_stream_pq",
+    "sim_bm25_rerank",
     "sim_ann_topk_ivfpq",
     "sim_ann_topk_pq_trained",
     "sim_ann_chained_pq",
@@ -130,7 +134,6 @@ _PRIORITY = [
     "skew_salted_join",
     "text_bigram_corpus_freq",
     "text_boilerplate_scrub",
-    "text_pmi_bigrams",
 ]
 
 

@@ -139,6 +139,86 @@ def batch_score(
     )
 
 
+#: Dyadic weights for the stub PAIR scorer (cross-encoder stand-in): integer
+#: overlap features × power-of-two weights keep the score exact in doubles
+#: in any accumulation order — the same cross-engine-exactness trick as the
+#: quality classifier.
+RERANK_W_DISTINCT = 0.5     # 2**-1 per distinct query term present in the doc
+RERANK_W_TOTAL = 0.03125    # 2**-5 per query-term occurrence in the doc
+
+
+def pair_overlap_logit(lefts: list[str], rights: list[str]) -> list[float]:
+    """Deterministic stand-in for a cross-encoder's ``model(query, doc)``
+    relevance score: ``lefts`` are space-joined query terms, ``rights``
+    raw document texts; score = 2⁻¹·|distinct query terms in doc| +
+    2⁻⁵·(total query-term occurrences). Doc tokenization is the family
+    convention (whitespace split of lower + strip-spaces); exact integer
+    features × dyadic weights → bit-equal to the SQL recomputation."""
+    import re
+    from collections import Counter
+
+    out = []
+    for q, d in zip(lefts, rights):
+        qset = set((q or "").split(" ")) - {""}
+        c = Counter(re.split(r"\s+", (d or "").strip(" ").lower()))
+        od = sum(1 for t in qset if c[t] > 0)
+        ot = sum(c[t] for t in qset)
+        out.append(float(RERANK_W_DISTINCT * od + RERANK_W_TOTAL * ot))
+    return out
+
+
+def pair_overlap_logit_sql(q_expr: str, d_expr: str) -> str:
+    """The pair scorer as a DuckDB expression over (space-joined query
+    terms, raw doc text) — same constants, exact integers, bit-equal."""
+    qt = f"list_distinct(list_filter(string_split({q_expr}, ' '), _q -> _q <> ''))"
+    dt = f"regexp_split_to_array(lower(trim({d_expr})), '\\s+')"
+    od = f"len(list_filter({qt}, _t -> list_contains({dt}, _t)))"
+    ot = f"list_sum(list_transform({qt}, _t -> len(list_filter({dt}, _x -> _x = _t))))"
+    return (
+        f"({RERANK_W_DISTINCT!r} * {od}"
+        f" + {RERANK_W_TOTAL!r} * coalesce({ot}, 0))"
+    )
+
+
+def batch_score_pairs(
+    df: DataFrame,
+    id_cols: tuple[str, str] = ("query_id", "doc_id"),
+    left_col: str = "query_text",
+    right_col: str = "text",
+    score_fn: Callable[[list[str], list[str]], list[float]] = pair_overlap_logit,
+    init_fn: Callable[[], object] | None = None,
+) -> DataFrame:
+    """(id_cols..., score: double) for every PAIR row — the cross-encoder
+    reranking seam, the fourth rider on this module's plumbing: a
+    retrieve-then-rerank pipeline scores (query, candidate) PAIRS with a
+    model too expensive for the full corpus but affordable on the
+    candidate set. Arrow batches through ``mapInPandas``, ``init_fn``
+    (checkpoint load) once per Python worker, ``score_fn(lefts, rights)``
+    per batch. Map-only over the candidate relation — at scale the cost is
+    |queries|·k model calls, never corpus-shaped."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        if init_fn is not None:
+            init_fn()
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_cols[0]: pdf[id_cols[0]],
+                    id_cols[1]: pdf[id_cols[1]],
+                    "score": score_fn(list(pdf[left_col]), list(pdf[right_col])),
+                }
+            )
+
+    dtypes = dict(df.dtypes)
+    schema = (
+        f"{id_cols[0]} {dtypes[id_cols[0]]}, "
+        f"{id_cols[1]} {dtypes[id_cols[1]]}, score double"
+    )
+    return df.select(*id_cols, left_col, right_col).mapInPandas(run, schema=schema)
+
+
 #: Stub-BPE granularity: ~4 chars per subtoken is the classic BPE rule of
 #: thumb; the count is exact integer arithmetic so any engine recomputes it.
 BPE_CHARS_PER_TOKEN = 4

@@ -63,6 +63,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_knn_label_vote": q_knn_label_vote,
     "sim_bm25_topk": q_sim_bm25_topk,  # Okapi BM25 keyword retrieval, shared-expr oracle
     "sim_bm25_multi_query": q_sim_bm25_multi_query,  # batched retrieval, query relation
+    "sim_bm25_rerank": q_sim_bm25_rerank,  # retrieve-then-rerank via the pair-scoring seam
     "events_interval_join": q_events_interval_join,
     "events_gap_fill": q_events_gap_fill,
     "events_anomaly_daily": q_events_anomaly_daily,

@@ -229,6 +229,62 @@ ORACLES_EXT: dict[str, str] = {
         FROM scored WHERE _s > 0
         QUALIFY rank <= {BM25_MULTI_K}
     """,
+    # retrieve-then-rerank: stage 1 is the identical BM25 candidate CTE
+    # (quantized-BIGINT contributions, top-RERANK_CAND_K), stage 2 the
+    # pair scorer recomputed from the SAME dyadic constants
+    # (inference.pair_overlap_logit_sql) — integer overlap features x
+    # power-of-two weights, bit-equal with no tolerance
+    "sim_bm25_rerank": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        occ AS (SELECT doc_id, len(toks) AS _dl, unnest(toks) AS term FROM t),
+        tf AS (
+            SELECT doc_id, _dl, term, CAST(count(*) AS BIGINT) AS _tf
+            FROM occ GROUP BY 1, 2, 3
+        ),
+        q AS (
+            SELECT * FROM (VALUES {", ".join(f"('{qid}', '{term}')" for qid, ts in BM25_MULTI_QUERIES.items() for term in ts)})
+                AS v(query_id, term)
+        ),
+        qdf AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS _df
+            FROM tf JOIN (SELECT DISTINCT term FROM q) USING (term)
+            GROUP BY term
+        ),
+        s AS (
+            SELECT CAST(count(*) AS BIGINT) AS _sn,
+                   CAST(sum(len(toks)) AS BIGINT) AS _sumdl
+            FROM t
+        ),
+        scored AS (
+            SELECT query_id, doc_id,
+                   CAST(sum({bm25_contrib_expr("_sn", "_sumdl", "_dl", "_tf", "_df")}) AS BIGINT) AS _s
+            FROM tf JOIN q USING (term) JOIN qdf USING (term) CROSS JOIN s
+            GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY _s DESC, doc_id) AS _r
+            FROM scored WHERE _s > 0
+            QUALIFY _r <= {RERANK_CAND_K}
+        ),
+        qtext AS (
+            SELECT * FROM (VALUES {", ".join(f"('{qid}', '{' '.join(ts)}')" for qid, ts in BM25_MULTI_QUERIES.items())})
+                AS v(query_id, query_text)
+        ),
+        reranked AS (
+            SELECT c.query_id, c.doc_id,
+                   {inference.pair_overlap_logit_sql("qt.query_text", "d.text")} AS score
+            FROM cand c JOIN qtext qt USING (query_id)
+            JOIN documents d USING (doc_id)
+        )
+        SELECT query_id, doc_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, doc_id) AS BIGINT) AS rerank,
+               score
+        FROM reranked
+        QUALIFY rerank <= {RERANK_K}
+    """,
     # the weight expression is the SAME string Spark parses
     # (dedup.tfidf_weight_expr); weights are BIGINT, so every dot/norm is an
     # exact integer sum — order-independent — and the only doubles are the

@@ -337,6 +337,56 @@ def q_sim_bm25_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.bm25_topk_batch(d, qterms, k=BM25_MULTI_K)
 
 
+#: retrieve-then-rerank shape: BM25 pulls RERANK_CAND_K candidates per
+#: query, the pair-scoring seam reranks them, RERANK_K survive
+RERANK_CAND_K = 20
+RERANK_K = 5
+
+
+def q_sim_bm25_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRIEVE-THEN-RERANK — the two-stage retrieval shape every
+    eval-mining / RAG-data pipeline runs: cheap lexical recall (batched
+    BM25, :func:`similarity.bm25_topk_batch`, top-20 candidates per query)
+    followed by an expensive PAIR scorer over (query, candidate) pairs
+    through the cross-encoder seam (:func:`inference.batch_score_pairs` —
+    Arrow batches, per-worker ``init_fn``, exactly the plumbing a real
+    reranker checkpoint rides; the deterministic stub scores dyadic-weight
+    term overlap so the oracle recomputes it bit-exactly). Per-query top-5
+    by (rerank score desc, doc_id). At scale stage 2's cost is
+    |queries|·k model calls — candidate-shaped, never corpus-shaped."""
+    from iceberg_ingestion_spark.operators import inference
+
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in BM25_MULTI_QUERIES.items() for t in ts],
+        "query_id string, term string",
+    )
+    cands = similarity.bm25_topk_batch(d, qterms, k=RERANK_CAND_K)
+    qtext = spark.createDataFrame(
+        [(qid, " ".join(ts)) for qid, ts in BM25_MULTI_QUERIES.items()],
+        "query_id string, query_text string",
+    )
+    init_witness = {"ran": False}
+
+    def init_fn():  # the per-worker reranker-load seam
+        init_witness["ran"] = True
+
+    pairs = (
+        cands.select("query_id", "doc_id")
+        .join(F.broadcast(qtext), "query_id")
+        .join(d.select("doc_id", "text"), "doc_id")
+    )
+    scored = inference.batch_score_pairs(pairs, init_fn=init_fn)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rerank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rerank") <= RERANK_K)
+        .select("query_id", "doc_id", "rerank", "score")
+    )
+
+
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DIRECTED set-containment pairs |S_src ∩ S_dst| / |S_src| >= t — the
     asymmetric dedup op (quote/fragment absorption, benchmark-fragment

@@ -95,6 +95,9 @@ def test_no_unbounded_nested_loop_joins(spark):
         # r6: batched BM25 — corpus stats (N, Σdl) join back as a broadcast
         # 1-row aggregate (the q11/q15 pattern); the BNLJ side is one row
         "sim_bm25_multi_query",
+        # r9: retrieve-then-rerank rides the same batched-BM25 stage 1
+        # (broadcast 1-row corpus stats); stage 2 is map-only pair scoring
+        "sim_bm25_rerank",
         # r7: the frozen corpus size N (from the persisted df relation,
         # limit-1) joins into the increment's weight pass as a broadcast
         # 1-row relation — same pattern as dedup_tfidf_cosine's stats

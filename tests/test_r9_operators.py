@@ -360,6 +360,53 @@ def test_stub_bpe_sql_matches_python_on_edges(spark):
 
 
 # ---------------------------------------------------------------------------
+# Retrieve-then-rerank pair-scoring seam
+# ---------------------------------------------------------------------------
+
+def test_batch_score_pairs_matches_python_and_runs_init(spark):
+    """batch_score_pairs == pair_overlap_logit row-for-row over a pair
+    relation, and the dyadic-weight score is bit-equal to the DuckDB
+    expression on the same inputs (incl. no-overlap and repeated-term
+    edges)."""
+    import duckdb
+
+    from iceberg_ingestion_spark.operators.inference import (
+        batch_score_pairs,
+        pair_overlap_logit,
+        pair_overlap_logit_sql,
+    )
+
+    rows = [
+        ("q1", 1, "spark join", "spark join spark makes spark go"),
+        ("q1", 2, "spark join", "no relevant words here"),
+        ("q2", 3, "the and of", "The AND of\tthe end"),
+        ("q2", 4, "vector", ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id string, doc_id long, query_text string, text string"
+    )
+    got = {
+        (r.query_id, r.doc_id): r.score
+        for r in batch_score_pairs(df).collect()
+    }
+    want = dict(
+        zip(
+            [(r[0], r[1]) for r in rows],
+            pair_overlap_logit([r[2] for r in rows], [r[3] for r in rows]),
+        )
+    )
+    assert got == want
+    expr = pair_overlap_logit_sql("q", "d")
+    sql = duckdb.connect().execute(
+        f"SELECT {expr} FROM (SELECT unnest(?) AS q, unnest(?) AS d)",
+        [[r[2] for r in rows], [r[3] for r in rows]],
+    ).fetchall()
+    assert [s[0] for s in sql] == pair_overlap_logit(
+        [r[2] for r in rows], [r[3] for r in rows]
+    )
+
+
+# ---------------------------------------------------------------------------
 # ADVICE r8 lows
 # ---------------------------------------------------------------------------
 
