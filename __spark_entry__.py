@@ -57,6 +57,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #: The r1-r5 prose rotation history this block used to carry lives in git
 #: (`git log -p __spark_entry__.py`, commits up to round 5).
 #:
+#: ROUND-9 continuation: four NEW entries enter by rule (1) —
+#: sketch_kmv_distinct / sketch_kmv_intersection (md5-KMV: the oracle
+#: recomputes the sketch; union-sketch set algebra), sketch_heavy_hitters
+#: (merged Misra-Gries over md5 sub-bags, integer-exact guarantees) and
+#: graph_triangle_count (degree-oriented triangle census) and graph_bfs_hops
+#: (bounded frontier BFS, recursive-CTE oracle) — displacing the five
+#: alphabetically-last refresh slots (sketch_hll_windowed, skew_salted_agg,
+#: skew_salted_join, text_bigram_corpus_freq, text_boilerplate_scrub), all
+#: byte-stable per the ledger, their r6-era evidence standing.
+#:
 #: ROUND-9 rotation (VERDICT r8 #6): in by rule (1), the sixteen entries
 #: created or whose transitive closure changed this round — seven NEW
 #: (corpus_prep_pipeline_v2: span scrubs + classifier gate + tokenizer-count
@@ -99,6 +109,12 @@ _PRIORITY = [
     "quality_classifier_gate",
     "decon_span_scrub",
     "dedup_incremental_containment",
+    # r9 continuation additions (rule 1)
+    "sketch_kmv_distinct",
+    "sketch_kmv_intersection",
+    "sketch_heavy_hitters",
+    "graph_triangle_count",
+    "graph_bfs_hops",
     # driver-row refresh: last green driver row r6 (alphabetical)
     "asof_last_click_before_purchase",
     "corpus_feed_health",
@@ -129,11 +145,6 @@ _PRIORITY = [
     "sim_bm25_multi_query",
     "sim_bm25_topk",
     "sketch_count_min",
-    "sketch_hll_windowed",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "text_bigram_corpus_freq",
-    "text_boilerplate_scrub",
 ]
 
 

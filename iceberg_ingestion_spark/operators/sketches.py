@@ -231,3 +231,113 @@ def hll_window_union(
         .agg(F.hll_union_agg("sketch").alias("_sk"))
         .select(bucket_col, F.hll_sketch_estimate("_sk").alias("approx_distinct"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k minimum values) — md5-derived, cross-engine recomputable
+# ---------------------------------------------------------------------------
+
+
+def kmv_sketch(df: DataFrame, set_col: str, value_col: str, k: int) -> DataFrame:
+    """KMV distinct-count sketch per set (Bar-Yossef et al. RANDOM'02; Beyer
+    et al. SIGMOD'07): the ``k`` lexicographically-smallest ``(hash, value)``
+    pairs over DISTINCT values of each set, with the hash the first 32 bits
+    of md5 — so ANY engine (including the DuckDB oracle) recomputes the
+    identical sketch; no engine-private hash in the contract.
+
+    Output: ``(set_col, value string, hv long)`` with ≤ k rows per set.
+
+    Scale shape — two-level tournament, the classic distributed top-k: the
+    first rank is keyed by (physical partition, set), so the full distinct
+    relation shuffles across P·|sets| keys — no single hot reducer per set —
+    and each key prunes to its own k smallest. Top-k is partition-stable
+    (the global k-min of a union of per-partition k-mins is exact), so the
+    second, per-set window sees ≤ k·P rows per set, never the distinct
+    value space."""
+    from iceberg_ingestion_spark.operators.text import hex_to_long
+    from pyspark.sql import Window
+
+    d = (
+        df.select(
+            F.col(set_col).alias(set_col),
+            F.col(value_col).cast("string").alias("value"),
+        )
+        .distinct()
+        .withColumn("hv", hex_to_long(F.md5(F.col("value")), 1, 8))
+    )
+    local = Window.partitionBy(F.spark_partition_id(), set_col).orderBy("hv", "value")
+    pruned = d.withColumn("_lr", F.row_number().over(local)).where(
+        F.col("_lr") <= k
+    )
+    w = Window.partitionBy(set_col).orderBy("hv", "value")
+    return (
+        pruned.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= k)
+        .select(set_col, "value", "hv")
+    )
+
+
+def kmv_distinct_estimate(sketch: DataFrame, set_col: str, k: int) -> DataFrame:
+    """Distinct estimate per set from a :func:`kmv_sketch` relation:
+    ``(k-1) · 2^32 / h_k`` when the sketch is full (h_k = k-th smallest
+    32-bit hash), EXACT slot count when the set has fewer than k distinct
+    values. Output: ``(set_col, n_slots, est_distinct double)``. RSE ≈
+    1/√(k−2). Every arithmetic step is one IEEE op on exactly-representable
+    integers, so the oracle's double is bit-identical."""
+    agg = sketch.groupBy(set_col).agg(
+        F.count(F.lit(1)).alias("n_slots"), F.max("hv").alias("_hk")
+    )
+    full = F.lit(float((k - 1) * 4294967296)) / F.col("_hk")
+    return agg.select(
+        set_col,
+        "n_slots",
+        F.when(F.col("n_slots") < k, F.col("n_slots").cast("double"))
+        .otherwise(full)
+        .alias("est_distinct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries mergeable heavy-hitter summaries — deterministic, md5-sub-bags
+# ---------------------------------------------------------------------------
+
+
+def mg_summary_merged(
+    counts: DataFrame, part_col: str, value_col: str, count_col: str, k: int
+) -> DataFrame:
+    """Merged Misra-Gries heavy-hitter summary over md5-deterministic
+    sub-bags (Agarwal et al., "Mergeable Summaries", PODS'12): per sub-bag
+    ``part_col``, prune exact ``(value, count)`` rows by the MG offset — the
+    (k+1)-th largest count in that sub-bag (0 if ≤ k distinct values) —
+    keeping ``max(0, count - offset)``; then merge by summing surviving
+    counters across sub-bags.
+
+    Determinism: the MG summary of a sub-bag in "optimal offset" form depends
+    only on the sub-bag's exact counts, not on stream order — and the sub-bag
+    assignment is md5-derived by the caller — so any engine recomputes the
+    identical summary (the DuckDB oracle does).
+
+    Guarantees (checked in-query by the driver entry, integer-exact):
+    ``est ≤ true`` and ``true − est ≤ Σ_p offset_p ≤ N/(k+1)``.
+
+    Output: ``(value, est_cnt)``, ≤ k rows per sub-bag before the merge.
+    Scale shape: the groupBy feeding ``counts`` is map-side partial; the
+    prune window is keyed by sub-bag over that aggregated relation; the
+    merge moves ≤ k·P counter rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(part_col).orderBy(
+        F.col(count_col).desc(), F.col(value_col)
+    )
+    ranked = counts.withColumn("_r", F.row_number().over(w))
+    off = ranked.where(F.col("_r") == k + 1).select(
+        F.col(part_col), F.col(count_col).alias("_off")
+    )
+    pruned = (
+        ranked.join(off, part_col, "left")
+        .withColumn("_est", F.col(count_col) - F.coalesce(F.col("_off"), F.lit(0)))
+        .where(F.col("_est") > 0)
+    )
+    return pruned.groupBy(F.col(value_col).alias("value")).agg(
+        F.sum("_est").alias("est_cnt")
+    )

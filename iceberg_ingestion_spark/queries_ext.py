@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from iceberg_ingestion_spark.queries_text_dedup import *  # noqa: F401,F403
 from iceberg_ingestion_spark.queries_events_ts import *  # noqa: F401,F403
 from iceberg_ingestion_spark.queries_corpus_mm import *  # noqa: F401,F403
+from iceberg_ingestion_spark.queries_graph import *  # noqa: F401,F403
 from iceberg_ingestion_spark.queries_ext_oracles import ORACLES_EXT  # noqa: F401
 
 # ---------------------------------------------------------------------------
@@ -110,5 +111,10 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier_gate": q_quality_classifier_gate,  # batch_score seam, exact-logit oracle
     "corpus_prep_pipeline": q_corpus_prep_pipeline,  # scrub->dedup->decon->mix->pack->shard composed
     "corpus_prep_pipeline_v2": q_corpus_prep_pipeline_v2,  # span scrubs + classifier gate + BPE pack
+    "sketch_kmv_distinct": q_sketch_kmv_distinct,  # md5-KMV: oracle recomputes the sketch
+    "sketch_kmv_intersection": q_sketch_kmv_intersection,  # union-KMV set algebra
+    "sketch_heavy_hitters": q_sketch_heavy_hitters,  # merged Misra-Gries, integer-exact
+    "graph_triangle_count": q_graph_triangle_count,  # degree-oriented triangle census
+    "graph_bfs_hops": q_graph_bfs_hops,  # bounded frontier BFS, recursive-CTE oracle
 }
 

@@ -1713,3 +1713,170 @@ WHERE p.event_type = 'click'
 # a green row proves chained probes over union-appended indexes reproduce
 # the one-shot batch answer exactly
 ORACLES_EXT["dedup_chained_substring"] = ORACLES_EXT["dedup_substring_spans"]
+
+# ---------------------------------------------------------------------------
+# round-9 continuation: graph analytics + deterministic KMV / Misra-Gries
+# sketches (Spark sides in queries_graph.py; every sketch is md5-derived so
+# the oracle RECOMPUTES it — the sketch_count_min contract style)
+# ---------------------------------------------------------------------------
+
+from iceberg_ingestion_spark.queries_graph import (  # noqa: E402,F401
+    HH_K, HH_PARTS, KMV_BOUND, KMV_INTER_TOL, KMV_K, KMV_SET_A, KMV_SET_B,
+)
+
+#: per-type distinct user-day universe (KMV element convention; the Spark
+#: side is _kmv_elements — concat_ws + ts_us div, identical here)
+_KMV_EL = f"""
+el AS (SELECT event_type,
+              user_id::VARCHAR || ':' ||
+                  (epoch_us(ts) // {TS_BUCKET_US})::VARCHAR AS value
+       FROM events)
+"""
+
+ORACLES_EXT["sketch_kmv_distinct"] = f"""
+    WITH {_KMV_EL},
+    d AS (SELECT DISTINCT event_type, value FROM el),
+    h AS (SELECT event_type, value,
+                 ('0x' || substr(md5(value), 1, 8))::BIGINT AS hv FROM d),
+    sk AS (SELECT event_type, value, hv FROM h
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY hv, value) <= {KMV_K}),
+    ag AS (SELECT event_type, count(*) AS n_slots, max(hv) AS hk
+           FROM sk GROUP BY 1),
+    ex AS (SELECT event_type, count(*) AS exact_distinct FROM d GROUP BY 1),
+    est AS (SELECT event_type, n_slots,
+                   CASE WHEN n_slots < {KMV_K} THEN CAST(n_slots AS DOUBLE)
+                        ELSE CAST({(KMV_K - 1) * 4294967296} AS DOUBLE) / hk
+                   END AS est_distinct
+            FROM ag)
+    SELECT e.event_type,
+           CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
+           CAST(e.n_slots AS BIGINT) AS n_slots,
+           e.est_distinct,
+           CASE WHEN e.n_slots < {KMV_K}
+                THEN e.est_distinct = x.exact_distinct
+                ELSE abs(e.est_distinct / x.exact_distinct - 1.0)
+                     <= {KMV_BOUND!r}
+           END AS within_bound
+    FROM est e JOIN ex x USING (event_type)
+"""
+
+ORACLES_EXT["sketch_kmv_intersection"] = f"""
+    WITH {_KMV_EL},
+    a AS (SELECT DISTINCT value FROM el WHERE event_type = '{KMV_SET_A}'),
+    b AS (SELECT DISTINCT value FROM el WHERE event_type = '{KMV_SET_B}'),
+    u AS (SELECT value FROM a UNION SELECT value FROM b),
+    h AS (SELECT value, ('0x' || substr(md5(value), 1, 8))::BIGINT AS hv
+          FROM u),
+    sk AS (SELECT value, hv FROM h
+           QUALIFY ROW_NUMBER() OVER (ORDER BY hv, value) <= {KMV_K}),
+    ag AS (SELECT count(*) AS n_slots, max(hv) AS hk FROM sk),
+    nb AS (SELECT count(*) AS n_both FROM sk
+           WHERE value IN (SELECT value FROM a)
+             AND value IN (SELECT value FROM b)),
+    ex AS (SELECT count(*) AS exact_inter FROM a JOIN b USING (value)),
+    est AS (SELECT n_slots,
+                   CASE WHEN n_slots < {KMV_K} THEN CAST(n_slots AS DOUBLE)
+                        ELSE CAST({(KMV_K - 1) * 4294967296} AS DOUBLE) / hk
+                   END AS est_union
+            FROM ag)
+    SELECT CAST(nb.n_both AS BIGINT) AS n_both,
+           CAST(ex.exact_inter AS BIGINT) AS exact_inter,
+           est.est_union,
+           nb.n_both * est.est_union / {KMV_K} AS est_inter,
+           CASE WHEN est.n_slots < {KMV_K} THEN TRUE
+                ELSE abs(nb.n_both * est.est_union / {KMV_K} - ex.exact_inter)
+                     <= {KMV_INTER_TOL!r} * est.est_union
+           END AS within_bound
+    FROM nb CROSS JOIN est CROSS JOIN ex
+"""
+
+ORACLES_EXT["sketch_heavy_hitters"] = f"""
+    WITH toks AS (
+        SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                   % {HH_PARTS} AS p,
+               unnest({_TOKS}) AS value
+        FROM documents
+    ),
+    counts AS (SELECT p, value, count(*) AS c FROM toks GROUP BY 1, 2),
+    ranked AS (SELECT p, value, c,
+                      ROW_NUMBER() OVER (PARTITION BY p
+                                         ORDER BY c DESC, value) AS r
+               FROM counts),
+    off AS (SELECT p, c AS _off FROM ranked WHERE r = {HH_K} + 1),
+    pruned AS (SELECT ranked.value,
+                      ranked.c - coalesce(off._off, 0) AS est
+               FROM ranked LEFT JOIN off USING (p)
+               WHERE ranked.c - coalesce(off._off, 0) > 0),
+    mg AS (SELECT value, CAST(sum(est) AS BIGINT) AS est_cnt
+           FROM pruned GROUP BY 1),
+    exact AS (SELECT value, count(*) AS exact_cnt FROM toks GROUP BY 1),
+    tot AS (SELECT count(*) AS n FROM toks)
+    SELECT mg.value AS token, mg.est_cnt,
+           CAST(exact.exact_cnt AS BIGINT) AS exact_cnt,
+           mg.est_cnt <= exact.exact_cnt AS never_over,
+           ({HH_K} + 1) * (exact.exact_cnt - mg.est_cnt) <= tot.n
+               AS within_bound
+    FROM mg JOIN exact USING (value) CROSS JOIN tot
+"""
+
+ORACLES_EXT["graph_triangle_count"] = """
+    WITH g AS (SELECT DISTINCT l_orderkey AS gid, l_partkey AS item
+               FROM lineitem),
+    e AS (SELECT DISTINCT a.item AS src, b.item AS dst
+          FROM g a JOIN g b ON a.gid = b.gid AND a.item < b.item),
+    deg AS (SELECT v, count(*) AS d
+            FROM (SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e)
+            GROUP BY v),
+    o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.src < e.dst)
+                      THEN e.src ELSE e.dst END AS s,
+                 CASE WHEN da.d < db.d OR (da.d = db.d AND e.src < e.dst)
+                      THEN e.dst ELSE e.src END AS t
+          FROM e JOIN deg da ON da.v = e.src JOIN deg db ON db.v = e.dst),
+    paths AS (SELECT e1.s AS u, e2.t AS w
+              FROM o e1 JOIN o e2 ON e1.t = e2.s),
+    tri AS (SELECT count(*) AS n_triangles FROM paths
+            WHERE EXISTS (SELECT 1 FROM o
+                          WHERE o.s = paths.u AND o.t = paths.w)),
+    wed AS (SELECT CAST(sum(d * (d - 1)) / 2 AS BIGINT) AS n_wedges,
+                   count(*) AS n_vertices
+            FROM deg),
+    ec AS (SELECT count(*) AS n_edges FROM e)
+    SELECT CAST(n_vertices AS BIGINT) AS n_vertices,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           n_wedges,
+           CAST(n_triangles AS BIGINT) AS n_triangles,
+           3.0 * n_triangles / n_wedges AS global_clustering
+    FROM wed CROSS JOIN ec CROSS JOIN tri
+"""
+
+from iceberg_ingestion_spark.queries_graph import (  # noqa: E402,F401
+    BFS_MAX_HOP, BFS_SEED_MOD,
+)
+
+# min-hop BFS: the oracle is a recursive CTE with min-per-vertex semantics;
+# the HAVING mirrors Spark's groupBy-omits-empty for the unreached row
+ORACLES_EXT["graph_bfs_hops"] = f"""
+    WITH g AS (SELECT DISTINCT l_orderkey AS gid, l_partkey AS item
+               FROM lineitem),
+    e0 AS (SELECT DISTINCT a.item AS src, b.item AS dst
+           FROM g a JOIN g b ON a.gid = b.gid AND a.item < b.item),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    verts AS (SELECT DISTINCT src AS v FROM e),
+    seeds AS (SELECT v FROM verts WHERE v % {BFS_SEED_MOD} = 0),
+    walk AS (
+        WITH RECURSIVE w(v, hop) AS (
+            SELECT v, 0 FROM seeds
+            UNION
+            SELECT e.dst, w.hop + 1 FROM w JOIN e ON e.src = w.v
+            WHERE w.hop < {BFS_MAX_HOP}
+        )
+        SELECT v, min(hop) AS hop FROM w GROUP BY v
+    ),
+    reached AS (SELECT CAST(hop AS BIGINT) AS hop, count(*) AS n_parts
+                FROM walk GROUP BY 1),
+    unre AS (SELECT CAST(-1 AS BIGINT) AS hop, count(*) AS n_parts
+             FROM verts WHERE v NOT IN (SELECT v FROM walk)
+             HAVING count(*) > 0)
+    SELECT * FROM reached UNION ALL SELECT * FROM unre
+"""

@@ -1,0 +1,223 @@
+"""Graph-analytics and deterministic-sketch driver entries (round 9
+continuation): triangle counting over a data-derived co-occurrence graph,
+KMV distinct/intersection estimation, and merged Misra-Gries heavy hitters.
+
+Every sketch here is md5-derived, so the DuckDB oracle RECOMPUTES the sketch
+— estimates and bound booleans are genuinely cross-checked, never asserted
+(the ``sketch_count_min`` contract style).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_ingestion_spark.operators import graph, sketches, text
+from iceberg_ingestion_spark.queries import read_table
+from iceberg_ingestion_spark.queries_text_dedup import read_events_us
+from iceberg_ingestion_spark.queries_events_ts import TS_BUCKET_US
+
+#: KMV sketch size: RSE ~ 1/sqrt(K-2) ~ 6.3%. The bound boolean uses 4 sigma.
+KMV_K = 256
+KMV_BOUND = round(4.0 / (KMV_K - 2) ** 0.5, 4)
+#: KMV intersection: additive 4-sigma bound on rho_hat = n_both/K, sigma
+#: <= sqrt(0.25/K) (worst-case Bernoulli), expressed in union-estimate units.
+KMV_INTER_TOL = round(4.0 * (0.25 / KMV_K) ** 0.5, 4)
+KMV_SET_A = "click"
+KMV_SET_B = "purchase"
+
+#: Misra-Gries: k counters per md5 sub-bag, P sub-bags. Error <= N/(k+1).
+HH_K = 20
+HH_PARTS = 8
+
+
+def _kmv_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, value) with value = 'user:day' — the per-type distinct
+    user-day universe the KMV entries estimate over. Day = epoch-us integer
+    division (the suite's TS_BUCKET_US convention, identical in DuckDB)."""
+    ev = read_events_us(spark, sf_dir)
+    return ev.select(
+        "event_type",
+        F.concat_ws(
+            ":", F.col("user_id"), F.expr(f"ts_us div {TS_BUCKET_US}")
+        ).alias("value"),
+    )
+
+
+def q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct user-days per event type vs the exact count, with the
+    4-sigma relative-error bound checked in-query: ``(event_type,
+    exact_distinct, n_slots, est_distinct, within_bound)``.
+
+    When a set has fewer than K distinct values the sketch IS the set and the
+    boolean degrades to exact equality. The estimate arithmetic is one IEEE
+    division on exactly-representable integers — the oracle's double is
+    bit-identical. Scale shape: the sketch build is a two-level top-K
+    tournament (per-partition prune first), so the per-set shuffle moves
+    <= K*P rows, never the distinct value space; the exact leg is the
+    verification price, linear in the distinct universe."""
+    el = _kmv_elements(spark, sf_dir)
+    sk = sketches.kmv_sketch(el, "event_type", "value", KMV_K)
+    est = sketches.kmv_distinct_estimate(sk, "event_type", KMV_K)
+    exact = (
+        el.distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact_distinct"))
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        "n_slots",
+        "est_distinct",
+        F.when(
+            F.col("n_slots") < KMV_K,
+            F.col("est_distinct") == F.col("exact_distinct"),
+        )
+        .otherwise(
+            F.abs(F.col("est_distinct") / F.col("exact_distinct") - 1.0)
+            <= KMV_BOUND
+        )
+        .alias("within_bound"),
+    )
+
+
+def q_sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-intersection estimation from ONE union KMV sketch (Beyer et al.
+    SIGMOD'07): |A∩B| ~= (n_both/K) * D_union, where n_both counts union-
+    sketch members present in BOTH sets. One row: ``(n_both, exact_inter,
+    est_union, est_inter, within_bound)`` for A = click user-days, B =
+    purchase user-days.
+
+    At 100 TB this is the point of KMV over HLL: the sketch carries its
+    sample VALUES, so any set-expression estimate (intersection, difference,
+    Jaccard) comes from the same K-row sketch via membership semi-joins —
+    no re-scan per expression. The exact leg is the verification price."""
+    el = _kmv_elements(spark, sf_dir)
+    a = el.where(F.col("event_type") == KMV_SET_A).select("value").distinct()
+    b = el.where(F.col("event_type") == KMV_SET_B).select("value").distinct()
+    u = a.unionAll(b).distinct().select(F.lit("u").alias("_s"), "value")
+    sk = sketches.kmv_sketch(u, "_s", "value", KMV_K)
+    est_u = sketches.kmv_distinct_estimate(sk, "_s", KMV_K).select(
+        "n_slots", F.col("est_distinct").alias("est_union")
+    )
+    n_both = (
+        sk.join(a, "value", "left_semi")
+        .join(b, "value", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    exact = a.join(b, "value").agg(F.count(F.lit(1)).alias("exact_inter"))
+    return (
+        n_both.crossJoin(F.broadcast(est_u))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "n_both",
+            "exact_inter",
+            "est_union",
+            (F.col("n_both") * F.col("est_union") / F.lit(KMV_K)).alias(
+                "est_inter"
+            ),
+            F.when(F.col("n_slots") < KMV_K, F.lit(True))
+            .otherwise(
+                F.abs(
+                    F.col("n_both") * F.col("est_union") / F.lit(KMV_K)
+                    - F.col("exact_inter")
+                )
+                <= KMV_INTER_TOL * F.col("est_union")
+            )
+            .alias("within_bound"),
+        )
+    )
+
+
+def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged Misra-Gries heavy hitters over the corpus token stream
+    (Zipfian by nature — the vocab heavy-hitter pass a tokenizer-training
+    pipeline runs): ``(token, est_cnt, exact_cnt, never_over,
+    within_bound)`` with both MG guarantees checked in-query, INTEGER-exact
+    — est <= true and (k+1)*(true - est) <= N.
+
+    Sub-bags are md5(doc_id)-assigned, so the summary is deterministic and
+    the oracle recomputes it. Scale shape: exact counts per (sub-bag, token)
+    aggregate map-side; the prune window is keyed by sub-bag; the merge
+    moves <= k*P counter rows. The exact-count leg joins only the <= k*P
+    reported tokens (semi-filtered), not the vocabulary."""
+    d = read_table(spark, sf_dir, "documents", spread=True)
+    toks = d.select(
+        (text.hex_to_long(F.md5(F.col("doc_id").cast("string")), 1, 8) % HH_PARTS)
+        .alias("_p"),
+        F.explode(text.tokens("text")).alias("value"),
+    )
+    counts = toks.groupBy("_p", "value").agg(F.count(F.lit(1)).alias("_c"))
+    mg = sketches.mg_summary_merged(counts, "_p", "value", "_c", HH_K)
+    # exact counts for the reported tokens only: re-aggregate the (p, token)
+    # counts relation (already grouped) restricted to survivors
+    exact = (
+        counts.join(mg.select("value"), "value", "left_semi")
+        .groupBy("value")
+        .agg(F.sum("_c").alias("exact_cnt"))
+    )
+    total = counts.agg(F.sum("_c").alias("_n"))
+    return (
+        mg.join(exact, "value")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("value").alias("token"),
+            "est_cnt",
+            "exact_cnt",
+            (F.col("est_cnt") <= F.col("exact_cnt")).alias("never_over"),
+            (
+                (HH_K + 1) * (F.col("exact_cnt") - F.col("est_cnt"))
+                <= F.col("_n")
+            ).alias("within_bound"),
+        )
+    )
+
+
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle census of the part co-occurrence graph (parts sharing
+    an order are adjacent): one row ``(n_vertices, n_edges, n_wedges,
+    n_triangles, global_clustering)`` via degree-ordered edge orientation
+    (Suri & Vassilvitskii WWW'11) — every join hash-partitionable, hub
+    fan-out bounded by sqrt(|E|) after orientation (see operators/graph.py).
+    """
+    l = read_table(spark, sf_dir, "lineitem")
+    edges = graph.cooccurrence_edges(l, "l_orderkey", "l_partkey")
+    return graph.triangle_stats(edges)
+
+
+#: BFS over the part co-occurrence graph: seeds = parts divisible by 199
+#: (present at every SF), frontier bounded at 2 hops (the graph is dense —
+#: hop 3 is the whole component at every driver SF).
+BFS_SEED_MOD = 199
+BFS_MAX_HOP = 2
+
+
+def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-hop histogram from a seed part set over the co-occurrence
+    graph: ``(hop, n_parts)`` for hops 0..BFS_MAX_HOP plus a ``hop = -1``
+    row for vertices unreached within the budget (omitted when none —
+    the oracle's HAVING mirrors that).
+
+    The iterative-algorithm shape the registry's connected components
+    (dedup_clusters) doesn't cover: a driver-side bounded fixpoint loop
+    whose per-round work is frontier-adjacent edges only, with the oracle a
+    recursive CTE — exercising min-hop semantics end-to-end."""
+    l = read_table(spark, sf_dir, "lineitem")
+    edges = graph.cooccurrence_edges(l, "l_orderkey", "l_partkey")
+    verts = (
+        edges.select(F.col("src").alias("v"))
+        .unionAll(edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    seeds = verts.where(F.col("v") % BFS_SEED_MOD == 0)
+    labels = graph.bfs_min_hops(edges, seeds, BFS_MAX_HOP)
+    reached = labels.groupBy(F.col("hop").cast("long").alias("hop")).agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
+    unreached = (
+        verts.join(labels, "v", "left_anti")
+        .select(F.lit(-1).cast("long").alias("hop"))
+        .groupBy("hop")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    return reached.unionByName(unreached)

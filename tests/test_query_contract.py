@@ -117,6 +117,14 @@ def test_no_unbounded_nested_loop_joins(spark):
         # both designed bounded lookup tables, plus the brute-force exact
         # counterpart for the in-query recall bound
         "sim_ann_topk_ivfpq",
+        # r9 continuation: single-row broadcast combines — the KMV
+        # intersection joins three 1-row aggregates (n_both / union estimate
+        # / exact intersection); heavy hitters folds the 1-row token total
+        # into the <=k*P reported rows; the triangle census combines its
+        # three 1-row stat aggregates. Every BNLJ side is exactly one row.
+        "sketch_kmv_intersection",
+        "sketch_heavy_hitters",
+        "graph_triangle_count",
     }
     offenders = []
     for name, fn in entry_mod.queries().items():
