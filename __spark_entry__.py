@@ -61,11 +61,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #: sketch_kmv_distinct / sketch_kmv_intersection (md5-KMV: the oracle
 #: recomputes the sketch; union-sketch set algebra), sketch_heavy_hitters
 #: (merged Misra-Gries over md5 sub-bags, integer-exact guarantees) and
-#: graph_triangle_count (degree-oriented triangle census) and graph_bfs_hops
-#: (bounded frontier BFS, recursive-CTE oracle) — displacing the five
-#: alphabetically-last refresh slots (sketch_hll_windowed, skew_salted_agg,
-#: skew_salted_join, text_bigram_corpus_freq, text_boilerplate_scrub), all
-#: byte-stable per the ledger, their r6-era evidence standing.
+#: graph_triangle_count (degree-oriented triangle census), graph_bfs_hops
+#: (bounded frontier BFS, recursive-CTE oracle), graph_triangle_sampled
+#: (DOULION md5-coin estimate vs exact), graph_chained_triangles (Δ-driven
+#: exact triangle IVM, 3 chained appends == batch census) and
+#: sketch_kmv_stream (real streaming: 3 drains maintain the KMV table,
+#: graded against the batch sketch oracle) and sketch_join_size (end-biased
+#: correlated-sample join sizing) — displacing the nine alphabetically-last
+#: refresh slots (sessionize_stats, sim_bm25_multi_query, sim_bm25_topk,
+#: sketch_count_min, sketch_hll_windowed, skew_salted_agg, skew_salted_join,
+#: text_bigram_corpus_freq, text_boilerplate_scrub), all byte-stable per the
+#: ledger, their r6-era evidence standing.
 #:
 #: ROUND-9 rotation (VERDICT r8 #6): in by rule (1), the sixteen entries
 #: created or whose transitive closure changed this round — seven NEW
@@ -115,6 +121,10 @@ _PRIORITY = [
     "sketch_heavy_hitters",
     "graph_triangle_count",
     "graph_bfs_hops",
+    "graph_triangle_sampled",
+    "graph_chained_triangles",
+    "sketch_kmv_stream",
+    "sketch_join_size",
     # driver-row refresh: last green driver row r6 (alphabetical)
     "asof_last_click_before_purchase",
     "corpus_feed_health",
@@ -141,10 +151,6 @@ _PRIORITY = [
     "multimodal_phash_pairs",
     "q11_important_parts",
     "q1_pricing_summary",
-    "sessionize_stats",
-    "sim_bm25_multi_query",
-    "sim_bm25_topk",
-    "sketch_count_min",
 ]
 
 

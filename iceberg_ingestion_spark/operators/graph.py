@@ -75,7 +75,7 @@ def degree_oriented(edges: DataFrame, degrees: DataFrame | None = None) -> DataF
     )
 
 
-def triangle_stats(edges: DataFrame) -> DataFrame:
+def triangle_stats(edges: DataFrame, materializer=None) -> DataFrame:
     """ONE row of global triangle statistics over a distinct undirected edge
     set: ``(n_vertices, n_edges, n_wedges, n_triangles,
     global_clustering)``.
@@ -87,12 +87,30 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
       non-integer — one IEEE division, identical cross-engine).
 
     All sums stay far below 2^53, so the /2 via double is exact. The final
-    combine crossJoins four 1-row aggregates (broadcast by construction)."""
+    combine crossJoins four 1-row aggregates (broadcast by construction).
+
+    Physical shape: ``edges`` and the oriented relation fan into several
+    subtrees (degrees, both path legs, the closing semi join, the edge
+    count), so both are materialized once (``materializer=`` seam, default
+    localCheckpoint) instead of re-expanding the upstream co-occurrence
+    self-join per reference. The path-expansion join's INPUT is small
+    (|E| rows) but its OUTPUT is Σ out-deg² rows — AQE would coalesce the
+    tiny input shuffle to one partition and run the expansion single-task —
+    so both legs carry an explicit repartition on the join key (user-pinned
+    partition counts are exempt from AQE coalescing), keeping the expansion
+    wide."""
+    from iceberg_ingestion_spark.operators.materialize import resolve
+    from iceberg_ingestion_spark.session import default_parallelism
+
+    mat = resolve(materializer)
+    edges = mat(edges)
     deg = vertex_degrees(edges)
-    o = degree_oriented(edges, deg)
+    o = mat(degree_oriented(edges, deg))
+    par = default_parallelism()
     paths = (
-        o.alias("e1")
-        .join(o.alias("e2"), F.col("e1.t") == F.col("e2.s"))
+        o.repartition(par, "t")
+        .alias("e1")
+        .join(o.repartition(par, "s").alias("e2"), F.col("e1.t") == F.col("e2.s"))
         .select(F.col("e1.s").alias("u"), F.col("e2.t").alias("w"))
     )
     tri = paths.join(
@@ -120,7 +138,9 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     )
 
 
-def bfs_min_hops(edges: DataFrame, seeds: DataFrame, max_hop: int) -> DataFrame:
+def bfs_min_hops(
+    edges: DataFrame, seeds: DataFrame, max_hop: int, materializer=None
+) -> DataFrame:
     """Minimum-hop BFS labels ``(v, hop)`` for every vertex reachable within
     ``max_hop`` of the seed set, over an undirected edge relation
     ``(src, dst)``. ``seeds`` is a one-column relation of start vertices.
@@ -135,25 +155,144 @@ def bfs_min_hops(edges: DataFrame, seeds: DataFrame, max_hop: int) -> DataFrame:
     ``max_hop``, so the plan cannot grow unboundedly on high-diameter
     graphs. Min-hop correctness needs no re-labeling: a vertex is claimed by
     the FIRST frontier that reaches it (BFS invariant), and the anti-join
-    guarantees exactly-once labeling."""
-    both = edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    guarantees exactly-once labeling. The bidirected edge relation is
+    materialized once (``materializer=`` seam) — every round joins it, and
+    a lazy reference would re-expand the upstream edge derivation (e.g. the
+    co-occurrence self-join) per round."""
+    from iceberg_ingestion_spark.operators.materialize import resolve
+
+    mat = resolve(materializer)
+    both = mat(
+        edges.select("src", "dst").unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
     )
-    visited = (
-        seeds.toDF("v").distinct().withColumn("hop", F.lit(0)).localCheckpoint()
-    )
+    visited = mat(seeds.toDF("v").distinct().withColumn("hop", F.lit(0)))
     frontier = visited
     for h in range(1, max_hop + 1):
-        nxt = (
+        nxt = mat(
             frontier.join(both, frontier["v"] == both["src"])
             .select(F.col("dst").alias("v"))
             .distinct()
             .join(visited, "v", "left_anti")
             .withColumn("hop", F.lit(h))
-            .localCheckpoint()
         )
         if not nxt.take(1):
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        visited = mat(visited.unionByName(nxt))
         frontier = nxt
     return visited
+
+
+def edge_sample_md5(edges: DataFrame, mod: int) -> DataFrame:
+    """Deterministic DOULION edge sampling (Tsourakakis et al. KDD'09):
+    keep an edge iff md5('src:dst') % mod == 0, i.e. sampling probability
+    p = 1/mod. Because the coin is a hash of the edge itself, any engine
+    draws the SAME sample (the DuckDB oracle recomputes it) and re-runs are
+    reproducible. Triangle estimate: T_sampled * mod^3 — integer-exact —
+    with Var/T^2 ~ (mod^3 - 1)/T + a shared-edge covariance term that
+    vanishes on low-clustering graphs; the graded entry checks a 10% band
+    against the exact census in-query."""
+    from iceberg_ingestion_spark.operators.text import hex_to_long
+
+    key = F.md5(F.concat_ws(":", F.col("src"), F.col("dst")))
+    return edges.where(hex_to_long(key, 1, 8) % mod == 0)
+
+
+def triangle_delta(
+    old_edges: DataFrame, new_edges: DataFrame, materializer=None
+) -> DataFrame:
+    """ONE row ``(n_new_triangles)``: exact count of triangles that exist in
+    ``old ∪ new`` but not in ``old`` — i.e. triangles using at least one new
+    edge — WITHOUT re-running the full census. This is the incremental-view
+    maintenance rule for triangle counts: ``T(E ∪ Δ) = T(E) + Δ-count``.
+
+    Counting each new triangle exactly once with no inclusion-exclusion:
+    orient the UNION graph by (degree, id) — every triangle is exactly one
+    oriented path a→b→c closed by a→c — and split by the FIRST new slot:
+
+    * c1: edge1 (a→b) is new                      — driven by Δ on the left;
+    * c2: edge1 old, edge2 (b→c) new              — driven by Δ on the right;
+    * c3: edge1 old, edge2 old, closing (a→c) new — driven by Δ as the
+      closing edge (join Δ to old out-edges of a, then membership-check
+      b→c), never the old×old path expansion.
+
+    The three cases are disjoint and exhaustive over "≥1 new edge", and
+    every join is Δ-sized on its driving side — per-increment work is
+    O(|Δ| · avg-outdeg), independent of the accumulated census cost. The
+    union ORIENTATION changes as degrees grow, but orientation only affects
+    the representation, never the count, so the maintained total stays
+    exact (pytest-pinned: delta == census(union) − census(old); the chained
+    driver entry grades 3 appends against the one-shot batch census)."""
+    from iceberg_ingestion_spark.operators.materialize import resolve
+
+    mat = resolve(materializer)
+    old = mat(old_edges.select("src", "dst").distinct())
+    delta = mat(
+        new_edges.select("src", "dst").distinct().join(
+            old, ["src", "dst"], "left_anti"
+        )
+    )
+    union = old.withColumn("is_new", F.lit(False)).unionByName(
+        delta.withColumn("is_new", F.lit(True))
+    )
+    deg = vertex_degrees(union)
+    flagged = (
+        union.join(
+            deg.select(F.col("v").alias("src"), F.col("d").alias("_ds")), "src"
+        ).join(deg.select(F.col("v").alias("dst"), F.col("d").alias("_dt")), "dst")
+    )
+    fwd = (F.col("_ds") < F.col("_dt")) | (
+        (F.col("_ds") == F.col("_dt")) & (F.col("src") < F.col("dst"))
+    )
+    o = mat(
+        flagged.select(
+            F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("s"),
+            F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("t"),
+            "is_new",
+        )
+    )
+    o_new = o.where(F.col("is_new")).select("s", "t")
+    o_old = o.where(~F.col("is_new")).select("s", "t")
+    o_all = o.select(
+        F.col("s").alias("u"), F.col("t").alias("w")
+    )
+
+    def _close(paths: DataFrame, closing: DataFrame) -> DataFrame:
+        return paths.join(closing, ["u", "w"], "leftsemi")
+
+    # c1: (new, any, any-close)
+    p1 = (
+        o_new.alias("e1")
+        .join(o.alias("e2"), F.col("e1.t") == F.col("e2.s"))
+        .select(F.col("e1.s").alias("u"), F.col("e2.t").alias("w"))
+    )
+    c1 = _close(p1, o_all).agg(F.count(F.lit(1)).alias("_c"))
+    # c2: (old, new, any-close)
+    p2 = (
+        o_old.alias("e1")
+        .join(o_new.alias("e2"), F.col("e1.t") == F.col("e2.s"))
+        .select(F.col("e1.s").alias("u"), F.col("e2.t").alias("w"))
+    )
+    c2 = _close(p2, o_all).agg(F.count(F.lit(1)).alias("_c"))
+    # c3: (old, old, new-close) — driven by the Δ closing edge
+    c3 = (
+        o_new.select(F.col("s").alias("u"), F.col("t").alias("w"))
+        .join(
+            o_old.select(F.col("s").alias("u"), F.col("t").alias("v")), "u"
+        )
+        .join(
+            o_old.select(F.col("s").alias("v"), F.col("t").alias("w")),
+            ["v", "w"],
+            "leftsemi",
+        )
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    total = (
+        c1.crossJoin(F.broadcast(c2.withColumnRenamed("_c", "_c2")))
+        .crossJoin(F.broadcast(c3.withColumnRenamed("_c", "_c3")))
+        .select(
+            (F.col("_c") + F.col("_c2") + F.col("_c3")).alias("n_new_triangles")
+        )
+    )
+    return total

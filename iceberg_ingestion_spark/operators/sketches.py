@@ -341,3 +341,21 @@ def mg_summary_merged(
     return pruned.groupBy(F.col(value_col).alias("value")).agg(
         F.sum("_est").alias("est_cnt")
     )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, set_col: str, k: int) -> DataFrame:
+    """Merge two KMV sketch relations (``(set, value, hv)``) back to ≤ k
+    rows per set. KMV is a mergeable summary: the k smallest of A ∪ B equals
+    the k smallest of kmin(A) ∪ kmin(B), so merging is union + re-prune —
+    and re-merging the same rows is a no-op (set semantics via distinct),
+    which is what makes streamed maintenance idempotent under micro-batch
+    redelivery."""
+    from pyspark.sql import Window
+
+    u = a.unionByName(b).distinct()
+    w = Window.partitionBy(set_col).orderBy("hv", "value")
+    return (
+        u.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= k)
+        .select(set_col, "value", "hv")
+    )

@@ -116,5 +116,9 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_heavy_hitters": q_sketch_heavy_hitters,  # merged Misra-Gries, integer-exact
     "graph_triangle_count": q_graph_triangle_count,  # degree-oriented triangle census
     "graph_bfs_hops": q_graph_bfs_hops,  # bounded frontier BFS, recursive-CTE oracle
+    "graph_triangle_sampled": q_graph_triangle_sampled,  # DOULION md5-coin estimate vs exact
+    "sketch_kmv_stream": q_sketch_kmv_stream,  # REAL streaming: 3 drains maintain the KMV table
+    "graph_chained_triangles": q_graph_chained_triangles,  # Δ-driven IVM == batch census
+    "sketch_join_size": q_sketch_join_size,  # end-biased correlated-sample join sizing
 }
 

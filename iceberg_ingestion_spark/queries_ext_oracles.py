@@ -1880,3 +1880,95 @@ ORACLES_EXT["graph_bfs_hops"] = f"""
              HAVING count(*) > 0)
     SELECT * FROM reached UNION ALL SELECT * FROM unre
 """
+
+from iceberg_ingestion_spark.queries_graph import TRI_SAMPLE_MOD  # noqa: E402,F401
+
+# DOULION sampled triangle estimate: both the exact and sampled censuses are
+# recomputed (the sample coin is md5(edge), engine-independent); the 10% band
+# check is integer arithmetic
+ORACLES_EXT["graph_triangle_sampled"] = f"""
+    WITH g AS (SELECT DISTINCT l_orderkey AS gid, l_partkey AS item
+               FROM lineitem),
+    e AS (SELECT DISTINCT a.item AS src, b.item AS dst
+          FROM g a JOIN g b ON a.gid = b.gid AND a.item < b.item),
+    deg AS (SELECT v, count(*) AS d
+            FROM (SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e)
+            GROUP BY v),
+    o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.src < e.dst)
+                      THEN e.src ELSE e.dst END AS s,
+                 CASE WHEN da.d < db.d OR (da.d = db.d AND e.src < e.dst)
+                      THEN e.dst ELSE e.src END AS t
+          FROM e JOIN deg da ON da.v = e.src JOIN deg db ON db.v = e.dst),
+    tri AS (SELECT count(*) AS n FROM
+            (SELECT e1.s AS u, e2.t AS w FROM o e1 JOIN o e2 ON e1.t = e2.s) p
+            WHERE EXISTS (SELECT 1 FROM o WHERE o.s = p.u AND o.t = p.w)),
+    es AS (SELECT src, dst FROM e
+           WHERE ('0x' || substr(md5(src::VARCHAR || ':' || dst::VARCHAR),
+                                 1, 8))::BIGINT % {TRI_SAMPLE_MOD} = 0),
+    degs AS (SELECT v, count(*) AS d
+             FROM (SELECT src AS v FROM es UNION ALL SELECT dst AS v FROM es)
+             GROUP BY v),
+    os AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND es.src < es.dst)
+                       THEN es.src ELSE es.dst END AS s,
+                  CASE WHEN da.d < db.d OR (da.d = db.d AND es.src < es.dst)
+                       THEN es.dst ELSE es.src END AS t
+           FROM es JOIN degs da ON da.v = es.src
+                   JOIN degs db ON db.v = es.dst),
+    tris AS (SELECT count(*) AS n FROM
+             (SELECT e1.s AS u, e2.t AS w FROM os e1 JOIN os e2 ON e1.t = e2.s) p
+             WHERE EXISTS (SELECT 1 FROM os WHERE os.s = p.u AND os.t = p.w)),
+    ecs AS (SELECT count(*) AS n FROM es)
+    SELECT CAST(ecs.n AS BIGINT) AS n_edges_sampled,
+           CAST(tris.n AS BIGINT) AS n_triangles_sampled,
+           CAST(tris.n * {TRI_SAMPLE_MOD ** 3} AS BIGINT) AS est_triangles,
+           CAST(tri.n AS BIGINT) AS n_triangles_exact,
+           10 * abs(tris.n * {TRI_SAMPLE_MOD ** 3} - tri.n) <= tri.n
+               AS within_10pct
+    FROM ecs CROSS JOIN tris CROSS JOIN tri
+"""
+
+# streamed KMV == batch KMV (mergeable-summary invariant): the oracle is the
+# identical batch sketch SQL — a green row proves the streamed table exactly
+# reproduces the one-shot batch sketch
+ORACLES_EXT["sketch_kmv_stream"] = ORACLES_EXT["sketch_kmv_distinct"]
+
+# chained triangle IVM == one-shot batch census: the oracle recomputes the
+# full census (edge count + triangle count) over ALL edges — a green row
+# proves the 3 chained Δ-driven increments reproduce the batch answer
+ORACLES_EXT["graph_chained_triangles"] = """
+    WITH g AS (SELECT DISTINCT l_orderkey AS gid, l_partkey AS item
+               FROM lineitem),
+    e AS (SELECT DISTINCT a.item AS src, b.item AS dst
+          FROM g a JOIN g b ON a.gid = b.gid AND a.item < b.item),
+    deg AS (SELECT v, count(*) AS d
+            FROM (SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e)
+            GROUP BY v),
+    o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.src < e.dst)
+                      THEN e.src ELSE e.dst END AS s,
+                 CASE WHEN da.d < db.d OR (da.d = db.d AND e.src < e.dst)
+                      THEN e.dst ELSE e.src END AS t
+          FROM e JOIN deg da ON da.v = e.src JOIN deg db ON db.v = e.dst),
+    tri AS (SELECT count(*) AS n FROM
+            (SELECT e1.s AS u, e2.t AS w FROM o e1 JOIN o e2 ON e1.t = e2.s) p
+            WHERE EXISTS (SELECT 1 FROM o WHERE o.s = p.u AND o.t = p.w)),
+    ec AS (SELECT count(*) AS n FROM e)
+    SELECT CAST(ec.n AS BIGINT) AS n_edges, CAST(tri.n AS BIGINT) AS n_triangles
+    FROM ec CROSS JOIN tri
+"""
+
+from iceberg_ingestion_spark.queries_graph import JS_MOD  # noqa: E402,F401
+
+# correlated-sample join sizing: the oracle recomputes the md5 key sample and
+# both sums; estimator and band are integer arithmetic
+ORACLES_EXT["sketch_join_size"] = f"""
+    WITH c AS (SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY 1),
+    ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_size FROM c),
+    es AS (SELECT CAST(sum(c * c) * {JS_MOD} AS BIGINT) AS est_size,
+                  count(*) AS n_sampled_keys
+           FROM c
+           WHERE ('0x' || substr(md5(l_partkey::VARCHAR), 1, 8))::BIGINT
+                 % {JS_MOD} = 0)
+    SELECT exact_size, est_size, CAST(n_sampled_keys AS BIGINT) AS n_sampled_keys,
+           100 * abs(est_size - exact_size) <= 15 * exact_size AS within_15pct
+    FROM es CROSS JOIN ex
+"""

@@ -221,3 +221,181 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_parts"))
     )
     return reached.unionByName(unreached)
+
+
+#: DOULION sampling: p = 1/4 per edge, so 1/64 of triangles survive and the
+#: estimator multiplies back by 64. 10% band vs exact, integer-exact check.
+TRI_SAMPLE_MOD = 4
+
+
+def q_graph_triangle_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION sampled triangle estimate vs the exact census, one row:
+    ``(n_edges_sampled, n_triangles_sampled, est_triangles,
+    n_triangles_exact, within_10pct)`` with the band check integer-exact
+    (``10*|est - exact| <= exact``). The sample coin is md5(edge), so the
+    oracle recomputes the identical sample. At 100 TB the sampled census is
+    the production shape — p^2 of the path-expansion volume — and the exact
+    leg here is the verification price."""
+    l = read_table(spark, sf_dir, "lineitem")
+    edges = graph.cooccurrence_edges(l, "l_orderkey", "l_partkey").localCheckpoint()
+    exact = graph.triangle_stats(edges).select(
+        F.col("n_triangles").alias("n_triangles_exact")
+    )
+    sampled = graph.triangle_stats(
+        graph.edge_sample_md5(edges, TRI_SAMPLE_MOD)
+    ).select(
+        F.col("n_edges").alias("n_edges_sampled"),
+        F.col("n_triangles").alias("n_triangles_sampled"),
+    )
+    m3 = TRI_SAMPLE_MOD ** 3
+    return sampled.crossJoin(F.broadcast(exact)).select(
+        "n_edges_sampled",
+        "n_triangles_sampled",
+        (F.col("n_triangles_sampled") * m3).alias("est_triangles"),
+        "n_triangles_exact",
+        (
+            10 * F.abs(F.col("n_triangles_sampled") * m3 - F.col("n_triangles_exact"))
+            <= F.col("n_triangles_exact")
+        ).alias("within_10pct"),
+    )
+
+
+def q_sketch_kmv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED KMV maintenance graded at the driver (real Structured
+    Streaming: three ``availableNow`` drains against one checkpoint through
+    :func:`streaming.kmv_stream.stream_kmv_sketch`): the element feed
+    arrives as three md5-disjoint file drops, each micro-batch is sketched
+    with the SAME batch code path and ``kmv_merge``d into the persisted
+    sketch table. The entry then estimates from the PERSISTED streamed
+    sketch; its oracle is ``sketch_kmv_distinct``'s batch SQL — a green row
+    proves streamed == batch exactly (KMV mergeability), the
+    ``dedup_chained_substring`` contract style."""
+    import os
+    import tempfile
+
+    from iceberg_ingestion_spark.streaming.kmv_stream import stream_kmv_sketch
+
+    el = _kmv_elements(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="kmv_stream_")
+    feed = os.path.join(root, "feed")
+    table = os.path.join(root, "sketch")
+    ckpt = os.path.join(root, "ckpt")
+
+    for r in (0, 1, 2):
+        part = el.where(
+            text.hex_to_long(F.md5(F.col("value")), 9, 8) % 3 == r
+        )
+        part.coalesce(1).write.mode("append").parquet(feed)
+        q = stream_kmv_sketch(
+            spark, feed, part.schema, table, ckpt,
+            "event_type", "value", KMV_K,
+        )
+        # a timed-out drain must FAIL the entry: a partial batch would
+        # silently shrink the sketch and the grade with it
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("sketch_kmv_stream: drain exceeded 300s")
+
+    sk = spark.read.parquet(table)
+    est = sketches.kmv_distinct_estimate(sk, "event_type", KMV_K)
+    exact = (
+        el.distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact_distinct"))
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        "n_slots",
+        "est_distinct",
+        F.when(
+            F.col("n_slots") < KMV_K,
+            F.col("est_distinct") == F.col("exact_distinct"),
+        )
+        .otherwise(
+            F.abs(F.col("est_distinct") / F.col("exact_distinct") - 1.0)
+            <= KMV_BOUND
+        )
+        .alias("within_bound"),
+    )
+
+
+def q_graph_chained_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED incremental triangle maintenance graded against the one-shot
+    batch census (the ``dedup_chained_substring`` contract style for the
+    graph family): the co-occurrence edges arrive as three md5-disjoint
+    daily drops; day 1 runs the census, each later day computes the exact
+    Δ-driven new-triangle count (``graph.triangle_delta``) and appends its
+    edges to a PERSISTED parquet edge index (round-tripped through disk, as
+    production would). One row ``(n_edges, n_triangles)`` from the
+    maintained counters — the oracle recomputes the full batch census, so a
+    green row proves 3 chained increments reproduce it exactly."""
+    import os
+    import tempfile
+
+    l = read_table(spark, sf_dir, "lineitem")
+    edges = graph.cooccurrence_edges(l, "l_orderkey", "l_partkey").localCheckpoint()
+    coin = text.hex_to_long(F.md5(F.concat_ws(":", "src", "dst")), 9, 8) % 3
+    root = tempfile.mkdtemp(prefix="tri_index_")
+
+    def _persist(df: DataFrame, day: int) -> DataFrame:
+        path = os.path.join(root, f"edges_day{day}")
+        df.write.mode("error").parquet(path)
+        return spark.read.parquet(path)
+
+    acc = _persist(edges.where(coin == 0), 0)
+    total = graph.triangle_stats(acc).select("n_triangles")
+    for day in (1, 2):
+        delta = edges.where(coin == day)
+        d = graph.triangle_delta(acc, delta).select(
+            F.col("n_new_triangles").alias("_d")
+        )
+        total = (
+            total.crossJoin(F.broadcast(d))
+            .select((F.col("n_triangles") + F.col("_d")).alias("n_triangles"))
+            .localCheckpoint()
+        )
+        acc = _persist(acc.unionByName(delta), day)
+    n_edges = acc.agg(F.count(F.lit(1)).alias("n_edges"))
+    return n_edges.crossJoin(F.broadcast(total)).select("n_edges", "n_triangles")
+
+
+#: Join-size estimation: correlated (end-biased) hash sampling at p = 1/8.
+JS_MOD = 8
+
+
+def q_sketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join cardinality estimation by correlated hash sampling
+    (end-biased sampling, Estan & Naughton ICDE'06 — the sketch a query
+    planner uses to size a join before running it): sample join KEYS by an
+    md5 coin (every relation samples the SAME keys — that correlation is
+    the trick; independent row samples would need p² luck to agree), carry
+    exact per-key counts, estimate |L ⋈ L on partkey| = mod · Σ_sampled c².
+    One row: ``(exact_size, est_size, n_sampled_keys, within_15pct)`` —
+    estimator and band integer-exact, the oracle recomputes the sample.
+
+    At 100 TB the estimate costs one map-side count per sampled key (1/mod
+    of the key space); the exact leg here is the verification price."""
+    l = read_table(spark, sf_dir, "lineitem")
+    c = l.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("_c"))
+    exact = c.agg(F.sum(F.col("_c") * F.col("_c")).alias("exact_size"))
+    est = (
+        c.where(
+            text.hex_to_long(F.md5(F.col("l_partkey").cast("string")), 1, 8)
+            % JS_MOD
+            == 0
+        )
+        .agg(
+            (F.sum(F.col("_c") * F.col("_c")) * JS_MOD).alias("est_size"),
+            F.count(F.lit(1)).alias("n_sampled_keys"),
+        )
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "exact_size",
+        "est_size",
+        "n_sampled_keys",
+        (
+            100 * F.abs(F.col("est_size") - F.col("exact_size"))
+            <= 15 * F.col("exact_size")
+        ).alias("within_15pct"),
+    )

@@ -125,6 +125,11 @@ def test_no_unbounded_nested_loop_joins(spark):
         "sketch_kmv_intersection",
         "sketch_heavy_hitters",
         "graph_triangle_count",
+        # same single-row combines: sampled-vs-exact censuses, the
+        # maintained (count, edge-count) pair, and the IVM term sum
+        "graph_triangle_sampled",
+        "graph_chained_triangles",
+        "sketch_join_size",
     }
     offenders = []
     for name, fn in entry_mod.queries().items():

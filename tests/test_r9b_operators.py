@@ -239,3 +239,114 @@ def test_bfs_min_hops_drains_early_on_isolated_seed(spark):
     seeds = spark.createDataFrame([(99,)], ["v"])
     got = sorted(map(tuple, graph.bfs_min_hops(edges, seeds, 5).collect()))
     assert got == [(99, 0)]
+
+
+# ---------------------------------------------------------------------------
+# streamed KMV maintenance
+# ---------------------------------------------------------------------------
+
+def _drain_kmv(spark, feed, schema, table, ckpt, k=32):
+    from iceberg_ingestion_spark.streaming.kmv_stream import stream_kmv_sketch
+
+    q = stream_kmv_sketch(spark, feed, schema, table, ckpt, "grp", "val", k)
+    assert q.awaitTermination(300)
+
+
+def test_stream_kmv_split_equals_batch_and_redelivery_noop(spark, tmp_path):
+    """Any micro-batch split folds to the batch sketch (mergeable summary),
+    and reprocessing the full feed against a FRESH checkpoint (worst-case
+    redelivery) leaves the table unchanged."""
+    rows = [("g", f"v{i}") for i in range(400)] + [("h", f"v{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, ["grp", "val"])
+    batch = sorted(map(tuple, sketches.kmv_sketch(df, "grp", "val", 32).collect()))
+
+    feed = str(tmp_path / "feed")
+    table = str(tmp_path / "sketch")
+    for r in (0, 1, 2):
+        part = df.where(F.crc32(F.col("val")) % 3 == r)
+        part.coalesce(1).write.mode("append").parquet(feed)
+        _drain_kmv(spark, feed, df.schema, table, str(tmp_path / "ckpt"))
+    streamed = sorted(map(tuple, spark.read.parquet(table).collect()))
+    assert streamed == batch
+
+    # redelivery: a fresh checkpoint reprocesses every file — idempotent
+    _drain_kmv(spark, feed, df.schema, table, str(tmp_path / "ckpt2"))
+    assert sorted(map(tuple, spark.read.parquet(table).collect())) == batch
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    """kmin(kmin(A) ∪ kmin(B)) == kmin(A ∪ B) — the mergeability identity."""
+    a = spark.createDataFrame([("g", f"a{i}") for i in range(200)], ["grp", "val"])
+    b = spark.createDataFrame([("g", f"b{i}") for i in range(200)], ["grp", "val"])
+    k = 16
+    merged = sorted(
+        map(
+            tuple,
+            sketches.kmv_merge(
+                sketches.kmv_sketch(a, "grp", "val", k),
+                sketches.kmv_sketch(b, "grp", "val", k),
+                "grp",
+                k,
+            ).collect(),
+        )
+    )
+    union = sorted(
+        map(tuple, sketches.kmv_sketch(a.unionAll(b), "grp", "val", k).collect())
+    )
+    assert merged == union
+
+
+def test_triangle_delta_equals_census_difference(spark):
+    """Exact IVM: for a real edge split, delta == census(union) − census(old)
+    — across three md5-split increments of the sf0.001 co-occurrence graph."""
+    from iceberg_ingestion_spark.operators.text import hex_to_long
+    from iceberg_ingestion_spark.queries import read_table
+
+    l = read_table(spark, SF, "lineitem")
+    edges = graph.cooccurrence_edges(l, "l_orderkey", "l_partkey").localCheckpoint()
+    coin = hex_to_long(F.md5(F.concat_ws(":", "src", "dst")), 9, 8) % 3
+    parts = [edges.where(coin == r).localCheckpoint() for r in (0, 1, 2)]
+
+    acc = parts[0]
+    t = graph.triangle_stats(acc).first()["n_triangles"]
+    for delta_part in parts[1:]:
+        d = graph.triangle_delta(acc, delta_part).first()["n_new_triangles"]
+        acc = acc.unionByName(delta_part).localCheckpoint()
+        t_expected = graph.triangle_stats(acc).first()["n_triangles"]
+        t += d
+        assert t == t_expected
+    # final total equals the one-shot batch census of the full graph
+    assert t == graph.triangle_stats(edges).first()["n_triangles"]
+
+
+def test_triangle_delta_dedupes_redelivered_edges(spark):
+    """Edges already in the accumulated set contribute nothing (anti-join
+    guard), so redelivering an increment is a no-op."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], ["src", "dst"]
+    )
+    d = graph.triangle_delta(edges, edges).first()["n_new_triangles"]
+    assert d == 0
+
+
+def test_edge_sample_md5_is_deterministic_subset(spark):
+    """The DOULION coin is a pure function of the edge: the sample is a
+    subset, identical across invocations and partitionings, and matches the
+    plain-Python md5 draw."""
+    import hashlib
+
+    from iceberg_ingestion_spark.queries import read_table
+
+    l = read_table(spark, SF, "lineitem")
+    edges = graph.cooccurrence_edges(l, "l_orderkey", "l_partkey").localCheckpoint()
+    got = {
+        (r["src"], r["dst"])
+        for r in graph.edge_sample_md5(edges.repartition(7), 4).collect()
+    }
+    alle = {(r["src"], r["dst"]) for r in edges.collect()}
+    ref = {
+        (s, t)
+        for (s, t) in alle
+        if int(hashlib.md5(f"{s}:{t}".encode()).hexdigest()[:8], 16) % 4 == 0
+    }
+    assert got == ref and got <= alle
