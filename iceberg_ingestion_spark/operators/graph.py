@@ -10,12 +10,15 @@ Triangle counting uses the degree-ordering technique of Suri &
 Vassilvitskii, "Counting Triangles and the Curse of the Last Reducer"
 (WWW'11): orient every undirected edge from its lower-(degree, id) endpoint
 to the higher one. The oriented graph is a DAG under a total order, so each
-triangle {a,b,c} (with a<b<c in that order) materializes as EXACTLY one
-directed path a→b→c closed by the edge a→c — count = one equi-join to build
-length-2 paths plus one semi-join to close them. The orientation is what
-makes this scale: a vertex of degree d has out-degree ≤ O(√|E|) after
-orienting toward higher degree, so path fan-out is bounded by √|E| per
-vertex instead of d² on hubs — the "last reducer" hot key disappears.
+triangle {a,b,c} (with a<b<c in that order) decomposes as EXACTLY one
+directed path a→b→c closed by the edge a→c; per oriented edge (u→v) the
+closing vertices are |N⁺(u) ∩ N⁺(v)|, so the census is two |E|-row
+equi-joins against the out-neighbor-array relation plus a JVM-side
+``array_intersect`` per edge — the Σ out-deg² path relation is never
+materialized or shuffled. The orientation is what makes this scale: a
+vertex of degree d has out-degree ≤ O(√|E|) after orienting toward higher
+degree, so each neighbor list is O(√|E|) instead of d on hubs — the "last
+reducer" hot key disappears.
 
 Everything is hash-partitionable equi-joins + aggregates (the single-row
 stat combine at the end is a broadcast of 1-row aggregates); integer-exact,
@@ -89,33 +92,31 @@ def triangle_stats(edges: DataFrame, materializer=None) -> DataFrame:
     All sums stay far below 2^53, so the /2 via double is exact. The final
     combine crossJoins four 1-row aggregates (broadcast by construction).
 
-    Physical shape: ``edges`` and the oriented relation fan into several
-    subtrees (degrees, both path legs, the closing semi join, the edge
-    count), so both are materialized once (``materializer=`` seam, default
-    localCheckpoint) instead of re-expanding the upstream co-occurrence
-    self-join per reference. The path-expansion join's INPUT is small
-    (|E| rows) but its OUTPUT is Σ out-deg² rows — AQE would coalesce the
-    tiny input shuffle to one partition and run the expansion single-task —
-    so both legs carry an explicit repartition on the join key (user-pinned
-    partition counts are exempt from AQE coalescing), keeping the expansion
-    wide."""
+    Physical shape — the common-neighbor INTERSECTION kernel, not a path
+    join: per oriented edge (u→v), triangles closing it are
+    |N⁺(u) ∩ N⁺(v)|, so the census is edges ⋈ out-neighbor arrays (two
+    equi-joins of |E| rows) + a JVM-side ``array_intersect`` per row. The
+    work is still Σ out-deg² element comparisons (orientation bounds each
+    list by O(√|E|)), but the Σ out-deg² PATH relation is never
+    materialized or shuffled — measured 4× faster than the path-join form
+    at sf0.1 and ~flat 0.01→0.1 (BASELINE.md r9 continuation). ``edges``
+    and the oriented relation fan into several subtrees (degrees, both
+    array joins, the edge count), so both are materialized once
+    (``materializer=`` seam, default localCheckpoint) instead of
+    re-expanding the upstream co-occurrence self-join per reference."""
     from iceberg_ingestion_spark.operators.materialize import resolve
-    from iceberg_ingestion_spark.session import default_parallelism
 
     mat = resolve(materializer)
     edges = mat(edges)
     deg = vertex_degrees(edges)
     o = mat(degree_oriented(edges, deg))
-    par = default_parallelism()
-    paths = (
-        o.repartition(par, "t")
-        .alias("e1")
-        .join(o.repartition(par, "s").alias("e2"), F.col("e1.t") == F.col("e2.s"))
-        .select(F.col("e1.s").alias("u"), F.col("e2.t").alias("w"))
+    nbrs = o.groupBy(F.col("s").alias("_k")).agg(F.collect_list("t").alias("_ns"))
+    tri = (
+        o.join(nbrs.toDF("u", "_nu"), F.col("s") == F.col("u"))
+        .join(nbrs.toDF("w", "_nw"), F.col("t") == F.col("w"))
+        .select(F.size(F.array_intersect("_nu", "_nw")).alias("_c"))
+        .agg(F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n_triangles"))
     )
-    tri = paths.join(
-        o.select(F.col("s").alias("u"), F.col("t").alias("w")), ["u", "w"], "leftsemi"
-    ).agg(F.count(F.lit(1)).alias("n_triangles"))
     wedges = deg.agg(
         (F.sum(F.col("d") * (F.col("d") - F.lit(1))) / F.lit(2))
         .cast("long")
@@ -211,18 +212,22 @@ def triangle_delta(
     orient the UNION graph by (degree, id) — every triangle is exactly one
     oriented path a→b→c closed by a→c — and split by the FIRST new slot:
 
-    * c1: edge1 (a→b) is new                      — driven by Δ on the left;
-    * c2: edge1 old, edge2 (b→c) new              — driven by Δ on the right;
-    * c3: edge1 old, edge2 old, closing (a→c) new — driven by Δ as the
-      closing edge (join Δ to old out-edges of a, then membership-check
-      b→c), never the old×old path expansion.
+    * c1: edge1 (a→b) is new — per new edge, |N⁺_U(a) ∩ N⁺_U(b)| completions;
+    * c2: edge1 old, edge2 (b→c) new — per new edge, |N⁻_old(b) ∩ N⁻_U(c)|;
+    * c3: edge1 old, edge2 old, closing (a→c) new — per new edge,
+      |N⁺_old(a) ∩ N⁻_old(c)|.
 
     The three cases are disjoint and exhaustive over "≥1 new edge", and
-    every join is Δ-sized on its driving side — per-increment work is
-    O(|Δ| · avg-outdeg), independent of the accumulated census cost. The
-    union ORIENTATION changes as degrees grow, but orientation only affects
-    the representation, never the count, so the maintained total stays
-    exact (pytest-pinned: delta == census(union) − census(old); the chained
+    each is the common-neighbor intersection kernel driven by Δ — two
+    equi-joins keyed on the Δ edge's endpoints against the neighbor-array
+    relations (V rows, E entries total; only the Δ-matching rows shuffle
+    usefully) plus a JVM-side ``array_intersect`` per Δ row; per-increment
+    intersection work is O(|Δ| · avg-outdeg), independent of the
+    accumulated census cost, and the old×old path expansion never
+    materializes. The union ORIENTATION
+    changes as degrees grow, but orientation only affects the
+    representation, never the count, so the maintained total stays exact
+    (pytest-pinned: delta == census(union) − census(old); the chained
     driver entry grades 3 appends against the one-shot batch census)."""
     from iceberg_ingestion_spark.operators.materialize import resolve
 
@@ -254,40 +259,29 @@ def triangle_delta(
     )
     o_new = o.where(F.col("is_new")).select("s", "t")
     o_old = o.where(~F.col("is_new")).select("s", "t")
-    o_all = o.select(
-        F.col("s").alias("u"), F.col("t").alias("w")
-    )
 
-    def _close(paths: DataFrame, closing: DataFrame) -> DataFrame:
-        return paths.join(closing, ["u", "w"], "leftsemi")
+    def _nbr(rel: DataFrame, key: str, val: str) -> DataFrame:
+        return rel.groupBy(F.col(key).alias("_k")).agg(
+            F.collect_list(val).alias("_ns")
+        )
 
-    # c1: (new, any, any-close)
-    p1 = (
-        o_new.alias("e1")
-        .join(o.alias("e2"), F.col("e1.t") == F.col("e2.s"))
-        .select(F.col("e1.s").alias("u"), F.col("e2.t").alias("w"))
-    )
-    c1 = _close(p1, o_all).agg(F.count(F.lit(1)).alias("_c"))
-    # c2: (old, new, any-close)
-    p2 = (
-        o_old.alias("e1")
-        .join(o_new.alias("e2"), F.col("e1.t") == F.col("e2.s"))
-        .select(F.col("e1.s").alias("u"), F.col("e2.t").alias("w"))
-    )
-    c2 = _close(p2, o_all).agg(F.count(F.lit(1)).alias("_c"))
-    # c3: (old, old, new-close) — driven by the Δ closing edge
-    c3 = (
-        o_new.select(F.col("s").alias("u"), F.col("t").alias("w"))
-        .join(
-            o_old.select(F.col("s").alias("u"), F.col("t").alias("v")), "u"
+    out_u = _nbr(o.select("s", "t"), "s", "t")   # N+ over the union
+    in_u = _nbr(o.select("s", "t"), "t", "s")    # N- over the union
+    out_old = _nbr(o_old, "s", "t")              # N+ over old edges
+    in_old = _nbr(o_old, "t", "s")               # N- over old edges
+
+    def _case(left: DataFrame, key_a: str, na: DataFrame, key_b: str,
+              nb: DataFrame) -> DataFrame:
+        return (
+            left.join(na.toDF("_ka", "_na"), F.col(key_a) == F.col("_ka"))
+            .join(nb.toDF("_kb", "_nb"), F.col(key_b) == F.col("_kb"))
+            .select(F.size(F.array_intersect("_na", "_nb")).alias("_c"))
+            .agg(F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("_c"))
         )
-        .join(
-            o_old.select(F.col("s").alias("v"), F.col("t").alias("w")),
-            ["v", "w"],
-            "leftsemi",
-        )
-        .agg(F.count(F.lit(1)).alias("_c"))
-    )
+
+    c1 = _case(o_new, "s", out_u, "t", out_u)     # (new, any, any)
+    c2 = _case(o_new, "s", in_old, "t", in_u)     # (old, new, any)
+    c3 = _case(o_new, "s", out_old, "t", in_old)  # (old, old, new-close)
     total = (
         c1.crossJoin(F.broadcast(c2.withColumnRenamed("_c", "_c2")))
         .crossJoin(F.broadcast(c3.withColumnRenamed("_c", "_c3")))

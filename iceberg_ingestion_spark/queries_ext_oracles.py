@@ -1833,11 +1833,10 @@ ORACLES_EXT["graph_triangle_count"] = """
                  CASE WHEN da.d < db.d OR (da.d = db.d AND e.src < e.dst)
                       THEN e.dst ELSE e.src END AS t
           FROM e JOIN deg da ON da.v = e.src JOIN deg db ON db.v = e.dst),
-    paths AS (SELECT e1.s AS u, e2.t AS w
-              FROM o e1 JOIN o e2 ON e1.t = e2.s),
-    tri AS (SELECT count(*) AS n_triangles FROM paths
-            WHERE EXISTS (SELECT 1 FROM o
-                          WHERE o.s = paths.u AND o.t = paths.w)),
+    nb AS (SELECT s, list(t) AS ns FROM o GROUP BY s),
+    tri AS (SELECT coalesce(CAST(sum(len(list_intersect(a.ns, b.ns)))
+                                 AS BIGINT), 0) AS n_triangles
+            FROM o JOIN nb a ON a.s = o.s JOIN nb b ON b.s = o.t),
     wed AS (SELECT CAST(sum(d * (d - 1)) / 2 AS BIGINT) AS n_wedges,
                    count(*) AS n_vertices
             FROM deg),
@@ -1899,9 +1898,10 @@ ORACLES_EXT["graph_triangle_sampled"] = f"""
                  CASE WHEN da.d < db.d OR (da.d = db.d AND e.src < e.dst)
                       THEN e.dst ELSE e.src END AS t
           FROM e JOIN deg da ON da.v = e.src JOIN deg db ON db.v = e.dst),
-    tri AS (SELECT count(*) AS n FROM
-            (SELECT e1.s AS u, e2.t AS w FROM o e1 JOIN o e2 ON e1.t = e2.s) p
-            WHERE EXISTS (SELECT 1 FROM o WHERE o.s = p.u AND o.t = p.w)),
+    nb AS (SELECT s, list(t) AS ns FROM o GROUP BY s),
+    tri AS (SELECT coalesce(CAST(sum(len(list_intersect(a.ns, b.ns)))
+                                 AS BIGINT), 0) AS n
+            FROM o JOIN nb a ON a.s = o.s JOIN nb b ON b.s = o.t),
     es AS (SELECT src, dst FROM e
            WHERE ('0x' || substr(md5(src::VARCHAR || ':' || dst::VARCHAR),
                                  1, 8))::BIGINT % {TRI_SAMPLE_MOD} = 0),
@@ -1914,9 +1914,10 @@ ORACLES_EXT["graph_triangle_sampled"] = f"""
                        THEN es.dst ELSE es.src END AS t
            FROM es JOIN degs da ON da.v = es.src
                    JOIN degs db ON db.v = es.dst),
-    tris AS (SELECT count(*) AS n FROM
-             (SELECT e1.s AS u, e2.t AS w FROM os e1 JOIN os e2 ON e1.t = e2.s) p
-             WHERE EXISTS (SELECT 1 FROM os WHERE os.s = p.u AND os.t = p.w)),
+    nbs AS (SELECT s, list(t) AS ns FROM os GROUP BY s),
+    tris AS (SELECT coalesce(CAST(sum(len(list_intersect(a.ns, b.ns)))
+                                  AS BIGINT), 0) AS n
+             FROM os JOIN nbs a ON a.s = os.s JOIN nbs b ON b.s = os.t),
     ecs AS (SELECT count(*) AS n FROM es)
     SELECT CAST(ecs.n AS BIGINT) AS n_edges_sampled,
            CAST(tris.n AS BIGINT) AS n_triangles_sampled,
@@ -1948,9 +1949,10 @@ ORACLES_EXT["graph_chained_triangles"] = """
                  CASE WHEN da.d < db.d OR (da.d = db.d AND e.src < e.dst)
                       THEN e.dst ELSE e.src END AS t
           FROM e JOIN deg da ON da.v = e.src JOIN deg db ON db.v = e.dst),
-    tri AS (SELECT count(*) AS n FROM
-            (SELECT e1.s AS u, e2.t AS w FROM o e1 JOIN o e2 ON e1.t = e2.s) p
-            WHERE EXISTS (SELECT 1 FROM o WHERE o.s = p.u AND o.t = p.w)),
+    nb AS (SELECT s, list(t) AS ns FROM o GROUP BY s),
+    tri AS (SELECT coalesce(CAST(sum(len(list_intersect(a.ns, b.ns)))
+                                 AS BIGINT), 0) AS n
+            FROM o JOIN nb a ON a.s = o.s JOIN nb b ON b.s = o.t),
     ec AS (SELECT count(*) AS n FROM e)
     SELECT CAST(ec.n AS BIGINT) AS n_edges, CAST(tri.n AS BIGINT) AS n_triangles
     FROM ec CROSS JOIN tri

@@ -97,8 +97,15 @@ def q_sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = el.where(F.col("event_type") == KMV_SET_B).select("value").distinct()
     u = a.unionAll(b).distinct().select(F.lit("u").alias("_s"), "value")
     sk = sketches.kmv_sketch(u, "_s", "value", KMV_K)
-    est_u = sketches.kmv_distinct_estimate(sk, "_s", KMV_K).select(
-        "n_slots", F.col("est_distinct").alias("est_union")
+    # global agg (not groupBy): ALWAYS one row, so an empty set universe
+    # still matches the oracle's aggregate row (est_union degrades to 0.0)
+    est_u = sk.agg(
+        F.count(F.lit(1)).alias("n_slots"), F.max("hv").alias("_hk")
+    ).select(
+        "n_slots",
+        F.when(F.col("n_slots") < KMV_K, F.col("n_slots").cast("double"))
+        .otherwise(F.lit(float((KMV_K - 1) * 4294967296)) / F.col("_hk"))
+        .alias("est_union"),
     )
     n_both = (
         sk.join(a, "value", "left_semi")

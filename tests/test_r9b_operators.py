@@ -350,3 +350,34 @@ def test_edge_sample_md5_is_deterministic_subset(spark):
         if int(hashlib.md5(f"{s}:{t}".encode()).hexdigest()[:8], 16) % 4 == 0
     }
     assert got == ref and got <= alle
+
+
+def test_kmv_intersection_entry_empty_universe_matches_oracle_shape(spark):
+    """With an empty element universe the entry still emits exactly ONE row
+    (degenerate estimates, within_bound TRUE via the n_slots < K branch) —
+    the oracle's aggregate row shape. Guards the groupBy-vs-agg hazard."""
+    import duckdb
+
+    from iceberg_ingestion_spark.queries_ext_oracles import ORACLES_EXT
+    from iceberg_ingestion_spark.queries_graph import q_sketch_kmv_intersection
+
+    import os
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="kmv_empty_")
+    ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    ev.write.parquet(os.path.join(root, "events.parquet"))
+    rows = q_sketch_kmv_intersection(spark, root).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_both"] == 0 and rows[0]["within_bound"] is True
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"'{os.path.join(root, 'events.parquet')}/*.parquet'"
+    )
+    orc = con.sql(ORACLES_EXT["sketch_kmv_intersection"]).fetchall()
+    assert len(orc) == 1 and orc[0][0] == 0
