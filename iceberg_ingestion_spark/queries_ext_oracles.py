@@ -1722,6 +1722,7 @@ ORACLES_EXT["dedup_chained_substring"] = ORACLES_EXT["dedup_substring_spans"]
 
 from iceberg_ingestion_spark.queries_graph import (  # noqa: E402,F401
     HH_K, HH_PARTS, KMV_BOUND, KMV_INTER_TOL, KMV_K, KMV_SET_A, KMV_SET_B,
+    TRI_ORDER_MOD,
 )
 
 #: per-type distinct user-day universe (KMV element convention; the Spark
@@ -1820,9 +1821,11 @@ ORACLES_EXT["sketch_heavy_hitters"] = f"""
     FROM mg JOIN exact USING (value) CROSS JOIN tot
 """
 
-ORACLES_EXT["graph_triangle_count"] = """
+ORACLES_EXT["graph_triangle_count"] = f"""
     WITH g AS (SELECT DISTINCT l_orderkey AS gid, l_partkey AS item
-               FROM lineitem),
+               FROM lineitem
+               WHERE ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 8))::BIGINT
+                     % {TRI_ORDER_MOD} = 0),
     e AS (SELECT DISTINCT a.item AS src, b.item AS dst
           FROM g a JOIN g b ON a.gid = b.gid AND a.item < b.item),
     deg AS (SELECT v, count(*) AS d
@@ -1880,14 +1883,18 @@ ORACLES_EXT["graph_bfs_hops"] = f"""
     SELECT * FROM reached UNION ALL SELECT * FROM unre
 """
 
-from iceberg_ingestion_spark.queries_graph import TRI_SAMPLE_MOD  # noqa: E402,F401
+from iceberg_ingestion_spark.queries_graph import (  # noqa: E402,F401
+    TRI_ORDER_MOD, TRI_SAMPLE_MOD,
+)
 
 # DOULION sampled triangle estimate: both the exact and sampled censuses are
 # recomputed (the sample coin is md5(edge), engine-independent); the 10% band
 # check is integer arithmetic
 ORACLES_EXT["graph_triangle_sampled"] = f"""
     WITH g AS (SELECT DISTINCT l_orderkey AS gid, l_partkey AS item
-               FROM lineitem),
+               FROM lineitem
+               WHERE ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 8))::BIGINT
+                     % {TRI_ORDER_MOD} = 0),
     e AS (SELECT DISTINCT a.item AS src, b.item AS dst
           FROM g a JOIN g b ON a.gid = b.gid AND a.item < b.item),
     deg AS (SELECT v, count(*) AS d
@@ -1923,8 +1930,8 @@ ORACLES_EXT["graph_triangle_sampled"] = f"""
            CAST(tris.n AS BIGINT) AS n_triangles_sampled,
            CAST(tris.n * {TRI_SAMPLE_MOD ** 3} AS BIGINT) AS est_triangles,
            CAST(tri.n AS BIGINT) AS n_triangles_exact,
-           10 * abs(tris.n * {TRI_SAMPLE_MOD ** 3} - tri.n) <= tri.n
-               AS within_10pct
+           20 * abs(tris.n * {TRI_SAMPLE_MOD ** 3} - tri.n) <= 3 * tri.n
+               AS within_15pct
     FROM ecs CROSS JOIN tris CROSS JOIN tri
 """
 
@@ -1936,9 +1943,11 @@ ORACLES_EXT["sketch_kmv_stream"] = ORACLES_EXT["sketch_kmv_distinct"]
 # chained triangle IVM == one-shot batch census: the oracle recomputes the
 # full census (edge count + triangle count) over ALL edges — a green row
 # proves the 3 chained Δ-driven increments reproduce the batch answer
-ORACLES_EXT["graph_chained_triangles"] = """
+ORACLES_EXT["graph_chained_triangles"] = f"""
     WITH g AS (SELECT DISTINCT l_orderkey AS gid, l_partkey AS item
-               FROM lineitem),
+               FROM lineitem
+               WHERE ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 8))::BIGINT
+                     % {TRI_ORDER_MOD} = 0),
     e AS (SELECT DISTINCT a.item AS src, b.item AS dst
           FROM g a JOIN g b ON a.gid = b.gid AND a.item < b.item),
     deg AS (SELECT v, count(*) AS d

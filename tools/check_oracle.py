@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 import sys
+import tempfile
 import time
 
 import duckdb
@@ -70,6 +71,16 @@ def main() -> int:
 
     spark = build_session(app_name="check-oracle")
     con = duckdb.connect()
+    # Bound DuckDB so a heavy oracle SPILLS instead of exhausting the
+    # machine: its default cap (80% of RAM) collides with the sf1 Spark JVM
+    # — one OOM then poisons the shared process (observed: every later
+    # entry, including Spark legs, failing malloc). 32 GB + an explicit
+    # spill dir keeps the big graph censuses disk-bound and the process
+    # healthy.
+    con.sql("SET memory_limit='32GB'")
+    spill = os.path.join(tempfile.gettempdir(), "duckdb_spill")
+    os.makedirs(spill, exist_ok=True)
+    con.sql(f"SET temp_directory='{spill}'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(p):
