@@ -59,25 +59,20 @@ def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> str:
     return "OK"
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    if not os.path.isdir(sf_dir):
-        print(f"check_oracle: sf dir {sf_dir!r} does not exist", file=sys.stderr)
-        return 2
+def _run_oracle_child(sf_dir: str, sql: str):
+    """Execute ONE oracle in a fresh spawned process and return its frame.
 
-    import __spark_entry__ as e
-    from iceberg_ingestion_spark.session import build_session
-
-    spark = build_session(app_name="check-oracle")
+    Why a subprocess: at sf1 a heavy oracle sharing the sweep process with
+    the Spark JVM can exhaust the machine's commit budget, and DuckDB's
+    allocator RETAINS its arenas after an out-of-memory failure — one OOM
+    then poisons every later entry (observed: subsequent unrelated oracles
+    failing 2 KB allocations and Spark legs failing pthread_create). A
+    short-lived child gives each oracle a fresh allocator, releases
+    everything at exit, and converts a worst-case failure into one FAIL row
+    instead of a dead sweep. Bounded at 24 GB with an explicit spill dir so
+    a big census degrades to disk instead of taking out the child."""
     con = duckdb.connect()
-    # Bound DuckDB so a heavy oracle SPILLS instead of exhausting the
-    # machine: its default cap (80% of RAM) collides with the sf1 Spark JVM
-    # — one OOM then poisons the shared process (observed: every later
-    # entry, including Spark legs, failing malloc). 32 GB + an explicit
-    # spill dir keeps the big graph censuses disk-bound and the process
-    # healthy.
-    con.sql("SET memory_limit='32GB'")
+    con.sql("SET memory_limit='24GB'")
     spill = os.path.join(tempfile.gettempdir(), "duckdb_spill")
     os.makedirs(spill, exist_ok=True)
     con.sql(f"SET temp_directory='{spill}'")
@@ -89,7 +84,29 @@ def main() -> int:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
         elif os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con.sql(sql).df()
 
+
+def run_oracle(sf_dir: str, sql: str) -> pd.DataFrame:
+    """One oracle, one fresh child process (see _run_oracle_child)."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(1, maxtasksperchild=1) as pool:
+        return pool.apply(_run_oracle_child, (sf_dir, sql))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    if not os.path.isdir(sf_dir):
+        print(f"check_oracle: sf dir {sf_dir!r} does not exist", file=sys.stderr)
+        return 2
+
+    import __spark_entry__ as e
+    from iceberg_ingestion_spark.session import build_session
+
+    spark = build_session(app_name="check-oracle")
     qs, oracles = e.queries(), e.oracle_sql()
     failures = 0
     for name, fn in qs.items():
@@ -106,7 +123,7 @@ def main() -> int:
             print(f"{name:45s} rows={len(sdf):7d} (no oracle) {time.time()-t0:6.1f}s")
             continue
         try:
-            ddf = con.sql(oracles[name]).df()
+            ddf = run_oracle(sf_dir, oracles[name])
         except Exception as exc:  # noqa: BLE001
             print(f"{name:45s} DUCK-ERROR {exc}")
             failures += 1
