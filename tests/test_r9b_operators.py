@@ -381,3 +381,83 @@ def test_kmv_intersection_entry_empty_universe_matches_oracle_shape(spark):
     )
     orc = con.sql(ORACLES_EXT["sketch_kmv_intersection"]).fetchall()
     assert len(orc) == 1 and orc[0][0] == 0
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis): the sketch invariants over GENERATED inputs
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+SKETCH_SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+_bag = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=7),
+              st.integers(min_value=0, max_value=40)),
+    min_size=0, max_size=120,
+)
+
+
+@SKETCH_SETTINGS
+@given(rows=_bag)
+def test_prop_mg_guarantees_hold_on_arbitrary_bags(spark, rows):
+    """For ANY sub-bag assignment and bag contents: est <= true and
+    (k+1)*(true - est) <= N, and the summary equals the plain-Python
+    optimal-offset reference."""
+    from collections import Counter
+
+    k = 4
+    bags: dict[int, list[str]] = {}
+    data = [(p, f"v{v}") for p, v in rows]
+    for p, v in data:
+        bags.setdefault(p, []).append(v)
+    ref = _mg_reference(bags, k)
+
+    if not data:
+        return
+    df = spark.createDataFrame(data, ["p", "v"])
+    counts = df.groupBy("p", "v").agg(F.count(F.lit(1)).alias("c"))
+    got = {
+        r["value"]: r["est_cnt"]
+        for r in sketches.mg_summary_merged(counts, "p", "v", "c", k).collect()
+    }
+    assert got == ref
+    exact = Counter(v for _, v in data)
+    n = len(data)
+    for v, est in got.items():
+        assert 0 < est <= exact[v]
+        assert (k + 1) * (exact[v] - est) <= n
+
+
+@SKETCH_SETTINGS
+@given(rows=st.lists(st.integers(min_value=0, max_value=300),
+                     min_size=0, max_size=150),
+       cut=st.integers(min_value=0, max_value=150))
+def test_prop_kmv_merge_is_sketch_of_union(spark, rows, cut):
+    """kmin(kmin(A) ∪ kmin(B)) == kmin(A ∪ B) for ANY split point — the
+    mergeability identity the streamed maintenance rests on."""
+    k = 8
+    a_rows = [("g", f"v{v}") for v in rows[:cut]]
+    b_rows = [("g", f"v{v}") for v in rows[cut:]]
+    schema = "grp string, val string"
+    df_all = spark.createDataFrame(a_rows + b_rows or [("g", "v0")], schema)
+    union = sorted(map(tuple, sketches.kmv_sketch(df_all, "grp", "val", k).collect()))
+    if not a_rows or not b_rows:
+        return
+    merged = sorted(
+        map(
+            tuple,
+            sketches.kmv_merge(
+                sketches.kmv_sketch(spark.createDataFrame(a_rows, schema), "grp", "val", k),
+                sketches.kmv_sketch(spark.createDataFrame(b_rows, schema), "grp", "val", k),
+                "grp",
+                k,
+            ).collect(),
+        )
+    )
+    assert merged == union
