@@ -57,7 +57,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: The r1-r5 prose rotation history this block used to carry lives in git
 #: (`git log -p __spark_entry__.py`, commits up to round 5).
 #:
-#: ROUND-9 continuation: four NEW entries enter by rule (1) —
+#: ROUND-9 continuation: nine NEW entries enter by rule (1) —
 #: sketch_kmv_distinct / sketch_kmv_intersection (md5-KMV: the oracle
 #: recomputes the sketch; union-sketch set algebra), sketch_heavy_hitters
 #: (merged Misra-Gries over md5 sub-bags, integer-exact guarantees) and

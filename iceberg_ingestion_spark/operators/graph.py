@@ -27,7 +27,7 @@ so the DuckDB oracle recomputes every number.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -192,7 +192,7 @@ def edge_sample_md5(edges: DataFrame, mod: int) -> DataFrame:
     draws the SAME sample (the DuckDB oracle recomputes it) and re-runs are
     reproducible. Triangle estimate: T_sampled * mod^3 — integer-exact —
     with Var/T^2 ~ (mod^3 - 1)/T + a shared-edge covariance term that
-    vanishes on low-clustering graphs; the graded entry checks a 10% band
+    vanishes on low-clustering graphs; the graded entry checks a 15% band
     against the exact census in-query."""
     from iceberg_ingestion_spark.operators.text import hex_to_long
 
@@ -290,3 +290,229 @@ def triangle_delta(
         )
     )
     return total
+
+
+
+
+# ---------------------------------------------------------------------------
+# Persisted incremental triangle index (VERDICT r9 #2)
+# ---------------------------------------------------------------------------
+#
+# ``triangle_delta`` is exact but re-derives degrees, orientation and FOUR
+# collect_list neighbor aggregations over the FULL accumulated edge set per
+# increment — O(|E|) shuffle work per day. The index below persists the
+# oriented neighbor arrays alongside the edge log and updates them per Δ.
+#
+# Design note — why the orientation is FROZEN, not degree-maintained: the
+# delta-count decomposition is exact under ANY fixed total vertex order
+# (the orientation only needs to be a DAG so each triangle is one path +
+# closing edge). Maintaining the CURRENT-degree order incrementally means
+# repairing orientation flips, and a flip can occur on any edge incident
+# to a degree-changed vertex — on a dense co-occurrence graph (V ≪ E,
+# e.g. 20k parts / 300k edges at sf0.1) a random Δ of even 1/16 of the
+# edges touches nearly every vertex, so flip repair rescans ~all of E and
+# measured SLOWER (~7 s/day at sf0.1) than ``triangle_delta``'s full
+# recompute (~3 s). Freezing the order at index-build time — (initial
+# degree, id), the Suri-Vassilvitskii order of the bulk graph — keeps the
+# √|E| hub bound for the dominant initial edges, never flips (the order is
+# a constant function of the vertex), and turns every update into pure
+# APPENDS to the touched rows: per-day shuffle is O(|Δ|), the only
+# full-table touches are one broadcast-probed map-side scan and the
+# copy-on-write rewrite of the next version (on a lakehouse table, a MERGE
+# rewriting only the files holding touched rows). Vertices that join after
+# the build orient by (0, id) — below all bulk vertices, which matches
+# their initially-low true degree; a periodic index rebuild (standard
+# compaction cadence) refreshes the order if post-build hubs emerge.
+
+
+def _orient_frozen(e: DataFrame, order: DataFrame, keep: list[str] | None = None) -> DataFrame:
+    """Orient undirected ``(src, dst)`` rows by the frozen (rank, id) total
+    order (``order`` = (v, d) with d the rank; absent vertices rank 0).
+    Extra columns in ``keep`` pass through. The Δ-sized ``e`` side is what
+    AQE broadcasts; the V-row order relation is dimension-sized."""
+    keep = keep or []
+    j = e.join(
+        order.select(F.col("v").alias("src"), F.col("d").alias("_ds")),
+        "src",
+        "left",
+    ).join(
+        order.select(F.col("v").alias("dst"), F.col("d").alias("_dt")),
+        "dst",
+        "left",
+    )
+    ds = F.coalesce(F.col("_ds"), F.lit(0))
+    dt = F.coalesce(F.col("_dt"), F.lit(0))
+    fwd = (ds < dt) | ((ds == dt) & (F.col("src") < F.col("dst")))
+    return j.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("s"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("t"),
+        *keep,
+    )
+
+
+def _role_arrays(oriented: DataFrame) -> DataFrame:
+    """Per-vertex oriented neighbor arrays ``(v, outs, ins)`` from an
+    oriented edge relation ``(s, t)`` — one conditional-collect groupBy."""
+    roles = oriented.select(
+        F.col("s").alias("v"), F.lit(True).alias("_o"), F.col("t").alias("_n")
+    ).unionByName(
+        oriented.select(
+            F.col("t").alias("v"), F.lit(False).alias("_o"), F.col("s").alias("_n")
+        )
+    )
+    return roles.groupBy("v").agg(
+        F.collect_list(F.when(F.col("_o"), F.col("_n"))).alias("outs"),
+        F.collect_list(F.when(~F.col("_o"), F.col("_n"))).alias("ins"),
+    )
+
+
+def triangle_index_init(
+    spark: SparkSession, edges: DataFrame, index_dir: str
+) -> DataFrame:
+    """Build the persisted triangle index at ``index_dir`` from the bulk
+    edge set and return one row ``(n_triangles)`` — the initial census,
+    computed from the PERSISTED arrays so the maintained state is the same
+    relation the count came from. Layout: ``edges/`` (append-only undirected
+    log), ``vorder/`` (v, d — the FROZEN (initial degree, id) orientation
+    rank, see module design note), ``onbr_day0/`` (v, outs, ins)."""
+    import os
+
+    e0 = edges.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    ).distinct()
+    e0.write.mode("error").parquet(os.path.join(index_dir, "edges"))
+    e0 = spark.read.parquet(os.path.join(index_dir, "edges"))
+    vertex_degrees(e0).write.mode("error").parquet(
+        os.path.join(index_dir, "vorder")
+    )
+    order = spark.read.parquet(os.path.join(index_dir, "vorder"))
+    o0 = _orient_frozen(e0, order)
+    _role_arrays(o0).write.mode("error").parquet(
+        os.path.join(index_dir, "onbr_day0")
+    )
+    onbr0 = spark.read.parquet(os.path.join(index_dir, "onbr_day0"))
+    # census from the persisted arrays: per oriented edge |N+(s) ∩ N+(t)|
+    nbrs = onbr0.select("v", "outs")
+    return (
+        o0.join(nbrs.toDF("u", "_nu"), F.col("s") == F.col("u"))
+        .join(nbrs.toDF("w", "_nw"), F.col("t") == F.col("w"))
+        .select(F.size(F.array_intersect("_nu", "_nw")).alias("_c"))
+        .agg(F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n_triangles"))
+    )
+
+
+def triangle_index_update(
+    spark: SparkSession,
+    index_dir: str,
+    day: int,
+    new_edges: DataFrame,
+    assume_new: bool = False,
+    materializer=None,
+) -> DataFrame:
+    """Apply a Δ edge drop to the persisted index (day ``day`` reads the
+    ``day-1`` neighbor table and writes the ``day`` version) and return one
+    row ``(n_new_triangles)`` — the exact count of triangles closed by Δ,
+    identical to ``triangle_delta`` (pytest-pinned) but with per-day
+    shuffle work Δ-bounded instead of |E|-bounded:
+
+    1. orient Δ under the FROZEN (rank, id) order — no flips to repair, by
+       construction (module design note);
+    2. aggregate Δ's per-vertex out/in additions (one small groupBy over
+       2|Δ| role rows) and fetch the touched rows' persisted arrays
+       (semi-join on the Δ endpoint set — AQE broadcasts it, so the
+       neighbor table is scanned map-side, never shuffled);
+    3. count the three disjoint first-new-slot cases of ``triangle_delta``
+       from those arrays alone in a single two-join pass: old arrays = the
+       fetched rows, union arrays = fetched ⧺ Δ additions (every Δ
+       endpoint is covered, so the inner joins drop nothing);
+    4. copy-on-write the next neighbor-table version (untouched rows pass
+       through an anti-join on the touched set; touched rows get the
+       concatenated arrays) and append Δ to the edge log.
+
+    ``assume_new=True`` skips the Δ-vs-log anti-join when the caller
+    guarantees disjoint drops (e.g. md5-partitioned feeds) — otherwise
+    that dedup is the one keyed join against the full edge log (co-located
+    and prunable when the log is bucketed by edge key)."""
+    import os
+
+    from iceberg_ingestion_spark.operators.materialize import resolve
+
+    mat = resolve(materializer)
+    edges_path = os.path.join(index_dir, "edges")
+    order = spark.read.parquet(os.path.join(index_dir, "vorder"))
+    prev_onbr = spark.read.parquet(os.path.join(index_dir, f"onbr_day{day - 1}"))
+
+    delta = new_edges.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    ).distinct()
+    if not assume_new:
+        delta = delta.join(spark.read.parquet(edges_path), ["src", "dst"], "left_anti")
+    o_new = mat(_orient_frozen(delta, order))
+
+    # (2) Δ additions per touched vertex + that vertex's persisted arrays,
+    # combined into ONE six-column relation (v, outs_u, ins_u, outs_o,
+    # ins_o) so the count below is two joins, not six — on dense graphs
+    # (V ≪ E) the touched set approaches V and each extra join over it is a
+    # full rescan of the array relation
+    empty = F.array().cast("array<bigint>")
+    darr = _role_arrays(o_new).select(
+        "v", F.col("outs").alias("_douts"), F.col("ins").alias("_dins")
+    )
+    old_rows = prev_onbr.join(darr.select("v"), "v", "left_semi")
+    arr2 = mat(
+        darr.join(old_rows, "v", "left").select(
+            "v",
+            F.concat(F.coalesce("outs", empty), "_douts").alias("outs_u"),
+            F.concat(F.coalesce("ins", empty), "_dins").alias("ins_u"),
+            F.coalesce("outs", empty).alias("outs_o"),
+            F.coalesce("ins", empty).alias("ins_o"),
+        )
+    )
+
+    # (3) the three disjoint cases of triangle_delta, Δ-endpoint-restricted,
+    # in a single two-join pass: per new edge (s, t)
+    #   c1 = |N+_u(s) ∩ N+_u(t)|   (edge1 new)
+    #   c2 = |N-_o(s) ∩ N-_u(t)|   (edge1 old, edge2 new)
+    #   c3 = |N+_o(s) ∩ N-_o(t)|   (both path edges old, closing new)
+    n_new = (
+        o_new.join(
+            arr2.select(
+                F.col("v").alias("_s"),
+                F.col("outs_u").alias("_s_outs_u"),
+                F.col("ins_o").alias("_s_ins_o"),
+                F.col("outs_o").alias("_s_outs_o"),
+            ),
+            F.col("s") == F.col("_s"),
+        )
+        .join(
+            arr2.select(
+                F.col("v").alias("_t"),
+                F.col("outs_u").alias("_t_outs_u"),
+                F.col("ins_u").alias("_t_ins_u"),
+                F.col("ins_o").alias("_t_ins_o"),
+            ),
+            F.col("t") == F.col("_t"),
+        )
+        .select(
+            (
+                F.size(F.array_intersect("_s_outs_u", "_t_outs_u"))
+                + F.size(F.array_intersect("_s_ins_o", "_t_ins_u"))
+                + F.size(F.array_intersect("_s_outs_o", "_t_ins_o"))
+            ).alias("_c")
+        )
+        .agg(
+            F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n_new_triangles")
+        )
+    )
+
+    # (4) copy-on-write the next neighbor-table version + append the log
+    onbr_path = os.path.join(index_dir, f"onbr_day{day}")
+    prev_onbr.join(darr.select("v"), "v", "left_anti").unionByName(
+        arr2.select(
+            "v", F.col("outs_u").alias("outs"), F.col("ins_u").alias("ins")
+        )
+    ).write.mode("error").parquet(onbr_path)
+    o_new.select(
+        F.least("s", "t").alias("src"), F.greatest("s", "t").alias("dst")
+    ).write.mode("append").parquet(edges_path)
+    return n_new

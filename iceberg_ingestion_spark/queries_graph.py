@@ -300,95 +300,119 @@ def q_sketch_kmv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch table. The entry then estimates from the PERSISTED streamed
     sketch; its oracle is ``sketch_kmv_distinct``'s batch SQL — a green row
     proves streamed == batch exactly (KMV mergeability), the
-    ``dedup_chained_substring`` contract style."""
+    ``dedup_chained_substring`` contract style. The scratch root (feed,
+    sketch versions, checkpoint) is removed after the result row is
+    materialized — repeated sweeps leave nothing in /tmp (ADVICE r9)."""
     import os
+    import shutil
     import tempfile
 
     from iceberg_ingestion_spark.streaming.kmv_stream import stream_kmv_sketch
 
     el = _kmv_elements(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="kmv_stream_")
-    feed = os.path.join(root, "feed")
-    table = os.path.join(root, "sketch")
-    ckpt = os.path.join(root, "ckpt")
+    try:
+        feed = os.path.join(root, "feed")
+        table = os.path.join(root, "sketch")
+        ckpt = os.path.join(root, "ckpt")
 
-    for r in (0, 1, 2):
-        part = el.where(
-            text.hex_to_long(F.md5(F.col("value")), 9, 8) % 3 == r
-        )
-        part.coalesce(1).write.mode("append").parquet(feed)
-        q = stream_kmv_sketch(
-            spark, feed, part.schema, table, ckpt,
-            "event_type", "value", KMV_K,
-        )
-        # a timed-out drain must FAIL the entry: a partial batch would
-        # silently shrink the sketch and the grade with it
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("sketch_kmv_stream: drain exceeded 300s")
+        for r in (0, 1, 2):
+            part = el.where(
+                text.hex_to_long(F.md5(F.col("value")), 9, 8) % 3 == r
+            )
+            part.coalesce(1).write.mode("append").parquet(feed)
+            q = stream_kmv_sketch(
+                spark, feed, part.schema, table, ckpt,
+                "event_type", "value", KMV_K,
+            )
+            # a timed-out drain must FAIL the entry: a partial batch would
+            # silently shrink the sketch and the grade with it
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("sketch_kmv_stream: drain exceeded 300s")
 
-    sk = spark.read.parquet(table)
-    est = sketches.kmv_distinct_estimate(sk, "event_type", KMV_K)
-    exact = (
-        el.distinct()
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("exact_distinct"))
-    )
-    return est.join(exact, "event_type").select(
-        "event_type",
-        "exact_distinct",
-        "n_slots",
-        "est_distinct",
-        F.when(
-            F.col("n_slots") < KMV_K,
-            F.col("est_distinct") == F.col("exact_distinct"),
+        sk = spark.read.parquet(table)
+        est = sketches.kmv_distinct_estimate(sk, "event_type", KMV_K)
+        exact = (
+            el.distinct()
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("exact_distinct"))
         )
-        .otherwise(
-            F.abs(F.col("est_distinct") / F.col("exact_distinct") - 1.0)
-            <= KMV_BOUND
-        )
-        .alias("within_bound"),
-    )
+        return est.join(exact, "event_type").select(
+            "event_type",
+            "exact_distinct",
+            "n_slots",
+            "est_distinct",
+            F.when(
+                F.col("n_slots") < KMV_K,
+                F.col("est_distinct") == F.col("exact_distinct"),
+            )
+            .otherwise(
+                F.abs(F.col("est_distinct") / F.col("exact_distinct") - 1.0)
+                <= KMV_BOUND
+            )
+            .alias("within_bound"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def q_graph_chained_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHAINED incremental triangle maintenance graded against the one-shot
     batch census (the ``dedup_chained_substring`` contract style for the
-    graph family): the co-occurrence edges arrive as three md5-disjoint
-    daily drops; day 1 runs the census, each later day computes the exact
-    Δ-driven new-triangle count (``graph.triangle_delta``) and appends its
-    edges to a PERSISTED parquet edge index (round-tripped through disk, as
-    production would). One row ``(n_edges, n_triangles)`` from the
-    maintained counters — the oracle recomputes the full batch census, so a
-    green row proves 3 chained increments reproduce it exactly. Graph =
-    the graded 1/4-order fixture (see TRI_ORDER_MOD)."""
-    import os
+    graph family): the co-occurrence edges arrive as a BULK initial load
+    (md5 coin %16 ≥ 2, i.e. 14/16 of the edges — the accumulated corpus)
+    followed by two small md5-disjoint daily drops (1/16 each — the
+    realistic daily-increment shape IVM exists for); day 0 builds the index
+    and runs the census, each later day computes the exact Δ-driven
+    new-triangle count against the PERSISTED index. One row ``(n_edges,
+    n_triangles)`` from the maintained counters — the oracle recomputes the
+    full batch census, so a green row proves the chained increments
+    reproduce it exactly. Graph = the graded 1/4-order fixture (see
+    TRI_ORDER_MOD).
+
+    r10: the increments run through the PERSISTED index
+    (``graph.triangle_index_init``/``triangle_index_update``) — degrees and
+    oriented neighbor arrays are maintained per Δ via the touched-vertex
+    set (orientation flips only on edges incident to a degree-changed
+    vertex), so each day's shuffle is Δ-bounded instead of re-deriving
+    degrees/orientation/collect_list over the full accumulated edge set
+    (VERDICT r9 #2; was the suite's slowest sf1 row). Equal-thirds splits —
+    where Δ is a third of the graph and IVM degenerates to recompute-scale
+    work — stay covered for CORRECTNESS by pytest
+    (``test_triangle_index_chained_equals_batch_census``). The drops are
+    md5-disjoint by construction, so ``assume_new=True`` skips the
+    Δ-vs-log anti-join. The scratch index root is removed after the result
+    row is materialized (ADVICE r9)."""
+    import shutil
     import tempfile
 
     edges = _tri_edges(spark, sf_dir).localCheckpoint()
-    coin = text.hex_to_long(F.md5(F.concat_ws(":", "src", "dst")), 9, 8) % 3
+    coin = text.hex_to_long(F.md5(F.concat_ws(":", "src", "dst")), 9, 8) % 16
     root = tempfile.mkdtemp(prefix="tri_index_")
-
-    def _persist(df: DataFrame, day: int) -> DataFrame:
-        path = os.path.join(root, f"edges_day{day}")
-        df.write.mode("error").parquet(path)
-        return spark.read.parquet(path)
-
-    acc = _persist(edges.where(coin == 0), 0)
-    total = graph.triangle_stats(acc).select("n_triangles")
-    for day in (1, 2):
-        delta = edges.where(coin == day)
-        d = graph.triangle_delta(acc, delta).select(
-            F.col("n_new_triangles").alias("_d")
+    try:
+        total = graph.triangle_index_init(
+            spark, edges.where(coin >= 2), root
+        ).localCheckpoint()
+        for day in (1, 2):
+            d = graph.triangle_index_update(
+                spark, root, day, edges.where(coin == day - 1), assume_new=True
+            ).select(F.col("n_new_triangles").alias("_d"))
+            total = (
+                total.crossJoin(F.broadcast(d))
+                .select((F.col("n_triangles") + F.col("_d")).alias("n_triangles"))
+                .localCheckpoint()
+            )
+        n_edges = spark.read.parquet(f"{root}/edges").agg(
+            F.count(F.lit(1)).alias("n_edges")
         )
-        total = (
-            total.crossJoin(F.broadcast(d))
-            .select((F.col("n_triangles") + F.col("_d")).alias("n_triangles"))
-            .localCheckpoint()
+        return (
+            n_edges.crossJoin(F.broadcast(total))
+            .select("n_edges", "n_triangles")
+            .localCheckpoint(eager=True)
         )
-        acc = _persist(acc.unionByName(delta), day)
-    n_edges = acc.agg(F.count(F.lit(1)).alias("n_edges"))
-    return n_edges.crossJoin(F.broadcast(total)).select("n_edges", "n_triangles")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 #: Join-size estimation: correlated (end-biased) hash sampling at p = 1/8.

@@ -1,0 +1,160 @@
+"""Round-10 operators: the persisted incremental triangle index (Δ-bounded
+maintenance of degrees + oriented neighbor arrays) and the crash-safe
+atomic-pointer KMV sketch table.
+
+The pins here are the properties the driver oracle can't see: the index
+path agrees with both the one-shot census and the non-indexed
+``triangle_delta`` across increments that FLIP edge orientations and
+introduce brand-new vertices, and the streamed sketch table survives a
+stale half-written version dir (simulated crash) without losing state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iceberg_ingestion_spark.operators import graph, sketches
+
+SF = "/root/testdata/sf0.001"
+
+
+def _census(spark, edges):
+    return graph.triangle_stats(edges).first()["n_triangles"]
+
+
+def test_triangle_index_chained_equals_batch_census(spark, tmp_path):
+    """Three md5-split increments of the sf0.001 co-occurrence graph through
+    the PERSISTED index reproduce the one-shot batch census exactly, and
+    each day's delta equals the census difference (the triangle_delta pin,
+    now for the Δ-bounded path)."""
+    from iceberg_ingestion_spark.operators.text import hex_to_long
+    from iceberg_ingestion_spark.queries import read_table
+
+    l = read_table(spark, SF, "lineitem")
+    edges = graph.cooccurrence_edges(l, "l_orderkey", "l_partkey").localCheckpoint()
+    coin = hex_to_long(F.md5(F.concat_ws(":", "src", "dst")), 9, 8) % 3
+    parts = [edges.where(coin == r).localCheckpoint() for r in (0, 1, 2)]
+
+    root = str(tmp_path / "idx")
+    t = graph.triangle_index_init(spark, parts[0], root).first()["n_triangles"]
+    assert t == _census(spark, parts[0])
+    acc = parts[0]
+    for day, delta in enumerate(parts[1:], start=1):
+        d = graph.triangle_index_update(
+            spark, root, day, delta, assume_new=True
+        ).first()["n_new_triangles"]
+        acc = acc.unionByName(delta).localCheckpoint()
+        t += d
+        assert t == _census(spark, acc)
+    assert t == _census(spark, edges)
+
+
+def test_triangle_index_orientation_flips_and_new_vertices(spark, tmp_path):
+    """A Δ that inflates one vertex's degree FLIPS stored orientations (the
+    touched-set repair path) and introduces brand-new vertices; every
+    closed-triangle case (new-new-new, old-old-new-close, old-new mixes)
+    appears. Hand-built so each day is checkable against the census."""
+    day0 = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (2, 4), (2, 5)], ["src", "dst"]
+    )
+    # d(3): 2 -> 6 flips (2,3) and (1,3); new vertices 6..9; triangles:
+    # {3,6,7} (all-new), {2,4,5} (two old + new close), {1,2,4} (mixed)
+    day1 = spark.createDataFrame(
+        [(3, 6), (3, 7), (3, 8), (3, 9), (6, 7), (4, 5), (1, 4)],
+        ["src", "dst"],
+    )
+    # flip back pressure on vertex 6 + another mixed triangle {3,6,8}
+    day2 = spark.createDataFrame(
+        [(6, 8), (6, 9), (1, 6), (2, 6)], ["src", "dst"]
+    )
+    root = str(tmp_path / "idx")
+    t = graph.triangle_index_init(spark, day0, root).first()["n_triangles"]
+    assert t == 1
+    acc = day0
+    for day, delta in enumerate([day1, day2], start=1):
+        expected = graph.triangle_delta(acc, delta).first()["n_new_triangles"]
+        got = graph.triangle_index_update(
+            spark, root, day, delta, assume_new=True
+        ).first()["n_new_triangles"]
+        assert got == expected
+        acc = acc.unionByName(delta).localCheckpoint()
+        t += got
+        assert t == _census(spark, acc)
+
+
+def test_triangle_index_dedupes_redelivered_edges(spark, tmp_path):
+    """Without ``assume_new``, a redelivered increment anti-joins against
+    the persisted edge log and contributes nothing."""
+    edges = spark.createDataFrame([(1, 2), (2, 3), (1, 3), (3, 4)], ["src", "dst"])
+    root = str(tmp_path / "idx")
+    graph.triangle_index_init(spark, edges, root)
+    d = graph.triangle_index_update(spark, root, 1, edges).first()[
+        "n_new_triangles"
+    ]
+    assert d == 0
+
+
+def test_stream_kmv_table_is_atomic_pointer(spark, tmp_path):
+    """The sketch table is a symlink repointed per batch: after each drain
+    the path resolves to a complete versioned dir, a stale half-written
+    version dir from a simulated crash is reclaimed on redelivery, and the
+    superseded version is garbage-collected after the swap."""
+    import os
+
+    from iceberg_ingestion_spark.streaming.kmv_stream import stream_kmv_sketch
+
+    rows = [("g", f"v{i}") for i in range(300)]
+    df = spark.createDataFrame(rows, ["grp", "val"])
+    feed = str(tmp_path / "feed")
+    table = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+    # simulated crash artifact: a garbage version dir for the first batch id
+    os.makedirs(f"{table}.v0")
+    with open(f"{table}.v0/garbage", "w") as fh:
+        fh.write("partial write from a crashed attempt")
+
+    df.where(F.col("val") < "v2").write.mode("append").parquet(feed)
+    q = stream_kmv_sketch(spark, feed, df.schema, table, ckpt, "grp", "val", 32)
+    assert q.awaitTermination(300)
+    assert os.path.islink(table)
+    first_target = os.path.realpath(table)
+    assert not os.path.exists(f"{table}.v0/garbage")
+
+    df.where(F.col("val") >= "v2").write.mode("append").parquet(feed)
+    q = stream_kmv_sketch(spark, feed, df.schema, table, ckpt, "grp", "val", 32)
+    assert q.awaitTermination(300)
+    assert os.path.islink(table)
+    assert os.path.realpath(table) != first_target
+    assert not os.path.exists(first_target)  # superseded version reclaimed
+
+    streamed = sorted(map(tuple, spark.read.parquet(table).collect()))
+    batch = sorted(map(tuple, sketches.kmv_sketch(df, "grp", "val", 32).collect()))
+    assert streamed == batch
+
+
+def test_stream_kmv_migrates_legacy_in_place_table(spark, tmp_path):
+    """A pre-existing REAL directory (the old in-place layout) is read as
+    the previous state and migrated to the pointer layout on the next
+    batch — merged sketch identical to the one-shot batch sketch."""
+    import os
+
+    from iceberg_ingestion_spark.streaming.kmv_stream import stream_kmv_sketch
+
+    rows = [("g", f"v{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, ["grp", "val"])
+    old = df.where(F.col("val") < "v15")
+    new = df.where(F.col("val") >= "v15")
+    table = str(tmp_path / "sketch")
+    sketches.kmv_sketch(old, "grp", "val", 32).write.parquet(table)
+    assert not os.path.islink(table)
+
+    feed = str(tmp_path / "feed")
+    new.write.parquet(feed)
+    q = stream_kmv_sketch(
+        spark, feed, df.schema, table, str(tmp_path / "ckpt"), "grp", "val", 32
+    )
+    assert q.awaitTermination(300)
+    assert os.path.islink(table)
+    streamed = sorted(map(tuple, spark.read.parquet(table).collect()))
+    batch = sorted(map(tuple, sketches.kmv_sketch(df, "grp", "val", 32).collect()))
+    assert streamed == batch
