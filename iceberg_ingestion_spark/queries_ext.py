@@ -120,5 +120,6 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_kmv_stream": q_sketch_kmv_stream,  # REAL streaming: 3 drains maintain the KMV table
     "graph_chained_triangles": q_graph_chained_triangles,  # Δ-driven IVM == batch census
     "sketch_join_size": q_sketch_join_size,  # end-biased correlated-sample join sizing
+    "sketch_mg_stream": q_sketch_mg_stream,  # REAL streaming: 3 drains maintain the MG summary
 }
 

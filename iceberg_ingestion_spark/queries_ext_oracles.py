@@ -1326,10 +1326,17 @@ WHERE p.event_type = 'click'
         FROM t CROSS JOIN thr GROUP BY lang, threshold
     """,
     "dedup_semantic_blocked": f"""
-        WITH cents AS (
+        WITH nn AS (SELECT count(*) AS n FROM embeddings),
+        kk AS (
+            SELECT GREATEST({KMEANS_K},
+                            CAST(CEIL(n / {SEM_CELL_TARGET}.0) AS BIGINT)) AS k
+            FROM nn
+        ),
+        cents AS (
             SELECT vec_id AS cluster_id, embedding AS c
-            FROM embeddings
-            ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {KMEANS_K}
+            FROM embeddings CROSS JOIN kk
+            QUALIFY ROW_NUMBER()
+                OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) <= k
         ),
         pairs AS (
             SELECT e.vec_id, cluster_id, {_sqdist_sql('e.embedding', 'c')} AS sq_dist
@@ -1340,23 +1347,40 @@ WHERE p.event_type = 'click'
             QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
                                        ORDER BY sq_dist, cluster_id) = 1
         ),
-        exact AS (
-            SELECT count(*) AS c
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= {COSINE_THRESHOLD}
+        panel AS (
+            SELECT vec_id FROM embeddings
+            ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {SEM_PANEL_SIZE}
         ),
         blocked AS (
-            SELECT count(*) AS c
+            SELECT a.vec_id AS id_1, b.vec_id AS id_2
             FROM embeddings a
             JOIN assign sa ON sa.vec_id = a.vec_id
             JOIN assign sb ON sa.cluster_id = sb.cluster_id
             JOIN embeddings b ON b.vec_id = sb.vec_id AND a.vec_id < b.vec_id
             WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= {COSINE_THRESHOLD}
+        ),
+        nb AS (SELECT count(*) AS c FROM blocked),
+        pe AS (
+            SELECT count(*) AS c
+            FROM embeddings a
+            JOIN panel pa ON pa.vec_id = a.vec_id
+            JOIN embeddings b ON a.vec_id < b.vec_id
+            JOIN panel pb ON pb.vec_id = b.vec_id
+            WHERE {_cosine_sql('a.embedding', 'b.embedding')} >= {COSINE_THRESHOLD}
+        ),
+        pbk AS (
+            SELECT count(*) AS c
+            FROM blocked
+            JOIN panel p1 ON p1.vec_id = blocked.id_1
+            JOIN panel p2 ON p2.vec_id = blocked.id_2
         )
-        SELECT CAST(exact.c AS BIGINT) AS n_exact_pairs,
-               CAST(blocked.c AS BIGINT) AS n_blocked_pairs,
-               blocked.c * 1.0 / exact.c AS recall
-        FROM exact CROSS JOIN blocked
+        SELECT CAST(n AS BIGINT) AS n_vectors,
+               CAST(k AS BIGINT) AS k_cells,
+               CAST(nb.c AS BIGINT) AS n_blocked_pairs,
+               CAST(pe.c AS BIGINT) AS n_panel_exact_pairs,
+               CAST(pbk.c AS BIGINT) AS n_panel_blocked_pairs,
+               pbk.c * 1.0 / pe.c AS panel_recall
+        FROM nn CROSS JOIN kk CROSS JOIN nb CROSS JOIN pe CROSS JOIN pbk
     """,
     "embedding_kmeans_assign": f"""
         WITH cents AS (
@@ -1939,6 +1963,9 @@ ORACLES_EXT["graph_triangle_sampled"] = f"""
 # identical batch sketch SQL — a green row proves the streamed table exactly
 # reproduces the one-shot batch sketch
 ORACLES_EXT["sketch_kmv_stream"] = ORACLES_EXT["sketch_kmv_distinct"]
+#: streamed MG == batch MG exactly (PODS'12 mergeability + the applied-part
+#: ledger), so the streamed entry grades against the batch heavy-hitter SQL
+ORACLES_EXT["sketch_mg_stream"] = ORACLES_EXT["sketch_heavy_hitters"]
 
 # chained triangle IVM == one-shot batch census: the oracle recomputes the
 # full census (edge count + triangle count) over ALL edges — a green row

@@ -10,17 +10,9 @@ no-op (set semantics) — both pytest-pinned, and the driver entry
 ``sketch_kmv_stream`` grades the streamed sketch against the BATCH oracle.
 
 Crash safety (ADVICE r9): the sketch table is updated by ATOMIC POINTER
-SWAP, not in-place overwrite. Each batch writes the merged sketch to a
-fresh versioned directory ``<table_dir>.v<batch_id>`` and then atomically
-repoints ``table_dir`` (a symlink) at it via ``os.replace`` — rename(2)
-replaces the symlink itself, so readers always resolve either the old or
-the new complete sketch, never a half-written one. A crash before the swap
-leaves the previous sketch intact (the stale version dir is reclaimed when
-the batch is redelivered); the old in-place ``mode("overwrite")`` deleted
-the table before rewriting it, so a crash in that window silently reset
-the accumulated state. Versioning also removes the read-modify-write
-hazard: the batch reads the OLD version dir and writes a NEW one, so no
-defensive materialization is needed.
+SWAP, not in-place overwrite — the shared :mod:`.pointer` discipline
+(versioned dir + symlink repoint via ``os.replace``); see that module for
+the crash-window analysis.
 
 Why this matters at scale: "how many distinct users/keys so far?" over an
 unbounded stream needs either unbounded exact state or a mergeable sketch;
@@ -57,8 +49,7 @@ def stream_kmv_sketch(
     sketch directory (see module docstring); read it with
     ``spark.read.parquet(table_dir)`` as before — the local filesystem
     follows the link."""
-    import os
-    import shutil
+    from iceberg_ingestion_spark.streaming import pointer
 
     stream = spark.readStream.schema(schema).parquet(input_dir)
 
@@ -66,36 +57,14 @@ def stream_kmv_sketch(
         if batch.isEmpty():
             return
         delta = kmv_sketch(batch, set_col, value_col, k)
-        prev_target = (
-            os.path.realpath(table_dir) if os.path.isdir(table_dir) else None
-        )
+        prev_target = pointer.current_version(table_dir)
         if prev_target is not None:
             merged = kmv_merge(spark.read.parquet(table_dir), delta, set_col, k)
         else:
             merged = delta
-        vdir = f"{table_dir}.v{batch_id}"
-        if os.path.exists(vdir):
-            # a redelivered batch may find its own half-written version dir
-            # from the crashed attempt — reclaim it before rewriting
-            shutil.rmtree(vdir)
+        vdir = pointer.claim_version_dir(table_dir, batch_id)
         merged.write.parquet(vdir)
-        tmp_link = f"{table_dir}.ptr.tmp"
-        if os.path.lexists(tmp_link):
-            os.remove(tmp_link)
-        os.symlink(vdir, tmp_link)
-        if os.path.isdir(table_dir) and not os.path.islink(table_dir):
-            # legacy in-place layout (pre-seeded real directory): migrating
-            # to the pointer layout is the one non-atomic step, and only
-            # happens once — after it every swap is a pure rename
-            shutil.rmtree(table_dir)
-        os.replace(tmp_link, table_dir)  # atomic: symlink repoint
-        if (
-            prev_target is not None
-            and prev_target != os.path.realpath(table_dir)
-            and os.path.isdir(prev_target)
-            and not os.path.islink(prev_target)
-        ):
-            shutil.rmtree(prev_target, ignore_errors=True)
+        pointer.publish_version(table_dir, vdir, prev_target)
 
     writer = stream.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint_dir

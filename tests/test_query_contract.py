@@ -71,10 +71,10 @@ def test_no_unbounded_nested_loop_joins(spark):
         "corpus_shard_stats",
         "sketch_count_min",
         "text_token_quantile_filter",
-        # r4 continuation: broadcast k=8 codebook into the assignment pass
+        # r4 continuation: broadcast codebook into the assignment pass
         # (nearest-centroid candidates ARE vectors x codebook by design);
-        # dedup_semantic_blocked additionally carries the labeled O(n^2)
-        # exact baseline for its in-query recall check
+        # dedup_semantic_blocked's recall legs are panel-bounded since r10
+        # (O(panel²) exact leg; the blocked leg is the production shape)
         "embedding_kmeans_assign",
         "dedup_semantic_blocked",
         # r4 late: bigram grand total joined back as a broadcast 1-row

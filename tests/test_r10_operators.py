@@ -1,12 +1,14 @@
-"""Round-10 operators: the persisted incremental triangle index (Δ-bounded
-maintenance of degrees + oriented neighbor arrays) and the crash-safe
-atomic-pointer KMV sketch table.
+"""Round-10 operators: the persisted incremental triangle index (frozen
+(initial-degree, id) orientation, Δ-bounded updates), the crash-safe
+atomic-pointer state tables, and the streamed Misra-Gries maintainer.
 
 The pins here are the properties the driver oracle can't see: the index
 path agrees with both the one-shot census and the non-indexed
-``triangle_delta`` across increments that FLIP edge orientations and
-introduce brand-new vertices, and the streamed sketch table survives a
-stale half-written version dir (simulated crash) without losing state.
+``triangle_delta`` across degree-skewing increments (which would flip a
+degree-maintained orientation — the frozen order must stay exact anyway)
+and brand-new vertices; the streamed state tables survive a stale
+half-written version dir (simulated crash) without losing state; and the
+streamed MG summary keeps both guarantees.
 """
 
 from __future__ import annotations
@@ -50,10 +52,11 @@ def test_triangle_index_chained_equals_batch_census(spark, tmp_path):
 
 
 def test_triangle_index_orientation_flips_and_new_vertices(spark, tmp_path):
-    """A Δ that inflates one vertex's degree FLIPS stored orientations (the
-    touched-set repair path) and introduces brand-new vertices; every
-    closed-triangle case (new-new-new, old-old-new-close, old-new mixes)
-    appears. Hand-built so each day is checkable against the census."""
+    """A Δ that inflates one vertex's degree — the case that FLIPS a
+    degree-maintained orientation; the frozen order must stay exact without
+    any repair — plus brand-new vertices; every closed-triangle case
+    (new-new-new, old-old-new-close, old-new mixes) appears. Hand-built so
+    each day is checkable against the census."""
     day0 = spark.createDataFrame(
         [(1, 2), (2, 3), (1, 3), (2, 4), (2, 5)], ["src", "dst"]
     )
@@ -158,3 +161,96 @@ def test_stream_kmv_migrates_legacy_in_place_table(spark, tmp_path):
     streamed = sorted(map(tuple, spark.read.parquet(table).collect()))
     batch = sorted(map(tuple, sketches.kmv_sketch(df, "grp", "val", 32).collect()))
     assert streamed == batch
+
+
+def _mg_batch(spark, counts, k):
+    from iceberg_ingestion_spark.operators.sketches import mg_summary_merged
+
+    return sorted(
+        map(tuple, mg_summary_merged(counts, "p", "value", "c", k).collect())
+    )
+
+
+def test_stream_mg_split_equals_batch_and_redelivery_noop(spark, tmp_path):
+    """Any grouping of WHOLE sub-bags into micro-batches folds to the batch
+    merged-MG summary exactly (counter addition is associative/commutative),
+    and reprocessing the full feed against a FRESH checkpoint (worst-case
+    redelivery) is a no-op via the applied-sub-bag ledger."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from iceberg_ingestion_spark.streaming.mg_stream import stream_mg_summary
+
+    rows = [(i % 7, f"v{i % 23}", 1 + i % 5) for i in range(400)]
+    counts = (
+        spark.createDataFrame(rows, ["p", "value", "c"])
+        .groupBy("p", "value")
+        .agg(F.sum("c").alias("c"))
+        .localCheckpoint()
+    )
+    k = 4
+    feed = str(tmp_path / "feed")
+    table = str(tmp_path / "mg")
+    ckpt = str(tmp_path / "ckpt")
+    for r in (0, 1, 2):
+        counts.where(F.col("p") % 3 == r).coalesce(1).write.mode("append").parquet(feed)
+        q = stream_mg_summary(
+            spark, feed, counts.schema, table, ckpt, "p", "value", "c", k
+        )
+        assert q.awaitTermination(300)
+    streamed = sorted(
+        map(tuple, spark.read.parquet(os.path.join(table, "summary")).collect())
+    )
+    assert streamed == _mg_batch(spark, counts, k)
+    # worst-case redelivery: full feed, fresh checkpoint, same state table
+    q = stream_mg_summary(
+        spark, feed, counts.schema, table, str(tmp_path / "ckpt2"), "p", "value", "c", k
+    )
+    assert q.awaitTermination(300)
+    again = sorted(
+        map(tuple, spark.read.parquet(os.path.join(table, "summary")).collect())
+    )
+    assert again == streamed
+    assert os.path.islink(table)  # atomic pointer layout
+
+
+def test_stream_mg_guarantees_hold_on_streamed_summary(spark, tmp_path):
+    """Both MG guarantees hold on the PERSISTED streamed summary:
+    est <= true and (k+1)*(true - est) <= N, integer-exact."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from iceberg_ingestion_spark.streaming.mg_stream import stream_mg_summary
+
+    rows = [(i % 5, f"t{min(i % 37, i % 11)}", 1) for i in range(600)]
+    counts = (
+        spark.createDataFrame(rows, ["p", "value", "c"])
+        .groupBy("p", "value")
+        .agg(F.sum("c").alias("c"))
+        .localCheckpoint()
+    )
+    k = 3
+    feed = str(tmp_path / "feed")
+    table = str(tmp_path / "mg")
+    for r in (0, 1):
+        counts.where(F.col("p") % 2 == r).coalesce(1).write.mode("append").parquet(feed)
+        q = stream_mg_summary(
+            spark, feed, counts.schema, table, str(tmp_path / "ckpt"),
+            "p", "value", "c", k,
+        )
+        assert q.awaitTermination(300)
+    est = {
+        r["value"]: r["est_cnt"]
+        for r in spark.read.parquet(os.path.join(table, "summary")).collect()
+    }
+    exact = {
+        r["value"]: r["x"]
+        for r in counts.groupBy("value").agg(F.sum("c").alias("x")).collect()
+    }
+    n = sum(exact.values())
+    assert est  # non-degenerate
+    for v, e in est.items():
+        assert e <= exact[v]
+        assert (k + 1) * (exact[v] - e) <= n
