@@ -61,6 +61,7 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_chained_pq": q_ann_chained_pq,  # frozen-codebook appended index probe
     "sim_ann_stream_pq": q_ann_stream_pq,  # REAL streaming: 3 drains maintain the PQ index
     "sim_ann_topk_ivfpq": q_ann_topk_ivfpq,  # IVF cells x PQ codes (IVFADC shape)
+    "sim_ann_topk_ivfpq_residual": q_ann_topk_ivfpq_residual,  # full IVFADC, coarse budget
     "sim_knn_label_vote": q_knn_label_vote,
     "sim_bm25_topk": q_sim_bm25_topk,  # Okapi BM25 keyword retrieval, shared-expr oracle
     "sim_bm25_multi_query": q_sim_bm25_multi_query,  # batched retrieval, query relation
@@ -121,5 +122,6 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_chained_triangles": q_graph_chained_triangles,  # Δ-driven IVM == batch census
     "sketch_join_size": q_sketch_join_size,  # end-biased correlated-sample join sizing
     "sketch_mg_stream": q_sketch_mg_stream,  # REAL streaming: 3 drains maintain the MG summary
+    "graph_connected_components": q_graph_connected_components,  # star-contraction CC, CTE oracle
 }
 

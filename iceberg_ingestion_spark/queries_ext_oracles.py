@@ -745,6 +745,7 @@ ORACLES_EXT: dict[str, str] = {
     "sim_ann_chained_pq": _ANN_RECALL_ORACLE,
     "sim_ann_stream_pq": _ANN_RECALL_ORACLE,
     "sim_ann_topk_ivfpq": _ANN_RECALL_ORACLE,
+    "sim_ann_topk_ivfpq_residual": _ANN_RECALL_ORACLE,
     # Sketch bound-checks: the exact-side columns recomputed by DuckDB plus
     # TRUE for the in-query error-bound boolean.
     "sketch_approx_distinct": """
@@ -1910,6 +1911,38 @@ ORACLES_EXT["graph_bfs_hops"] = f"""
 from iceberg_ingestion_spark.queries_graph import (  # noqa: E402,F401
     TRI_ORDER_MOD, TRI_SAMPLE_MOD,
 )
+
+from iceberg_ingestion_spark.queries_graph import CC_EDGE_MOD  # noqa: E402
+
+# connected components of the md5 1/128-sampled co-occurrence graph: the
+# min-label recursive-CTE fixpoint recomputes every label (the pruning
+# `w.lbl < e.dst` is exact: a label larger than an intermediate vertex is
+# dominated by that vertex's own label on every continuation), then the
+# size histogram is compared bucket-by-bucket
+ORACLES_EXT["graph_connected_components"] = f"""
+    WITH g AS (SELECT DISTINCT l_orderkey AS gid, l_partkey AS item
+               FROM lineitem),
+    e0 AS (SELECT DISTINCT a.item AS src, b.item AS dst
+           FROM g a JOIN g b ON a.gid = b.gid AND a.item < b.item),
+    es AS (SELECT src, dst FROM e0
+           WHERE ('0x' || substr(md5(src::VARCHAR || ':' || dst::VARCHAR),
+                                 1, 8))::BIGINT % {CC_EDGE_MOD} = 0),
+    e AS (SELECT src, dst FROM es UNION ALL SELECT dst, src FROM es),
+    verts AS (SELECT DISTINCT src AS v FROM e),
+    walk AS (
+        WITH RECURSIVE w(v, lbl) AS (
+            SELECT v, v FROM verts
+            UNION
+            SELECT e.dst, w.lbl FROM w JOIN e ON e.src = w.v
+            WHERE w.lbl < e.dst
+        )
+        SELECT v, min(lbl) AS comp FROM w GROUP BY v
+    ),
+    sizes AS (SELECT comp, count(*) AS sz FROM walk GROUP BY comp)
+    SELECT CAST(sz AS BIGINT) AS component_size,
+           count(*) AS n_components
+    FROM sizes GROUP BY sz
+"""
 
 # DOULION sampled triangle estimate: both the exact and sampled censuses are
 # recomputed (the sample coin is md5(edge), engine-independent); the 10% band
