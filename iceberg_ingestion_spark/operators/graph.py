@@ -516,3 +516,66 @@ def triangle_index_update(
         F.least("s", "t").alias("src"), F.greatest("s", "t").alias("dst")
     ).write.mode("append").parquet(edges_path)
     return n_new
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    iterations: int,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+    materializer=None,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected edge relation
+    ``(src, dst)``, INTEGER-SCALED so every engine computes the identical
+    ranks: mass is carried as ``pr`` in units of 1/``scale`` and every
+    division is integer floor division (Spark ``DIV``, DuckDB ``//`` —
+    identical on non-negatives), so the per-iteration sums are
+    order-independent exact integers and the DuckDB oracle reproduces the
+    vector bit-for-bit — no float-accumulation-order hazard, the same
+    trick as the decimal-exact k-means centroids.
+
+        pr_0(v)   = scale // N
+        pr_i+1(v) = (15·scale) // (100·N)
+                    + (85 · Σ_{u~v} pr_i(u) // deg(u)) // 100
+
+    (floor division loses ≤ deg(u) units of 1e-12 mass per vertex per
+    round — deterministic, and irrelevant at ranking granularity).
+
+    Scale shape: each iteration is one equi-join of the rank vector against
+    the bidirected edge relation keyed on the vertex id + one groupBy —
+    hash-partitionable, the canonical distributed PR round; the edge
+    relation and degree vector are materialized ONCE and reused across
+    rounds (``materializer=`` seam), and ``localCheckpoint`` truncates the
+    iterative lineage. Returns ``(v, pr)`` for every vertex."""
+    from iceberg_ingestion_spark.operators.materialize import resolve
+
+    mat = resolve(materializer)
+    both = mat(
+        edges.select("src", "dst").unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
+    deg = mat(both.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).alias("d")))
+    n = deg.count()  # vertex count: one dimension-sized action, reused as a literal
+    base = (15 * scale) // (100 * n)
+    pr = mat(deg.select("v", F.lit(scale // n).cast("long").alias("pr")))
+    for _ in range(iterations):
+        contrib = (
+            pr.join(deg, "v")
+            .select("v", F.expr("pr DIV d").alias("_c"))
+            .join(both, F.col("v") == F.col("src"))
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.sum("_c").alias("_s"))
+        )
+        pr = mat(
+            deg.select("v")
+            .join(contrib, "v", "left")
+            .select(
+                "v",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(f"({damping_pct} * coalesce(_s, 0L)) DIV 100")
+                ).alias("pr"),
+            )
+        )
+    return pr

@@ -2043,3 +2043,44 @@ ORACLES_EXT["sketch_join_size"] = f"""
            100 * abs(est_size - exact_size) <= 15 * exact_size AS within_15pct
     FROM es CROSS JOIN ex
 """
+
+
+from iceberg_ingestion_spark.queries_graph import PR_ITERS, PR_TOPN  # noqa: E402
+
+# integer-scaled fixed-iteration PageRank: the oracle unrolls the identical
+# 3 rounds as chained CTEs; all arithmetic is BIGINT floor division, so the
+# rank vector is bit-identical cross-engine (PR_ITERS is pinned to the
+# unrolled round count by tests/test_r10_operators.py)
+ORACLES_EXT["graph_pagerank"] = f"""
+    WITH g AS (SELECT DISTINCT l_orderkey AS gid, l_partkey AS item
+               FROM lineitem),
+    e0 AS (SELECT DISTINCT a.item AS src, b.item AS dst
+           FROM g a JOIN g b ON a.gid = b.gid AND a.item < b.item),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    deg AS (SELECT src AS v, count(*) AS d FROM e GROUP BY 1),
+    nn AS (SELECT count(*) AS n FROM deg),
+    it0 AS (SELECT v, 1000000000000 // nn.n AS pr FROM deg CROSS JOIN nn),
+    s1 AS (SELECT e.dst AS v, SUM(p.pr // d.d) AS s
+             FROM it0 p JOIN deg d ON d.v = p.v JOIN e ON e.src = p.v
+             GROUP BY e.dst),
+    it1 AS (SELECT deg.v,
+                     (15 * 1000000000000) // (100 * nn.n)
+                     + (85 * COALESCE(s1.s, 0)) // 100 AS pr
+              FROM deg CROSS JOIN nn LEFT JOIN s1 ON s1.v = deg.v),
+    s2 AS (SELECT e.dst AS v, SUM(p.pr // d.d) AS s
+             FROM it1 p JOIN deg d ON d.v = p.v JOIN e ON e.src = p.v
+             GROUP BY e.dst),
+    it2 AS (SELECT deg.v,
+                     (15 * 1000000000000) // (100 * nn.n)
+                     + (85 * COALESCE(s2.s, 0)) // 100 AS pr
+              FROM deg CROSS JOIN nn LEFT JOIN s2 ON s2.v = deg.v),
+    s3 AS (SELECT e.dst AS v, SUM(p.pr // d.d) AS s
+             FROM it2 p JOIN deg d ON d.v = p.v JOIN e ON e.src = p.v
+             GROUP BY e.dst),
+    it3 AS (SELECT deg.v,
+                     (15 * 1000000000000) // (100 * nn.n)
+                     + (85 * COALESCE(s3.s, 0)) // 100 AS pr
+              FROM deg CROSS JOIN nn LEFT JOIN s3 ON s3.v = deg.v)
+    SELECT CAST(v AS BIGINT) AS part, CAST(pr AS BIGINT) AS pr
+    FROM it3 ORDER BY pr DESC, v LIMIT {PR_TOPN}
+"""

@@ -254,3 +254,49 @@ def test_stream_mg_guarantees_hold_on_streamed_summary(spark, tmp_path):
     for v, e in est.items():
         assert e <= exact[v]
         assert (k + 1) * (exact[v] - e) <= n
+
+
+def test_census_3way_join_oracle_matches_engine():
+    """The constant-memory 3-way-join census formulation that verifies the
+    FULL sf1 graph (tools/census_full_check.py) agrees with the engine's
+    array-intersection census — pinned here at sf0.001 (subprocess, the
+    rotation-ledger convention) so the tool cannot drift from the operator."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "census_full_check.py"), SF],
+        capture_output=True, text=True, timeout=300, cwd=repo,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "MATCH" in out.stdout
+
+
+def test_pagerank_fixed_integer_exact_and_partition_stable(spark):
+    """The integer-scaled PR vector is identical under any physical
+    partitioning (integer sums are order-independent — the whole point of
+    the scaling), mass stays ~1 (floor loss ≤ iterations·V units of 1e-12),
+    and the unrolled oracle matches the pinned iteration count."""
+    from iceberg_ingestion_spark.queries_ext_oracles import ORACLES_EXT
+    from iceberg_ingestion_spark.queries_graph import PR_ITERS
+
+    assert PR_ITERS == 3
+    sql = ORACLES_EXT["graph_pagerank"]
+    assert "it3" in sql and "it4" not in sql  # unroll count == PR_ITERS
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (2, 5)], ["src", "dst"]
+    )
+    a = sorted(map(tuple, graph.pagerank_fixed(edges, 3).collect()))
+    b = sorted(
+        map(tuple, graph.pagerank_fixed(edges.repartition(7), 3).collect())
+    )
+    assert a == b
+    scale = 10**12
+    total = sum(pr for _, pr in a)
+    n = len(a)
+    assert total <= scale
+    assert scale - total <= 4 * (n + 1) * 100  # floor-loss bound, generous
+    assert all(pr > 0 for _, pr in a)
