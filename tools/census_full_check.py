@@ -4,19 +4,22 @@ The driver census entries grade a deterministic md5 1/4-order fixture
 (``TRI_ORDER_MOD``) because the single-box DuckDB oracle OOM'd on the full
 sf1 co-occurrence graph in the list_intersect formulation (BASELINE.md r9:
 one OOM poisons the sweep process). The verification ceiling was the
-ORACLE, not the engine — this tool closes the gap with the formulation that
-stays constant-memory at any graph size: the oriented 3-WAY EDGE JOIN
+ORACLE, not the engine — this tool closes the gap with a PIECEWISE 3-WAY
+EDGE JOIN over the degree-(id-tiebroken) oriented edge relation:
 
-    triangles = |{(a,b,c) : o(a,b), o(b,c), o(a,c)}|
+    triangles = Σ_i |{(a,b,c) : o(a,b), o(b,c), o(a,c), a % P == i}|
 
-over the degree-(id-tiebroken) oriented edge relation. Each triangle is
-exactly one oriented path + closing edge (the same DAG argument the engine
-uses), and DuckDB pipelines the path relation through the second hash join
-without materializing it — memory is bounded by the edge hash tables, with
-a 24 GB cap + spill dir, run in a fresh spawned child (the check_oracle
-isolation discipline). It is slow (~700 s at sf1 — why it is a per-round
-evidence tool, not a per-sweep oracle), but it COMPLETES, which the array
-formulation does not.
+Each triangle is exactly one oriented path + closing edge (the same DAG
+argument the engine uses), and partitioning by the path APEX ``a``
+partitions the triangle set exactly — the md5-vertex-partition double-count
+idea from VERDICT r9 #5, evaluable one piece at a time. Why piecewise: the
+one-shot 3-way join's path relation is Σ outdeg² rows (measured 834 M on
+the full sf1 graph, max outdeg 97 after orientation) and DuckDB spills it
+with enough serialization overhead to exhaust the disk (>78 GB — observed);
+each 1/P piece keeps the intermediate ~Σ/P rows and runs comfortably under
+the cap. The oriented relation is derived ONCE into a scratch parquet and
+re-read per piece; every piece runs in a fresh spawned child (the
+check_oracle isolation discipline — an OOM cannot poison the caller).
 
 Usage::
 
@@ -36,47 +39,82 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-CENSUS_3WAY_SQL = """
+#: pieces for the apex partition; per-piece path intermediate ~ Σoutdeg²/P
+N_PIECES = 16
+
+ORIENT_SQL = """
     WITH g AS (SELECT DISTINCT l_orderkey AS gid, l_partkey AS item
                FROM lineitem),
     e AS (SELECT DISTINCT a.item AS src, b.item AS dst
           FROM g a JOIN g b ON a.gid = b.gid AND a.item < b.item),
     deg AS (SELECT v, count(*) AS d
             FROM (SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e)
-            GROUP BY v),
-    o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.src < e.dst)
-                      THEN e.src ELSE e.dst END AS s,
-                 CASE WHEN da.d < db.d OR (da.d = db.d AND e.src < e.dst)
-                      THEN e.dst ELSE e.src END AS t
-          FROM e JOIN deg da ON da.v = e.src JOIN deg db ON db.v = e.dst)
-    SELECT coalesce(CAST(count(*) AS BIGINT), 0) AS n_triangles
+            GROUP BY v)
+    SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.src < e.dst)
+                THEN e.src ELSE e.dst END AS s,
+           CASE WHEN da.d < db.d OR (da.d = db.d AND e.src < e.dst)
+                THEN e.dst ELSE e.src END AS t
+    FROM e JOIN deg da ON da.v = e.src JOIN deg db ON db.v = e.dst
+"""
+
+PIECE_SQL = """
+    SELECT coalesce(CAST(count(*) AS BIGINT), 0) AS n
     FROM o p1 JOIN o p2 ON p2.s = p1.t JOIN o p3
         ON p3.s = p1.s AND p3.t = p2.t
+    WHERE p1.s % {pieces} = {i}
 """
 
 
-def _duckdb_child(sf_dir: str) -> int:
+def _connect(spill_suffix: str = "duckdb_spill"):
     import duckdb
 
     con = duckdb.connect()
     con.sql("SET memory_limit='24GB'")
-    spill = os.path.join(tempfile.gettempdir(), "duckdb_spill")
+    spill = os.path.join(tempfile.gettempdir(), spill_suffix)
     os.makedirs(spill, exist_ok=True)
     con.sql(f"SET temp_directory='{spill}'")
+    return con
+
+
+def _orient_child(sf_dir: str, out_parquet: str) -> int:
+    con = _connect()
     p = os.path.join(sf_dir, "lineitem.parquet")
     src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
     con.sql(f"CREATE VIEW lineitem AS SELECT * FROM {src}")
-    return int(con.sql(CENSUS_3WAY_SQL).fetchone()[0])
+    con.sql(f"COPY ({ORIENT_SQL}) TO '{out_parquet}' (FORMAT PARQUET)")
+    return int(con.sql(f"SELECT count(*) FROM '{out_parquet}'").fetchone()[0])
 
 
-def duckdb_census(sf_dir: str) -> int:
-    """Full-graph census in a fresh spawned child (fresh allocator; an OOM
-    cannot poison the caller — the check_oracle discipline)."""
+def _piece_child(o_parquet: str, pieces: int, i: int) -> int:
+    con = _connect()
+    con.sql(f"CREATE VIEW o AS SELECT * FROM '{o_parquet}'")
+    return int(con.sql(PIECE_SQL.format(pieces=pieces, i=i)).fetchone()[0])
+
+
+def duckdb_census(sf_dir: str, pieces: int = N_PIECES) -> int:
+    """Full-graph census, apex-partitioned: orient once into scratch
+    parquet, then one fresh spawned child per piece (fresh allocator; an
+    OOM cannot poison the caller — the check_oracle discipline)."""
     import multiprocessing as mp
 
     ctx = mp.get_context("spawn")
-    with ctx.Pool(1, maxtasksperchild=1) as pool:
-        return pool.apply(_duckdb_child, (sf_dir,))
+    scratch = tempfile.mkdtemp(prefix="census_o_")
+    o_parquet = os.path.join(scratch, "o.parquet")
+    try:
+        with ctx.Pool(1, maxtasksperchild=1) as pool:
+            n_edges = pool.apply(_orient_child, (sf_dir, o_parquet))
+        total = 0
+        for i in range(pieces):
+            with ctx.Pool(1, maxtasksperchild=1) as pool:
+                c = pool.apply(_piece_child, (o_parquet, pieces, i))
+            total += c
+            print(f"  piece {i + 1}/{pieces}: {c} (cum {total})", flush=True)
+        print(f"  oriented edges: {n_edges}", flush=True)
+        return total
+    finally:
+        import shutil
+
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 def spark_census(sf_dir: str) -> int:
