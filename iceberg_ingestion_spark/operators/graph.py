@@ -33,22 +33,37 @@ from pyspark.sql import functions as F
 
 def cooccurrence_edges(df: DataFrame, group_col: str, item_col: str) -> DataFrame:
     """Distinct undirected edges ``(src < dst)`` between items sharing a
-    group (e.g. parts appearing in the same order). The self-join is keyed on
-    the group id — a hash shuffle, never a cross product — and fan-out per
-    group is C(|group|, 2), bounded by the max group size (order line counts
-    here, single digits). Output: ``(src, dst)`` distinct, src < dst."""
-    g = df.select(
-        F.col(group_col).alias("_g"), F.col(item_col).alias("_i")
-    ).distinct()
-    return (
-        g.alias("a")
-        .join(
-            g.alias("b"),
-            (F.col("a._g") == F.col("b._g")) & (F.col("a._i") < F.col("b._i")),
-        )
-        .select(F.col("a._i").alias("src"), F.col("b._i").alias("dst"))
-        .distinct()
+    group (e.g. parts appearing in the same order). Output: ``(src, dst)``
+    distinct, src < dst.
+
+    Physical shape (r10): ONE groupBy collects each group's distinct sorted
+    item array (``collect_set`` dedups in-aggregate, so the per-row distinct
+    pre-shuffle is free), then the C(|group|, 2) pairs are generated
+    JVM-side with nested ``transform`` + ``flatten`` — no self-join, so the
+    group relation is scanned and shuffled ONCE instead of twice-plus-join
+    (measured ~2× on the derivation at sf0.1; this leg is shared by all
+    seven graph entries). Fan-out per group stays C(|group|, 2), bounded by
+    the max group size (order line counts here, single digits); the final
+    cross-group ``distinct`` is the one remaining edge-keyed shuffle."""
+    arrs = (
+        df.groupBy(F.col(group_col).alias("_g"))
+        .agg(F.array_sort(F.collect_set(F.col(item_col))).alias("_is"))
+        .select("_is")
     )
+    pairs = arrs.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "_is",
+                    lambda x, i: F.transform(
+                        F.slice("_is", i + F.lit(2), F.size("_is")),
+                        lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                    ),
+                )
+            )
+        ).alias("_e")
+    )
+    return pairs.select(F.col("_e.src"), F.col("_e.dst")).distinct()
 
 
 def vertex_degrees(edges: DataFrame) -> DataFrame:

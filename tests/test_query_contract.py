@@ -117,6 +117,11 @@ def test_no_unbounded_nested_loop_joins(spark):
         # both designed bounded lookup tables, plus the brute-force exact
         # counterpart for the in-query recall bound
         "sim_ann_topk_ivfpq",
+        # r10: full IVFADC — same designed bounded lookup tables as ivfpq
+        # (queries x cells coarse ranking, queries x m*n_codes query LUT)
+        # plus the residual-specific cells x m*n_codes CELL LUT (16 x 32
+        # rows at the coarse budget) and the brute-force counterpart
+        "sim_ann_topk_ivfpq_residual",
         # r9 continuation: single-row broadcast combines — the KMV
         # intersection joins three 1-row aggregates (n_both / union estimate
         # / exact intersection); heavy hitters folds the 1-row token total
