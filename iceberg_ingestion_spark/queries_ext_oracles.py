@@ -2050,34 +2050,37 @@ from iceberg_ingestion_spark.queries_graph import PR_ITERS, PR_TOPN  # noqa: E40
 # integer-scaled fixed-iteration PageRank: the oracle unrolls the identical
 # 3 rounds as chained CTEs; all arithmetic is BIGINT floor division, so the
 # rank vector is bit-identical cross-engine (PR_ITERS is pinned to the
-# unrolled round count by tests/test_r10_operators.py)
+# unrolled round count by tests/test_r10_operators.py). Every CTE is
+# AS MATERIALIZED: DuckDB 1.0 otherwise re-inlines the edge derivation into
+# each unrolled round and the duplicated subplans spilled >30 GB at sf1;
+# materialized, the full-graph oracle runs in ~47 s with no spill
 ORACLES_EXT["graph_pagerank"] = f"""
-    WITH g AS (SELECT DISTINCT l_orderkey AS gid, l_partkey AS item
+    WITH g AS MATERIALIZED (SELECT DISTINCT l_orderkey AS gid, l_partkey AS item
                FROM lineitem),
-    e0 AS (SELECT DISTINCT a.item AS src, b.item AS dst
+    e0 AS MATERIALIZED (SELECT DISTINCT a.item AS src, b.item AS dst
            FROM g a JOIN g b ON a.gid = b.gid AND a.item < b.item),
-    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
-    deg AS (SELECT src AS v, count(*) AS d FROM e GROUP BY 1),
-    nn AS (SELECT count(*) AS n FROM deg),
-    it0 AS (SELECT v, 1000000000000 // nn.n AS pr FROM deg CROSS JOIN nn),
-    s1 AS (SELECT e.dst AS v, SUM(p.pr // d.d) AS s
+    e AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    deg AS MATERIALIZED (SELECT src AS v, count(*) AS d FROM e GROUP BY 1),
+    nn AS MATERIALIZED (SELECT count(*) AS n FROM deg),
+    it0 AS MATERIALIZED (SELECT v, 1000000000000 // nn.n AS pr FROM deg CROSS JOIN nn),
+    s1 AS MATERIALIZED (SELECT e.dst AS v, SUM(p.pr // d.d) AS s
              FROM it0 p JOIN deg d ON d.v = p.v JOIN e ON e.src = p.v
              GROUP BY e.dst),
-    it1 AS (SELECT deg.v,
+    it1 AS MATERIALIZED (SELECT deg.v,
                      (15 * 1000000000000) // (100 * nn.n)
                      + (85 * COALESCE(s1.s, 0)) // 100 AS pr
               FROM deg CROSS JOIN nn LEFT JOIN s1 ON s1.v = deg.v),
-    s2 AS (SELECT e.dst AS v, SUM(p.pr // d.d) AS s
+    s2 AS MATERIALIZED (SELECT e.dst AS v, SUM(p.pr // d.d) AS s
              FROM it1 p JOIN deg d ON d.v = p.v JOIN e ON e.src = p.v
              GROUP BY e.dst),
-    it2 AS (SELECT deg.v,
+    it2 AS MATERIALIZED (SELECT deg.v,
                      (15 * 1000000000000) // (100 * nn.n)
                      + (85 * COALESCE(s2.s, 0)) // 100 AS pr
               FROM deg CROSS JOIN nn LEFT JOIN s2 ON s2.v = deg.v),
-    s3 AS (SELECT e.dst AS v, SUM(p.pr // d.d) AS s
+    s3 AS MATERIALIZED (SELECT e.dst AS v, SUM(p.pr // d.d) AS s
              FROM it2 p JOIN deg d ON d.v = p.v JOIN e ON e.src = p.v
              GROUP BY e.dst),
-    it3 AS (SELECT deg.v,
+    it3 AS MATERIALIZED (SELECT deg.v,
                      (15 * 1000000000000) // (100 * nn.n)
                      + (85 * COALESCE(s3.s, 0)) // 100 AS pr
               FROM deg CROSS JOIN nn LEFT JOIN s3 ON s3.v = deg.v)
