@@ -118,6 +118,7 @@ _PRIORITY = [
     "sim_ann_topk_ivfpq_residual",
     "graph_connected_components",
     "graph_pagerank",
+    "graph_label_propagation",
     # r9 additions / changed closures (rule 1)
     "corpus_prep_pipeline_v2",
     "sim_ann_stream_pq",
@@ -166,7 +167,6 @@ _PRIORITY = [
     "ingest_incremental_join_agg",
     "ingest_incremental_two_sided",
     "ingest_scd2_history",
-    "ingest_stream_cdc_merge",
 ]
 
 

@@ -594,3 +594,49 @@ def pagerank_fixed(
             )
         )
     return pr
+
+
+def label_propagation_sync(
+    edges: DataFrame, iterations: int, materializer=None
+) -> DataFrame:
+    """Fixed-iteration SYNCHRONIZED label propagation (community detection,
+    Raghavan et al. 2007) made engine-exact: every vertex starts labeled
+    with its own id; each round, every vertex adopts the label carried by
+    the MOST of its neighbors, ties broken by the smallest label — a total
+    deterministic rule, so the label vector after k rounds is a pure
+    function of the graph and the DuckDB oracle reproduces it exactly
+    (asynchronous/randomized LPA variants are not reproducible, which is
+    why the synchronized deterministic form is the one worth grading).
+
+    Per round: one vertex-keyed equi-join of the label vector against the
+    bidirected edge relation, one (vertex, label) count aggregate, and an
+    order-independent ``min(struct(-count, label))`` argmax — all
+    hash-partitionable, the edge relation materialized once across rounds;
+    ``localCheckpoint`` truncates the iterative lineage. Returns
+    ``(v, label)``. Fixed iteration count keeps the oracle unrollable;
+    production would iterate to stability with the same per-round shape."""
+    from iceberg_ingestion_spark.operators.materialize import resolve
+
+    mat = resolve(materializer)
+    both = mat(
+        edges.select("src", "dst").unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
+    labels = mat(
+        both.select(F.col("src").alias("v")).distinct().withColumn(
+            "label", F.col("v")
+        )
+    )
+    for _ in range(iterations):
+        votes = (
+            labels.join(both, F.col("v") == F.col("src"))
+            .groupBy(F.col("dst").alias("_v"), "label")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        labels = mat(
+            votes.groupBy(F.col("_v").alias("v"))
+            .agg(F.min(F.struct((-F.col("_c")).alias("_n"), F.col("label"))).alias("_b"))
+            .select("v", F.col("_b.label").alias("label"))
+        )
+    return labels

@@ -124,5 +124,6 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_mg_stream": q_sketch_mg_stream,  # REAL streaming: 3 drains maintain the MG summary
     "graph_connected_components": q_graph_connected_components,  # star-contraction CC, CTE oracle
     "graph_pagerank": q_graph_pagerank,  # integer-exact fixed-iteration PageRank
+    "graph_label_propagation": q_graph_label_propagation,  # sync LPA communities, unrolled oracle
 }
 

@@ -2087,3 +2087,41 @@ ORACLES_EXT["graph_pagerank"] = f"""
     SELECT CAST(v AS BIGINT) AS part, CAST(pr AS BIGINT) AS pr
     FROM it3 ORDER BY pr DESC, v LIMIT {PR_TOPN}
 """
+
+
+from iceberg_ingestion_spark.queries_graph import LP_ITERS  # noqa: E402
+
+# synchronized label propagation: the oracle unrolls the identical rounds;
+# the argmax is (count DESC, label ASC) — a total order, so every label is
+# engine-exact. MATERIALIZED throughout (the graph_pagerank lesson: DuckDB
+# 1.0 re-inlines multi-referenced CTEs into each unrolled round)
+ORACLES_EXT["graph_label_propagation"] = f"""
+    WITH g AS MATERIALIZED (SELECT DISTINCT l_orderkey AS gid,
+                                   l_partkey AS item FROM lineitem),
+    e0 AS MATERIALIZED (SELECT DISTINCT a.item AS src, b.item AS dst
+           FROM g a JOIN g b ON a.gid = b.gid AND a.item < b.item),
+    es AS MATERIALIZED (SELECT src, dst FROM e0
+           WHERE ('0x' || substr(md5(src::VARCHAR || ':' || dst::VARCHAR),
+                                 1, 8))::BIGINT % {CC_EDGE_MOD} = 0),
+    e AS MATERIALIZED (SELECT src, dst FROM es
+                       UNION ALL SELECT dst, src FROM es),
+    l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS label FROM e),
+    v1 AS MATERIALIZED (
+        SELECT e.dst AS v, l.label, count(*) AS c
+        FROM l0 l JOIN e ON e.src = l.v GROUP BY e.dst, l.label),
+    l1 AS MATERIALIZED (
+        SELECT v, label FROM v1
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY v
+                                   ORDER BY c DESC, label) = 1),
+    v2 AS MATERIALIZED (
+        SELECT e.dst AS v, l.label, count(*) AS c
+        FROM l1 l JOIN e ON e.src = l.v GROUP BY e.dst, l.label),
+    l2 AS MATERIALIZED (
+        SELECT v, label FROM v2
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY v
+                                   ORDER BY c DESC, label) = 1),
+    sizes AS (SELECT label, count(*) AS sz FROM l2 GROUP BY label)
+    SELECT CAST(sz AS BIGINT) AS community_size,
+           count(*) AS n_communities
+    FROM sizes GROUP BY sz
+"""

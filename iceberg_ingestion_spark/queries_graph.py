@@ -598,3 +598,34 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PR_TOPN)
         .select(F.col("v").cast("long").alias("part"), "pr")
     )
+
+
+#: Label propagation: 2 synchronized rounds on the same md5 1/128-sampled
+#: graph as graph_connected_components (rich community structure; the
+#: unrolled oracle stays cheap). Deterministic by the (max count, min
+#: label) total rule, so the oracle reproduces every label.
+LP_ITERS = 2
+
+
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by fixed-iteration SYNCHRONIZED label
+    propagation (``graph.label_propagation_sync``, Raghavan et al. 2007 in
+    its deterministic synchronized form) on the sampled co-occurrence
+    graph; emits the community-size histogram ``(community_size,
+    n_communities)`` after 2 rounds. Unlike connected components (min
+    label reachable — ignores density), LPA labels follow neighborhood
+    MAJORITIES, so dense cliques keep their own community instead of
+    collapsing into whatever touches them. The oracle unrolls the
+    identical rounds (vote counts + (count DESC, label) argmax are
+    integer/total-order exact), every CTE MATERIALIZED — the
+    graph_pagerank lesson."""
+    from iceberg_ingestion_spark.operators import graph as _g
+
+    l = read_table(spark, sf_dir, "lineitem")
+    edges = _g.cooccurrence_edges(l, "l_orderkey", "l_partkey")
+    sampled = _g.edge_sample_md5(edges, CC_EDGE_MOD)
+    labels = _g.label_propagation_sync(sampled, LP_ITERS)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("_sz"))
+    return sizes.groupBy(F.col("_sz").cast("long").alias("community_size")).agg(
+        F.count(F.lit(1)).alias("n_communities")
+    )

@@ -300,3 +300,32 @@ def test_pagerank_fixed_integer_exact_and_partition_stable(spark):
     assert total <= scale
     assert scale - total <= 4 * (n + 1) * 100  # floor-loss bound, generous
     assert all(pr > 0 for _, pr in a)
+
+
+def test_label_propagation_sync_deterministic_and_majority(spark):
+    """The synchronized LPA rule is a pure function of the graph: identical
+    under any partitioning, the oracle's unroll count matches LP_ITERS, and
+    on a hand-built barbell (two triangles + one bridge) each triangle
+    keeps its own min-label community after 2 rounds instead of collapsing
+    into one component (the behavior that distinguishes LPA from CC)."""
+    from iceberg_ingestion_spark.queries_ext_oracles import ORACLES_EXT
+    from iceberg_ingestion_spark.queries_graph import LP_ITERS
+
+    assert LP_ITERS == 2
+    sql = ORACLES_EXT["graph_label_propagation"]
+    assert "l2" in sql and "l3" not in sql  # unroll count == LP_ITERS
+
+    barbell = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        ["src", "dst"],
+    )
+    a = sorted(map(tuple, graph.label_propagation_sync(barbell, 2).collect()))
+    b = sorted(
+        map(tuple, graph.label_propagation_sync(barbell.repartition(5), 2).collect())
+    )
+    assert a == b
+    comms = {}
+    for v, lbl in a:
+        comms.setdefault(lbl, set()).add(v)
+    assert {1, 2, 3} in comms.values()  # left triangle holds together
+    assert any({5, 6} <= c and 1 not in c for c in comms.values())  # right side separate
