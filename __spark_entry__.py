@@ -97,21 +97,26 @@ def entry(spark: SparkSession) -> DataFrame:
 #: validate_drift_stats, validate_expectations) and the r7/r8-era rows
 #: displaced — all byte-stable per the ledger; stamped from this round's
 #: full sweeps.
-#: ROUND-10 rotation: in by rule (1) — three NEW entries (sketch_mg_stream:
+#: ROUND-10 rotation: in by rule (1) — five NEW entries (sketch_mg_stream:
 #: streamed Misra-Gries via the applied-sub-bag ledger, the sketch family's
 #: last missing daily-cadence maintainer; sim_ann_topk_ivfpq_residual: full
 #: IVFADC graded at the coarse budget where residual encoding wins;
 #: graph_connected_components: star-contraction CC over the md5-sampled
 #: co-occurrence graph, min-label recursive-CTE oracle;
 #: graph_pagerank: fixed-iteration integer-scaled PageRank, the oracle
-#: unrolls the identical rounds — every value bit-exact) and the entries
-#: whose closures changed (graph_chained_triangles: frozen-orientation
-#: persisted index; sketch_kmv_stream: atomic pointer-swap state;
-#: dedup_semantic_blocked: panel-bounded recall + corpus-scaled k; the
-#: census/BFS/DOULION entries via shared graph.py/queries_graph.py edits —
-#: all already in-window). Displaced: the three list-tail refresh slots
-#: (multimodal_phash_pairs, q11_important_parts, q1_pricing_summary), all
-#: byte-stable per the ledger, their r6-era evidence standing.
+#: unrolls the identical rounds — every value bit-exact;
+#: graph_label_propagation: synchronized deterministic LPA, unrolled oracle)
+#: and the entries whose closures changed (graph_chained_triangles:
+#: frozen-orientation persisted index; sketch_kmv_stream: atomic
+#: pointer-swap state; dedup_semantic_blocked: panel-bounded recall +
+#: corpus-scaled k; the census/BFS/DOULION entries via shared
+#: graph.py/queries_graph.py edits — all already in-window). Displaced: the
+#: five list-tail refresh slots (ingest_stream_cdc_merge,
+#: layout_zorder_values, multimodal_phash_pairs, q11_important_parts,
+#: q1_pricing_summary), all byte-stable per the ledger, their prior
+#: evidence standing (ADVICE r10: this comment originally said "three",
+#: understating the rotation by the PageRank/LPA additions and the first
+#: two displaced names — corrected, audit trail now complete).
 _PRIORITY = [
     # r10 additions (rule 1)
     "sketch_mg_stream",

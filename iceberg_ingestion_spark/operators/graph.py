@@ -44,9 +44,15 @@ def cooccurrence_edges(df: DataFrame, group_col: str, item_col: str) -> DataFram
     (measured ~2× on the derivation at sf0.1; this leg is shared by all
     seven graph entries). Fan-out per group stays C(|group|, 2), bounded by
     the max group size (order line counts here, single digits); the final
-    cross-group ``distinct`` is the one remaining edge-keyed shuffle."""
+    cross-group ``distinct`` is the one remaining edge-keyed shuffle.
+
+    NULL group keys are dropped (ADVICE r10): the pre-r10 self-join form
+    silently excluded them (``a._g == b._g`` is never true on NULL) — the
+    groupBy form would otherwise pool every NULL-group row into one bogus
+    mega-group and emit edges among unrelated items."""
     arrs = (
-        df.groupBy(F.col(group_col).alias("_g"))
+        df.where(F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("_g"))
         .agg(F.array_sort(F.collect_set(F.col(item_col))).alias("_is"))
         .select("_is")
     )
@@ -469,7 +475,10 @@ def triangle_index_update(
     # ins_o) so the count below is two joins, not six — on dense graphs
     # (V ≪ E) the touched set approaches V and each extra join over it is a
     # full rescan of the array relation
-    empty = F.array().cast("array<bigint>")
+    # empty-array literal typed from the PERSISTED index schema, not a
+    # hardcoded bigint (ADVICE r10): the index code is id-type-generic, and
+    # concat() is analysis-time strict about element types
+    empty = F.array().cast(prev_onbr.schema["outs"].dataType)
     darr = _role_arrays(o_new).select(
         "v", F.col("outs").alias("_douts"), F.col("ins").alias("_dins")
     )

@@ -31,11 +31,29 @@ def current_version(table_dir: str) -> str | None:
 
 def claim_version_dir(table_dir: str, batch_id: int) -> str:
     """Path for this batch's version dir, reclaiming a stale half-written
-    one left by a crashed attempt at the same batch id."""
-    vdir = f"{table_dir}.v{batch_id}"
-    if os.path.exists(vdir):
-        shutil.rmtree(vdir)
-    return vdir
+    one left by a crashed attempt at the same batch id.
+
+    NEVER reclaims the PUBLISHED target (ADVICE r10 high): if the plain
+    ``.v<batch_id>`` dir is what ``table_dir`` currently resolves to — a
+    crash landed between ``os.replace`` and the streaming-checkpoint
+    commit, or a rerun with a fresh checkpoint reuses a batch id while the
+    pointer still targets it — deleting it would destroy the live state the
+    redelivered batch is about to read. Instead the claim moves to an
+    attempt-suffixed dir ``.v<batch_id>.<attempt>``; superseded versions
+    are garbage-collected by POINTER (``publish_version`` removes the
+    previous realpath target), never by batch id, so the live target is
+    structurally un-reclaimable."""
+    live = os.path.realpath(table_dir) if os.path.isdir(table_dir) else None
+    attempt = 0
+    while True:
+        suffix = f".{attempt}" if attempt else ""
+        vdir = f"{table_dir}.v{batch_id}{suffix}"
+        if os.path.exists(vdir):
+            if live is not None and os.path.realpath(vdir) == live:
+                attempt += 1  # published target: claim the next attempt dir
+                continue
+            shutil.rmtree(vdir)  # stale half-written attempt — safe to reclaim
+        return vdir
 
 
 def publish_version(table_dir: str, vdir: str, prev_target: str | None) -> None:

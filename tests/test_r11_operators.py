@@ -1,0 +1,93 @@
+"""Round-11 pins: the pointer discipline's published-target protection
+(ADVICE r10 high), the cooccurrence NULL-group contract, and the
+id-type-generic triangle index.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from iceberg_ingestion_spark.operators import graph
+from iceberg_ingestion_spark.streaming import pointer
+
+
+def _write_state(vdir: str, payload: str) -> None:
+    os.makedirs(vdir)
+    with open(os.path.join(vdir, "state"), "w") as fh:
+        fh.write(payload)
+
+
+def test_pointer_never_reclaims_published_target(tmp_path):
+    """ADVICE r10 high: a redelivered batch id whose plain version dir IS
+    the live published target must not rmtree it — the claim moves to an
+    attempt-suffixed dir, the live state stays readable throughout, and
+    publish GCs by pointer (prev realpath), never by batch id."""
+    table = str(tmp_path / "t")
+    v0 = pointer.claim_version_dir(table, 0)
+    assert v0 == f"{table}.v0"
+    _write_state(v0, "state-from-batch-0")
+    pointer.publish_version(table, v0, None)
+    assert os.path.realpath(table) == os.path.realpath(v0)
+
+    # crash landed between os.replace and the checkpoint commit: batch 0 is
+    # redelivered while the pointer still targets .v0
+    prev = pointer.current_version(table)
+    v0b = pointer.claim_version_dir(table, 0)
+    assert v0b != v0  # attempt-suffixed, NOT the live dir
+    # the live state was untouched by the claim (the old bug rmtree'd it)
+    with open(os.path.join(table, "state")) as fh:
+        assert fh.read() == "state-from-batch-0"
+    _write_state(v0b, "state-from-batch-0-retry")
+    pointer.publish_version(table, v0b, prev)
+    assert os.path.realpath(table) == os.path.realpath(v0b)
+    assert not os.path.exists(v0)  # superseded target GC'd by pointer
+
+
+def test_pointer_reclaims_stale_attempt_dir_but_not_live(tmp_path):
+    """A half-written attempt-suffixed dir from a second crash is reclaimed
+    on the next redelivery while the live target still survives."""
+    table = str(tmp_path / "t")
+    v0 = pointer.claim_version_dir(table, 0)
+    _write_state(v0, "live")
+    pointer.publish_version(table, v0, None)
+    # crashed retry left a garbage attempt dir
+    _write_state(f"{table}.v0.1", "partial")
+    v = pointer.claim_version_dir(table, 0)
+    assert v == f"{table}.v0.1"
+    assert not os.path.exists(os.path.join(v, "state"))  # garbage reclaimed
+    with open(os.path.join(table, "state")) as fh:
+        assert fh.read() == "live"  # live target untouched
+
+
+def test_cooccurrence_edges_drop_null_groups(spark):
+    """NULL group keys contribute no edges (the pre-r10 self-join contract,
+    ADVICE r10): items sharing only a NULL group must not be connected."""
+    df = spark.createDataFrame(
+        [(1, 10), (1, 11), (None, 20), (None, 21), (None, 22)],
+        "g int, item int",
+    )
+    edges = sorted(map(tuple, graph.cooccurrence_edges(df, "g", "item").collect()))
+    assert edges == [(10, 11)]
+
+
+def test_triangle_index_generic_vertex_id_types(spark, tmp_path):
+    """The persisted triangle index works with non-bigint vertex ids
+    (ADVICE r10: the empty-array literal is typed from the index schema,
+    not hardcoded bigint) — string ids here, int-typed ids exercised by
+    the hand-built fixtures in test_r10_operators."""
+    day0 = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("b", "d")], ["src", "dst"]
+    )
+    day1 = spark.createDataFrame([("c", "d"), ("a", "d")], ["src", "dst"])
+    root = str(tmp_path / "idx")
+    t = graph.triangle_index_init(spark, day0, root).first()["n_triangles"]
+    assert t == 1
+    d = graph.triangle_index_update(spark, root, 1, day1, assume_new=True).first()[
+        "n_new_triangles"
+    ]
+    # {b,c,d} closes via (c,d); {a,b,d}+{a,c,d} close via (a,d)
+    assert d == 3
+    acc = day0.unionByName(day1)
+    assert t + d == graph.triangle_stats(acc).first()["n_triangles"]
