@@ -1747,8 +1747,31 @@ ORACLES_EXT["dedup_chained_substring"] = ORACLES_EXT["dedup_substring_spans"]
 
 from iceberg_ingestion_spark.queries_graph import (  # noqa: E402,F401
     HH_K, HH_PARTS, KMV_BOUND, KMV_INTER_TOL, KMV_K, KMV_SET_A, KMV_SET_B,
-    TRI_ORDER_MOD,
 )
+
+
+#: pieces for the apex-partitioned triangle census (VERDICT r10 #2): the
+#: list_intersect census OOM'd the capped DuckDB child on the full sf1
+#: graph (>78 GB spill); partitioning the oriented 3-way edge join by the
+#: path apex keeps each piece's intermediate at ~Sigma outdeg^2/P (proved in
+#: tools/census_full_check.py, graduated into the graded oracles here —
+#: measured 22.9 s at sf1 under the 24 GB cap, full graph = 18,844,880)
+CENSUS_PIECES = 16
+
+
+def _census_pieces_sql(oriented: str, pieces: int = CENSUS_PIECES) -> str:
+    """Piecewise UNION ALL triangle count over an oriented-edge CTE
+    ``oriented`` (columns s, t): each branch counts the triangles whose
+    oriented path apex falls in one residue class — an EXACT partition of
+    the triangle set (every triangle is exactly one oriented path + closing
+    edge; the apex is a function of the triangle)."""
+    return "\n      UNION ALL ".join(
+        f"SELECT count(*) AS n FROM {oriented} p1 "
+        f"JOIN {oriented} p2 ON p2.s = p1.t "
+        f"JOIN {oriented} p3 ON p3.s = p1.s AND p3.t = p2.t "
+        f"WHERE p1.s % {pieces} = {i}"
+        for i in range(pieces)
+    )
 
 #: per-type distinct user-day universe (KMV element convention; the Spark
 #: side is _kmv_elements — concat_ws + ts_us div, identical here)
@@ -1847,24 +1870,21 @@ ORACLES_EXT["sketch_heavy_hitters"] = f"""
 """
 
 ORACLES_EXT["graph_triangle_count"] = f"""
-    WITH g AS (SELECT DISTINCT l_orderkey AS gid, l_partkey AS item
-               FROM lineitem
-               WHERE ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 8))::BIGINT
-                     % {TRI_ORDER_MOD} = 0),
-    e AS (SELECT DISTINCT a.item AS src, b.item AS dst
+    WITH g AS MATERIALIZED (SELECT DISTINCT l_orderkey AS gid, l_partkey AS item
+               FROM lineitem),
+    e AS MATERIALIZED (SELECT DISTINCT a.item AS src, b.item AS dst
           FROM g a JOIN g b ON a.gid = b.gid AND a.item < b.item),
-    deg AS (SELECT v, count(*) AS d
+    deg AS MATERIALIZED (SELECT v, count(*) AS d
             FROM (SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e)
             GROUP BY v),
-    o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.src < e.dst)
+    o AS MATERIALIZED (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.src < e.dst)
                       THEN e.src ELSE e.dst END AS s,
                  CASE WHEN da.d < db.d OR (da.d = db.d AND e.src < e.dst)
                       THEN e.dst ELSE e.src END AS t
           FROM e JOIN deg da ON da.v = e.src JOIN deg db ON db.v = e.dst),
-    nb AS (SELECT s, list(t) AS ns FROM o GROUP BY s),
-    tri AS (SELECT coalesce(CAST(sum(len(list_intersect(a.ns, b.ns)))
-                                 AS BIGINT), 0) AS n_triangles
-            FROM o JOIN nb a ON a.s = o.s JOIN nb b ON b.s = o.t),
+    tri AS (SELECT coalesce(CAST(sum(n) AS BIGINT), 0) AS n_triangles FROM (
+      {_census_pieces_sql('o')}
+    )),
     wed AS (SELECT CAST(sum(d * (d - 1)) / 2 AS BIGINT) AS n_wedges,
                    count(*) AS n_vertices
             FROM deg),
@@ -1908,9 +1928,7 @@ ORACLES_EXT["graph_bfs_hops"] = f"""
     SELECT * FROM reached UNION ALL SELECT * FROM unre
 """
 
-from iceberg_ingestion_spark.queries_graph import (  # noqa: E402,F401
-    TRI_ORDER_MOD, TRI_SAMPLE_MOD,
-)
+from iceberg_ingestion_spark.queries_graph import TRI_SAMPLE_MOD  # noqa: E402,F401
 
 from iceberg_ingestion_spark.queries_graph import CC_EDGE_MOD  # noqa: E402
 
@@ -1948,40 +1966,36 @@ ORACLES_EXT["graph_connected_components"] = f"""
 # recomputed (the sample coin is md5(edge), engine-independent); the 10% band
 # check is integer arithmetic
 ORACLES_EXT["graph_triangle_sampled"] = f"""
-    WITH g AS (SELECT DISTINCT l_orderkey AS gid, l_partkey AS item
-               FROM lineitem
-               WHERE ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 8))::BIGINT
-                     % {TRI_ORDER_MOD} = 0),
-    e AS (SELECT DISTINCT a.item AS src, b.item AS dst
+    WITH g AS MATERIALIZED (SELECT DISTINCT l_orderkey AS gid, l_partkey AS item
+               FROM lineitem),
+    e AS MATERIALIZED (SELECT DISTINCT a.item AS src, b.item AS dst
           FROM g a JOIN g b ON a.gid = b.gid AND a.item < b.item),
-    deg AS (SELECT v, count(*) AS d
+    deg AS MATERIALIZED (SELECT v, count(*) AS d
             FROM (SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e)
             GROUP BY v),
-    o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.src < e.dst)
+    o AS MATERIALIZED (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.src < e.dst)
                       THEN e.src ELSE e.dst END AS s,
                  CASE WHEN da.d < db.d OR (da.d = db.d AND e.src < e.dst)
                       THEN e.dst ELSE e.src END AS t
           FROM e JOIN deg da ON da.v = e.src JOIN deg db ON db.v = e.dst),
-    nb AS (SELECT s, list(t) AS ns FROM o GROUP BY s),
-    tri AS (SELECT coalesce(CAST(sum(len(list_intersect(a.ns, b.ns)))
-                                 AS BIGINT), 0) AS n
-            FROM o JOIN nb a ON a.s = o.s JOIN nb b ON b.s = o.t),
-    es AS (SELECT src, dst FROM e
+    tri AS (SELECT coalesce(CAST(sum(n) AS BIGINT), 0) AS n FROM (
+      {_census_pieces_sql('o')}
+    )),
+    es AS MATERIALIZED (SELECT src, dst FROM e
            WHERE ('0x' || substr(md5(src::VARCHAR || ':' || dst::VARCHAR),
                                  1, 8))::BIGINT % {TRI_SAMPLE_MOD} = 0),
-    degs AS (SELECT v, count(*) AS d
+    degs AS MATERIALIZED (SELECT v, count(*) AS d
              FROM (SELECT src AS v FROM es UNION ALL SELECT dst AS v FROM es)
              GROUP BY v),
-    os AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND es.src < es.dst)
+    os AS MATERIALIZED (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND es.src < es.dst)
                        THEN es.src ELSE es.dst END AS s,
                   CASE WHEN da.d < db.d OR (da.d = db.d AND es.src < es.dst)
                        THEN es.dst ELSE es.src END AS t
            FROM es JOIN degs da ON da.v = es.src
                    JOIN degs db ON db.v = es.dst),
-    nbs AS (SELECT s, list(t) AS ns FROM os GROUP BY s),
-    tris AS (SELECT coalesce(CAST(sum(len(list_intersect(a.ns, b.ns)))
-                                  AS BIGINT), 0) AS n
-             FROM os JOIN nbs a ON a.s = os.s JOIN nbs b ON b.s = os.t),
+    tris AS (SELECT coalesce(CAST(sum(n) AS BIGINT), 0) AS n FROM (
+      {_census_pieces_sql('os')}
+    )),
     ecs AS (SELECT count(*) AS n FROM es)
     SELECT CAST(ecs.n AS BIGINT) AS n_edges_sampled,
            CAST(tris.n AS BIGINT) AS n_triangles_sampled,
@@ -2004,24 +2018,21 @@ ORACLES_EXT["sketch_mg_stream"] = ORACLES_EXT["sketch_heavy_hitters"]
 # full census (edge count + triangle count) over ALL edges — a green row
 # proves the 3 chained Δ-driven increments reproduce the batch answer
 ORACLES_EXT["graph_chained_triangles"] = f"""
-    WITH g AS (SELECT DISTINCT l_orderkey AS gid, l_partkey AS item
-               FROM lineitem
-               WHERE ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 8))::BIGINT
-                     % {TRI_ORDER_MOD} = 0),
-    e AS (SELECT DISTINCT a.item AS src, b.item AS dst
+    WITH g AS MATERIALIZED (SELECT DISTINCT l_orderkey AS gid, l_partkey AS item
+               FROM lineitem),
+    e AS MATERIALIZED (SELECT DISTINCT a.item AS src, b.item AS dst
           FROM g a JOIN g b ON a.gid = b.gid AND a.item < b.item),
-    deg AS (SELECT v, count(*) AS d
+    deg AS MATERIALIZED (SELECT v, count(*) AS d
             FROM (SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e)
             GROUP BY v),
-    o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.src < e.dst)
+    o AS MATERIALIZED (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.src < e.dst)
                       THEN e.src ELSE e.dst END AS s,
                  CASE WHEN da.d < db.d OR (da.d = db.d AND e.src < e.dst)
                       THEN e.dst ELSE e.src END AS t
           FROM e JOIN deg da ON da.v = e.src JOIN deg db ON db.v = e.dst),
-    nb AS (SELECT s, list(t) AS ns FROM o GROUP BY s),
-    tri AS (SELECT coalesce(CAST(sum(len(list_intersect(a.ns, b.ns)))
-                                 AS BIGINT), 0) AS n
-            FROM o JOIN nb a ON a.s = o.s JOIN nb b ON b.s = o.t),
+    tri AS (SELECT coalesce(CAST(sum(n) AS BIGINT), 0) AS n FROM (
+      {_census_pieces_sql('o')}
+    )),
     ec AS (SELECT count(*) AS n FROM e)
     SELECT CAST(ec.n AS BIGINT) AS n_edges, CAST(tri.n AS BIGINT) AS n_triangles
     FROM ec CROSS JOIN tri

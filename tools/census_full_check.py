@@ -1,11 +1,18 @@
 """FULL-graph triangle-census verification (VERDICT r9 #5).
 
-The driver census entries grade a deterministic md5 1/4-order fixture
-(``TRI_ORDER_MOD``) because the single-box DuckDB oracle OOM'd on the full
-sf1 co-occurrence graph in the list_intersect formulation (BASELINE.md r9:
-one OOM poisons the sweep process). The verification ceiling was the
-ORACLE, not the engine — this tool closes the gap with a PIECEWISE 3-WAY
-EDGE JOIN over the degree-(id-tiebroken) oriented edge relation:
+r11: the apex-partitioned formulation proven here is GRADUATED into the
+census entries' graded oracles (``queries_ext_oracles._census_pieces_sql``
+— a piecewise UNION ALL inside one query; the 1/4-order ``TRI_ORDER_MOD``
+fixture is retired and every census entry grades the FULL graph in the
+normal sweep). This tool remains as the independent standalone
+cross-check: sequential fresh-child-per-piece isolation, cumulative
+per-piece output, usable against any SF without the sweep harness.
+
+History: the single-box DuckDB oracle OOM'd on the full sf1 co-occurrence
+graph in the list_intersect formulation (BASELINE.md r9: one OOM poisons
+the sweep process). The verification ceiling was the ORACLE, not the
+engine — closed by a PIECEWISE 3-WAY EDGE JOIN over the
+degree-(id-tiebroken) oriented edge relation:
 
     triangles = Σ_i |{(a,b,c) : o(a,b), o(b,c), o(a,c), a % P == i}|
 
