@@ -2100,6 +2100,73 @@ ORACLES_EXT["graph_pagerank"] = f"""
 """
 
 
+def _pr_converged_oracle() -> str:
+    """Unrolled converged-PageRank oracle (VERDICT r10 #3): all
+    PRC_MAX_ROUNDS rounds as materialized CTEs (the graph_pagerank
+    convention), a per-round integer max-|Δ| CTE each, the stop round
+    CASE-selected as the FIRST round whose delta is <= PRC_TOL_UNITS
+    (exactly the Spark loop's early-exit), and the reported vector
+    CASE-selected from the stop round — rounds_ran / converged / every rank
+    recomputed, nothing asserted."""
+    from iceberg_ingestion_spark.queries_graph import (
+        PRC_MAX_ROUNDS,
+        PRC_TOL_UNITS,
+    )
+
+    k = PRC_MAX_ROUNDS
+    parts = [
+        """g AS MATERIALIZED (SELECT DISTINCT l_orderkey AS gid, l_partkey AS item
+               FROM lineitem)""",
+        """e0 AS MATERIALIZED (SELECT DISTINCT a.item AS src, b.item AS dst
+           FROM g a JOIN g b ON a.gid = b.gid AND a.item < b.item)""",
+        "e AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)",
+        "deg AS MATERIALIZED (SELECT src AS v, count(*) AS d FROM e GROUP BY 1)",
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM deg)",
+        "it0 AS MATERIALIZED (SELECT v, 1000000000000 // nn.n AS pr FROM deg CROSS JOIN nn)",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""s{i} AS MATERIALIZED (SELECT e.dst AS v, SUM(p.pr // d.d) AS s
+             FROM it{i - 1} p JOIN deg d ON d.v = p.v JOIN e ON e.src = p.v
+             GROUP BY e.dst)"""
+        )
+        parts.append(
+            f"""it{i} AS MATERIALIZED (SELECT deg.v,
+                     (15 * 1000000000000) // (100 * nn.n)
+                     + (85 * COALESCE(s{i}.s, 0)) // 100 AS pr
+              FROM deg CROSS JOIN nn LEFT JOIN s{i} ON s{i}.v = deg.v)"""
+        )
+        parts.append(
+            f"""d{i} AS MATERIALIZED (SELECT max(abs(a.pr - b.pr)) AS m
+              FROM it{i} a JOIN it{i - 1} b ON a.v = b.v)"""
+        )
+    whens = " ".join(
+        f"WHEN (SELECT m FROM d{i}) <= {PRC_TOL_UNITS} THEN {i}"
+        for i in range(1, k + 1)
+    )
+    conv = " OR ".join(
+        f"(SELECT m FROM d{i}) <= {PRC_TOL_UNITS}" for i in range(1, k + 1)
+    )
+    parts.append(f"stop AS (SELECT CASE {whens} ELSE {k} END AS r, ({conv}) AS conv)")
+    pick = " ".join(f"WHEN {i} THEN it{i}.pr" for i in range(1, k + 1))
+    joins = " ".join(f"JOIN it{i} ON it{i}.v = it1.v" for i in range(2, k + 1))
+    parts.append(
+        f"""fin AS (SELECT it1.v, CASE stop.r {pick} END AS pr,
+                       stop.r AS rounds_ran, stop.conv AS converged
+                FROM it1 {joins} CROSS JOIN stop)"""
+    )
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}
+    SELECT CAST(v AS BIGINT) AS part, CAST(pr AS BIGINT) AS pr,
+           CAST(rounds_ran AS BIGINT) AS rounds_ran, converged
+    FROM fin ORDER BY pr DESC, v LIMIT {PR_TOPN}
+    """
+
+
+ORACLES_EXT["graph_pagerank_converged"] = _pr_converged_oracle()
+
+
 from iceberg_ingestion_spark.queries_graph import LP_ITERS  # noqa: E402
 
 # synchronized label propagation: the oracle unrolls the identical rounds;

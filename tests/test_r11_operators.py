@@ -91,3 +91,37 @@ def test_triangle_index_generic_vertex_id_types(spark, tmp_path):
     assert d == 3
     acc = day0.unionByName(day1)
     assert t + d == graph.triangle_stats(acc).first()["n_triangles"]
+
+
+def test_pagerank_converged_stops_and_matches_fixed(spark):
+    """The converged form stops at the first round whose max integer delta
+    is <= tol, its vector equals pagerank_fixed run the same number of
+    rounds (same kernel, same integers), an infinite tolerance stops after
+    one round, a zero tolerance runs to the cap with converged=False, and
+    the oracle unroll count matches PRC_MAX_ROUNDS."""
+    from iceberg_ingestion_spark.queries_ext_oracles import ORACLES_EXT
+    from iceberg_ingestion_spark.queries_graph import PRC_MAX_ROUNDS
+
+    sql = ORACLES_EXT["graph_pagerank_converged"]
+    assert f"it{PRC_MAX_ROUNDS}" in sql and f"it{PRC_MAX_ROUNDS + 1}" not in sql
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (2, 5)], ["src", "dst"]
+    )
+    # on a 5-vertex graph deltas contract only at the 0.85 damping rate, so
+    # the test tolerance is graph-sized (1e10 units ≈ 19 rounds); the graded
+    # entry's 1e6 tolerance belongs to the dense driver corpora
+    pr, rounds, conv = graph.pagerank_converged(edges, 10**10, 30)
+    assert conv and 1 < rounds < 30
+    fixed = graph.pagerank_fixed(edges, rounds)
+    assert sorted(map(tuple, pr.collect())) == sorted(map(tuple, fixed.collect()))
+
+    _, r_inf, c_inf = graph.pagerank_converged(edges, 10**13, 6)
+    assert (r_inf, c_inf) == (1, True)  # tol above any possible delta
+    _, r_zero, c_zero = graph.pagerank_converged(edges, 0, 3)
+    assert (r_zero, c_zero) == (3, False)  # integer ranks keep moving
+
+    a = graph.pagerank_converged(edges, 10**10, 30)
+    b = graph.pagerank_converged(edges.repartition(7), 10**10, 30)
+    assert (a[1], a[2]) == (b[1], b[2])  # stop decision partition-stable
+    assert sorted(map(tuple, a[0].collect())) == sorted(map(tuple, b[0].collect()))
