@@ -453,21 +453,36 @@ def triangle_index_update(
     ``assume_new=True`` skips the Δ-vs-log anti-join when the caller
     guarantees disjoint drops (e.g. md5-partitioned feeds) — otherwise
     that dedup is the one keyed join against the full edge log (co-located
-    and prunable when the log is bucketed by edge key)."""
+    and prunable when the log is bucketed by edge key).
+
+    r11 (crash discipline, for the streaming maintainer): the day's edge
+    delta is written to a FRESH ``edges_day{day}`` dir instead of appended
+    in place, and any existing day-``day`` artifacts (``onbr_day{day}``,
+    ``edges_day{day}``) are reclaimed first — a day that was started but
+    never PUBLISHED (the caller's pointer/ledger decides publication, e.g.
+    ``streaming/tri_stream.py``) can be redelivered and rerun from the
+    prior day's state with no partial-write residue. Read the full edge
+    log with :func:`triangle_index_edges`."""
     import os
+    import shutil
 
     from iceberg_ingestion_spark.operators.materialize import resolve
 
     mat = resolve(materializer)
-    edges_path = os.path.join(index_dir, "edges")
     order = spark.read.parquet(os.path.join(index_dir, "vorder"))
     prev_onbr = spark.read.parquet(os.path.join(index_dir, f"onbr_day{day - 1}"))
+    for stale in (f"onbr_day{day}", f"edges_day{day}"):
+        p = os.path.join(index_dir, stale)
+        if os.path.exists(p):  # crashed unpublished attempt at this day
+            shutil.rmtree(p)
 
     delta = new_edges.select(
         F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
     ).distinct()
     if not assume_new:
-        delta = delta.join(spark.read.parquet(edges_path), ["src", "dst"], "left_anti")
+        delta = delta.join(
+            triangle_index_edges(spark, index_dir), ["src", "dst"], "left_anti"
+        )
     o_new = mat(_orient_frozen(delta, order))
 
     # (2) Δ additions per touched vertex + that vertex's persisted arrays,
@@ -529,7 +544,8 @@ def triangle_index_update(
         )
     )
 
-    # (4) copy-on-write the next neighbor-table version + append the log
+    # (4) copy-on-write the next neighbor-table version + the day's edge
+    # delta as a fresh per-day dir (reclaimable — see docstring)
     onbr_path = os.path.join(index_dir, f"onbr_day{day}")
     prev_onbr.join(darr.select("v"), "v", "left_anti").unionByName(
         arr2.select(
@@ -538,8 +554,20 @@ def triangle_index_update(
     ).write.mode("error").parquet(onbr_path)
     o_new.select(
         F.least("s", "t").alias("src"), F.greatest("s", "t").alias("dst")
-    ).write.mode("append").parquet(edges_path)
+    ).write.mode("error").parquet(os.path.join(index_dir, f"edges_day{day}"))
     return n_new
+
+
+def triangle_index_edges(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The full undirected edge log of a persisted triangle index: the bulk
+    ``edges`` dir ∪ every committed ``edges_day*`` delta dir."""
+    import glob
+    import os
+
+    paths = [os.path.join(index_dir, "edges")] + sorted(
+        glob.glob(os.path.join(index_dir, "edges_day*"))
+    )
+    return spark.read.parquet(*paths).select("src", "dst")
 
 
 def pagerank_fixed(

@@ -126,5 +126,6 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_pagerank": q_graph_pagerank,  # integer-exact fixed-iteration PageRank
     "graph_label_propagation": q_graph_label_propagation,  # sync LPA communities, unrolled oracle
     "graph_pagerank_converged": q_graph_pagerank_converged,  # delta-threshold stop, oracle re-derives the stop round
+    "graph_stream_triangles": q_graph_stream_triangles,  # REAL streaming: ledgered triangle-index maintenance
 }
 

@@ -2014,6 +2014,35 @@ ORACLES_EXT["sketch_kmv_stream"] = ORACLES_EXT["sketch_kmv_distinct"]
 #: ledger), so the streamed entry grades against the batch heavy-hitter SQL
 ORACLES_EXT["sketch_mg_stream"] = ORACLES_EXT["sketch_heavy_hitters"]
 
+# streamed triangle-index maintenance == one-shot batch census of the md5
+# 1/2-sampled graph: same apex-partitioned piecewise census, restricted to
+# the sampled edge set the maintainer ingested — a green row proves the
+# streamed Δ-driven increments (ledgered, pointer-published) reproduce it
+ORACLES_EXT["graph_stream_triangles"] = f"""
+    WITH g AS MATERIALIZED (SELECT DISTINCT l_orderkey AS gid, l_partkey AS item
+               FROM lineitem),
+    e0 AS MATERIALIZED (SELECT DISTINCT a.item AS src, b.item AS dst
+          FROM g a JOIN g b ON a.gid = b.gid AND a.item < b.item),
+    es AS MATERIALIZED (SELECT src, dst FROM e0
+           WHERE ('0x' || substr(md5(src::VARCHAR || ':' || dst::VARCHAR),
+                                 1, 8))::BIGINT % {TRI_SAMPLE_MOD} = 0),
+    degs AS MATERIALIZED (SELECT v, count(*) AS d
+             FROM (SELECT src AS v FROM es UNION ALL SELECT dst AS v FROM es)
+             GROUP BY v),
+    os AS MATERIALIZED (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND es.src < es.dst)
+                       THEN es.src ELSE es.dst END AS s,
+                  CASE WHEN da.d < db.d OR (da.d = db.d AND es.src < es.dst)
+                       THEN es.dst ELSE es.src END AS t
+           FROM es JOIN degs da ON da.v = es.src
+                   JOIN degs db ON db.v = es.dst),
+    tri AS (SELECT coalesce(CAST(sum(n) AS BIGINT), 0) AS n FROM (
+      {_census_pieces_sql('os')}
+    )),
+    ec AS (SELECT count(*) AS n FROM es)
+    SELECT CAST(ec.n AS BIGINT) AS n_edges, CAST(tri.n AS BIGINT) AS n_triangles
+    FROM ec CROSS JOIN tri
+"""
+
 # chained triangle IVM == one-shot batch census: the oracle recomputes the
 # full census (edge count + triangle count) over ALL edges — a green row
 # proves the 3 chained Δ-driven increments reproduce the batch answer

@@ -520,13 +520,72 @@ def q_graph_chained_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select((F.col("n_triangles") + F.col("_d")).alias("n_triangles"))
                 .localCheckpoint()
             )
-        n_edges = spark.read.parquet(f"{root}/edges").agg(
+        n_edges = graph.triangle_index_edges(spark, root).agg(
             F.count(F.lit(1)).alias("n_edges")
         )
         return (
             n_edges.crossJoin(F.broadcast(total))
             .select("n_edges", "n_triangles")
             .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_graph_stream_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED triangle-index maintenance graded at the driver (VERDICT
+    r10 #5 — completes incremental-graph parity with the sketch families;
+    the seventh driver entry whose Spark side executes real Structured
+    Streaming): the md5 1/2-sampled co-occurrence edges arrive as a bulk
+    drop (coin ≥ 2 of 16) plus two daily drops drained through
+    :func:`streaming.tri_stream.stream_triangle_index` — three
+    ``availableNow`` drains against one checkpoint; batch 0 builds the
+    frozen-orientation persisted index, each later batch runs the
+    Δ-bounded ``triangle_index_update`` and the exact new-triangle count is
+    added under the applied-batch ledger + atomic pointer publish (the
+    mg_stream exactly-once pattern — see tri_stream's crash discipline).
+    One row ``(n_edges, n_triangles)`` from the maintained pointer counter
+    and the published edge log; the oracle recomputes the one-shot batch
+    census of the sampled graph, so a green row proves the streamed chained
+    increments reproduce it exactly. Sampled (not full) graph: the full
+    graph already carries the batch-chained entry
+    (``graph_chained_triangles``); the stream entry exercises the identical
+    machinery at half the edges to keep the verification price bounded.
+    The scratch root is removed after the result row is materialized."""
+    import os
+    import shutil
+    import tempfile
+
+    from iceberg_ingestion_spark.streaming.tri_stream import (
+        read_state,
+        stream_triangle_index,
+    )
+
+    edges = graph.edge_sample_md5(shared_edges(spark, sf_dir), TRI_SAMPLE_MOD)
+    coin = text.hex_to_long(F.md5(F.concat_ws(":", "src", "dst")), 9, 8) % 16
+    root = tempfile.mkdtemp(prefix="tri_stream_")
+    try:
+        feed = os.path.join(root, "feed")
+        state = os.path.join(root, "state")
+        ckpt = os.path.join(root, "ckpt")
+        for r in (0, 1, 2):
+            part = edges.where(coin >= 2) if r == 0 else edges.where(coin == r - 1)
+            part.coalesce(4).write.mode("append").parquet(feed)
+            q = stream_triangle_index(spark, feed, part.schema, state, ckpt)
+            # a timed-out drain must FAIL the entry: a dropped batch would
+            # silently shrink the count and the grade with it
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("graph_stream_triangles: drain exceeded 300s")
+        st = read_state(state)
+        n_edges = graph.triangle_index_edges(
+            spark, os.path.join(state, "index")
+        ).agg(F.count(F.lit(1)).alias("n_edges"))
+        return (
+            n_edges.select(
+                "n_edges",
+                F.lit(int(st["n_triangles"])).cast("long").alias("n_triangles"),
+            ).localCheckpoint(eager=True)
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)

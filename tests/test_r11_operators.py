@@ -125,3 +125,70 @@ def test_pagerank_converged_stops_and_matches_fixed(spark):
     b = graph.pagerank_converged(edges.repartition(7), 10**10, 30)
     assert (a[1], a[2]) == (b[1], b[2])  # stop decision partition-stable
     assert sorted(map(tuple, a[0].collect())) == sorted(map(tuple, b[0].collect()))
+
+
+def _census(spark, edges):
+    return graph.triangle_stats(edges).first()["n_triangles"]
+
+
+def test_stream_triangle_index_equals_batch_and_redelivery_noop(spark, tmp_path):
+    """Three drained edge drops (bulk + two dailies, overlapping rows in the
+    last drop to exercise the Δ-vs-log dedup) maintain the streamed index to
+    the exact one-shot batch census; reprocessing the full feed against a
+    FRESH checkpoint (worst-case redelivery) is a no-op via the
+    applied-batch ledger; and a crashed attempt's day artifacts plus a
+    garbage pointer temp file are reclaimed."""
+    from pyspark.sql import functions as F
+
+    from iceberg_ingestion_spark.streaming.tri_stream import (
+        read_state,
+        stream_triangle_index,
+    )
+
+    from iceberg_ingestion_spark.operators.text import hex_to_long
+    from iceberg_ingestion_spark.queries import read_table
+
+    l = read_table(spark, "/root/testdata/sf0.001", "lineitem")
+    edges = graph.cooccurrence_edges(l, "l_orderkey", "l_partkey").localCheckpoint()
+    coin = hex_to_long(F.md5(F.concat_ws(":", "src", "dst")), 9, 8) % 3
+    drops = [
+        edges.where(coin == 0),
+        edges.where(coin == 1),
+        edges.where(coin >= 1),  # overlaps drop 1: anti-join must dedup
+    ]
+    feed = str(tmp_path / "feed")
+    root = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    for part in drops:
+        part.coalesce(2).write.mode("append").parquet(feed)
+        q = stream_triangle_index(spark, feed, part.schema, root, ckpt)
+        assert q.awaitTermination(300)
+    st = read_state(root)
+    assert st["day"] == 2 and len(st["applied"]) == 3
+    assert st["n_triangles"] == _census(spark, edges)
+    import os
+
+    idx = os.path.join(root, "index")
+    logged = graph.triangle_index_edges(spark, idx)
+    assert logged.count() == edges.count()  # overlap deduped
+
+    # worst-case redelivery: full feed, fresh checkpoint, same state root
+    q = stream_triangle_index(spark, feed, drops[0].schema, root, str(tmp_path / "ck2"))
+    assert q.awaitTermination(300)
+    again = read_state(root)
+    assert again["n_triangles"] == st["n_triangles"]
+    assert again["day"] == st["day"]
+
+    # crashed attempt artifacts for the NEXT day are reclaimed on arrival
+    os.makedirs(os.path.join(idx, "onbr_day3"))
+    os.makedirs(os.path.join(idx, "edges_day3"))
+    with open(os.path.join(idx, "edges_day3", "garbage"), "w") as fh:
+        fh.write("partial")
+    extra = spark.createDataFrame([(999991, 999992)], ["src", "dst"])
+    extra.write.mode("append").parquet(feed)
+    q = stream_triangle_index(spark, feed, extra.schema, root, ckpt)
+    assert q.awaitTermination(300)
+    st3 = read_state(root)
+    assert st3["day"] == 3
+    assert st3["n_triangles"] == _census(spark, edges.unionByName(extra))
+    assert not os.path.exists(os.path.join(idx, "edges_day3", "garbage"))
