@@ -117,25 +117,29 @@ def entry(spark: SparkSession) -> DataFrame:
 #: evidence standing (ADVICE r10: this comment originally said "three",
 #: understating the rotation by the PageRank/LPA additions and the first
 #: two displaced names — corrected, audit trail now complete).
-#: ROUND-11 rotation: in by rule (1) — two NEW entries
+#: ROUND-11 rotation: in by rule (1) — three NEW entries
 #: (graph_pagerank_converged: delta-threshold PageRank with a bounded
 #: max-round unroll; the oracle re-derives every per-round delta and the
 #: stop decision; graph_stream_triangles: streamed triangle-index
 #: maintenance under the applied-batch ledger + atomic pointer — the
-#: seventh real-streaming driver entry) and the entries whose closures
+#: seventh real-streaming driver entry; graph_pagerank_weighted:
+#: weight-proportional mass split over the multiplicity-weighted
+#: co-occurrence relation, unrolled oracle) and the entries whose closures
 #: changed this round, all already in-window: the graph entries (shared_edges memoized
 #: derivation; census entries graduated to the FULL graph, apex-partitioned
 #: piecewise oracle, TRI_ORDER_MOD fixture retired; cooccurrence_edges
 #: NULL-group filter), the ANN family (fixed-sample driver-side Lloyd
 #: training, map-only pq_codes, residual cells checkpoint) and
 #: sketch_kmv_stream / sketch_mg_stream (pointer.py published-target
-#: guard). Displaced: the two list-tail refresh slots (ingest_scd2_history,
-#: ingest_incremental_two_sided), byte-stable per the ledger, their prior
+#: guard). Displaced: the three list-tail refresh slots
+#: (ingest_scd2_history, ingest_incremental_two_sided,
+#: ingest_incremental_join_agg), byte-stable per the ledger, their prior
 #: evidence standing.
 _PRIORITY = [
     # r11 additions (rule 1)
     "graph_pagerank_converged",
     "graph_stream_triangles",
+    "graph_pagerank_weighted",
     # r10 additions (rule 1)
     "sketch_mg_stream",
     "sim_ann_topk_ivfpq_residual",
@@ -187,7 +191,6 @@ _PRIORITY = [
     "funnel_conversion",
     "ingest_changelog_scan_sink",
     "ingest_incremental_agg",
-    "ingest_incremental_join_agg",
 ]
 
 

@@ -50,6 +50,21 @@ def cooccurrence_edges(df: DataFrame, group_col: str, item_col: str) -> DataFram
     silently excluded them (``a._g == b._g`` is never true on NULL) — the
     groupBy form would otherwise pool every NULL-group row into one bogus
     mega-group and emit edges among unrelated items."""
+    return cooccurrence_edges_weighted(df, group_col, item_col).select("src", "dst")
+
+
+def cooccurrence_edges_weighted(
+    df: DataFrame, group_col: str, item_col: str
+) -> DataFrame:
+    """Weighted undirected co-occurrence edges ``(src, dst, w)`` with
+    ``src < dst`` and ``w`` = the number of distinct groups containing BOTH
+    endpoints — the pair multiplicity the unweighted form throws away
+    (VERDICT r10 #6). Identical physical shape to
+    :func:`cooccurrence_edges` (one groupBy collecting each group's
+    distinct sorted item array, JVM-side pair explosion); the final
+    edge-keyed shuffle is a count aggregate instead of a distinct — same
+    cost, strictly more information. NULL group keys are dropped (the
+    shared contract)."""
     arrs = (
         df.where(F.col(group_col).isNotNull())
         .groupBy(F.col(group_col).alias("_g"))
@@ -69,7 +84,11 @@ def cooccurrence_edges(df: DataFrame, group_col: str, item_col: str) -> DataFram
             )
         ).alias("_e")
     )
-    return pairs.select(F.col("_e.src"), F.col("_e.dst")).distinct()
+    return (
+        pairs.select(F.col("_e.src"), F.col("_e.dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
 
 
 def vertex_degrees(edges: DataFrame) -> DataFrame:
@@ -692,6 +711,70 @@ def pagerank_converged(
             converged = True
             break
     return pr, rounds_ran, converged
+
+
+def pagerank_weighted_fixed(
+    edges_w: DataFrame,
+    iterations: int,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+    materializer=None,
+) -> DataFrame:
+    """Fixed-iteration WEIGHTED PageRank over an undirected weighted edge
+    relation ``(src, dst, w)`` (VERDICT r10 #6 — e.g.
+    :func:`cooccurrence_edges_weighted`, where w = co-occurrence
+    multiplicity): a vertex's mass splits across its neighbors proportional
+    to edge weight instead of uniformly,
+
+        pr_i+1(v) = (15·scale) // (100·N)
+                    + (85 · Σ_{u~v} (pr_i(u)·w_uv) // wdeg(u)) // 100
+
+    with ``wdeg(u) = Σ_v w_uv``. Same integer-scaled discipline as
+    :func:`pagerank_fixed` (floor division per incident EDGE here — the
+    per-edge products ``pr·w`` stay far under int64 at any realistic
+    multiplicity; loss ≤ deg(u) units of 1e-12 per vertex per round), so
+    the vector is bit-identical cross-engine and the oracle unrolls the
+    identical rounds. Per round: one vertex-keyed equi-join carrying
+    (pr, wdeg) onto the bidirected weighted edge relation + one groupBy —
+    the same canonical distributed kernel, one extra long column wide."""
+    from iceberg_ingestion_spark.operators.materialize import resolve
+
+    mat = resolve(materializer)
+    both = mat(
+        edges_w.select("src", "dst", "w").unionByName(
+            edges_w.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+    )
+    wdeg = mat(
+        both.groupBy(F.col("src").alias("v")).agg(F.sum("w").alias("wd"))
+    )
+    n = wdeg.count()  # vertex count: one dimension-sized action
+    base = (15 * scale) // (100 * n)
+    pr = mat(wdeg.select("v", F.lit(scale // n).cast("long").alias("pr")))
+    for _ in range(iterations):
+        contrib = (
+            pr.join(wdeg, "v")
+            .join(both, F.col("v") == F.col("src"))
+            .select(
+                F.col("dst").alias("_v"), F.expr("(pr * w) DIV wd").alias("_c")
+            )
+            .groupBy(F.col("_v").alias("v"))
+            .agg(F.sum("_c").alias("_s"))
+        )
+        pr = mat(
+            wdeg.select("v")
+            .join(contrib, "v", "left")
+            .select(
+                "v",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(f"({damping_pct} * coalesce(_s, 0L)) DIV 100")
+                ).alias("pr"),
+            )
+        )
+    return pr
 
 
 def label_propagation_sync(

@@ -127,5 +127,6 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_label_propagation": q_graph_label_propagation,  # sync LPA communities, unrolled oracle
     "graph_pagerank_converged": q_graph_pagerank_converged,  # delta-threshold stop, oracle re-derives the stop round
     "graph_stream_triangles": q_graph_stream_triangles,  # REAL streaming: ledgered triangle-index maintenance
+    "graph_pagerank_weighted": q_graph_pagerank_weighted,  # weight-proportional mass split, unrolled oracle
 }
 

@@ -1928,7 +1928,7 @@ ORACLES_EXT["graph_bfs_hops"] = f"""
     SELECT * FROM reached UNION ALL SELECT * FROM unre
 """
 
-from iceberg_ingestion_spark.queries_graph import TRI_SAMPLE_MOD  # noqa: E402,F401
+from iceberg_ingestion_spark.queries_graph import TRI_SAMPLE_MOD, TRI_STREAM_MOD  # noqa: E402,F401
 
 from iceberg_ingestion_spark.queries_graph import CC_EDGE_MOD  # noqa: E402
 
@@ -2015,7 +2015,7 @@ ORACLES_EXT["sketch_kmv_stream"] = ORACLES_EXT["sketch_kmv_distinct"]
 ORACLES_EXT["sketch_mg_stream"] = ORACLES_EXT["sketch_heavy_hitters"]
 
 # streamed triangle-index maintenance == one-shot batch census of the md5
-# 1/2-sampled graph: same apex-partitioned piecewise census, restricted to
+# 1/4-sampled graph: same apex-partitioned piecewise census, restricted to
 # the sampled edge set the maintainer ingested — a green row proves the
 # streamed Δ-driven increments (ledgered, pointer-published) reproduce it
 ORACLES_EXT["graph_stream_triangles"] = f"""
@@ -2025,7 +2025,7 @@ ORACLES_EXT["graph_stream_triangles"] = f"""
           FROM g a JOIN g b ON a.gid = b.gid AND a.item < b.item),
     es AS MATERIALIZED (SELECT src, dst FROM e0
            WHERE ('0x' || substr(md5(src::VARCHAR || ':' || dst::VARCHAR),
-                                 1, 8))::BIGINT % {TRI_SAMPLE_MOD} = 0),
+                                 1, 8))::BIGINT % {TRI_STREAM_MOD} = 0),
     degs AS MATERIALIZED (SELECT v, count(*) AS d
              FROM (SELECT src AS v FROM es UNION ALL SELECT dst AS v FROM es)
              GROUP BY v),
@@ -2124,6 +2124,43 @@ ORACLES_EXT["graph_pagerank"] = f"""
                      (15 * 1000000000000) // (100 * nn.n)
                      + (85 * COALESCE(s3.s, 0)) // 100 AS pr
               FROM deg CROSS JOIN nn LEFT JOIN s3 ON s3.v = deg.v)
+    SELECT CAST(v AS BIGINT) AS part, CAST(pr AS BIGINT) AS pr
+    FROM it3 ORDER BY pr DESC, v LIMIT {PR_TOPN}
+"""
+
+
+ORACLES_EXT["graph_pagerank_weighted"] = f"""
+    WITH g AS MATERIALIZED (SELECT DISTINCT l_orderkey AS gid, l_partkey AS item
+               FROM lineitem),
+    ew AS MATERIALIZED (SELECT a.item AS src, b.item AS dst, count(*) AS w
+           FROM g a JOIN g b ON a.gid = b.gid AND a.item < b.item
+           GROUP BY 1, 2),
+    e AS MATERIALIZED (SELECT src, dst, w FROM ew
+                       UNION ALL SELECT dst, src, w FROM ew),
+    wdeg AS MATERIALIZED (SELECT src AS v, sum(w) AS wd FROM e GROUP BY 1),
+    nn AS MATERIALIZED (SELECT count(*) AS n FROM wdeg),
+    it0 AS MATERIALIZED (SELECT v, 1000000000000 // nn.n AS pr FROM wdeg CROSS JOIN nn),
+    s1 AS MATERIALIZED (SELECT e.dst AS v, SUM((p.pr * e.w) // d.wd) AS s
+             FROM it0 p JOIN wdeg d ON d.v = p.v JOIN e ON e.src = p.v
+             GROUP BY e.dst),
+    it1 AS MATERIALIZED (SELECT wdeg.v,
+                     (15 * 1000000000000) // (100 * nn.n)
+                     + (85 * COALESCE(s1.s, 0)) // 100 AS pr
+              FROM wdeg CROSS JOIN nn LEFT JOIN s1 ON s1.v = wdeg.v),
+    s2 AS MATERIALIZED (SELECT e.dst AS v, SUM((p.pr * e.w) // d.wd) AS s
+             FROM it1 p JOIN wdeg d ON d.v = p.v JOIN e ON e.src = p.v
+             GROUP BY e.dst),
+    it2 AS MATERIALIZED (SELECT wdeg.v,
+                     (15 * 1000000000000) // (100 * nn.n)
+                     + (85 * COALESCE(s2.s, 0)) // 100 AS pr
+              FROM wdeg CROSS JOIN nn LEFT JOIN s2 ON s2.v = wdeg.v),
+    s3 AS MATERIALIZED (SELECT e.dst AS v, SUM((p.pr * e.w) // d.wd) AS s
+             FROM it2 p JOIN wdeg d ON d.v = p.v JOIN e ON e.src = p.v
+             GROUP BY e.dst),
+    it3 AS MATERIALIZED (SELECT wdeg.v,
+                     (15 * 1000000000000) // (100 * nn.n)
+                     + (85 * COALESCE(s3.s, 0)) // 100 AS pr
+              FROM wdeg CROSS JOIN nn LEFT JOIN s3 ON s3.v = wdeg.v)
     SELECT CAST(v AS BIGINT) AS part, CAST(pr AS BIGINT) AS pr
     FROM it3 ORDER BY pr DESC, v LIMIT {PR_TOPN}
 """

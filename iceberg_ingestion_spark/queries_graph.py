@@ -189,16 +189,27 @@ def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EDGES_MEMO: dict[tuple[int, str], DataFrame] = {}
 
 
-def shared_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The FULL part co-occurrence edge relation (``src < dst`` distinct),
-    derived once per (session, sf_dir) and localCheckpoint'd."""
+def shared_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL WEIGHTED part co-occurrence edge relation ``(src, dst, w)``
+    (``src < dst``, w = co-occurring order count), derived once per
+    (session, sf_dir) and localCheckpoint'd. The weighted relation subsumes
+    the unweighted one (:func:`shared_edges` projects it), so one
+    derivation serves both the weighted and unweighted graph entries."""
     key = (id(spark), sf_dir)
     got = _EDGES_MEMO.get(key)
     if got is None:
         l = read_table(spark, sf_dir, "lineitem")
-        got = graph.cooccurrence_edges(l, "l_orderkey", "l_partkey").localCheckpoint()
+        got = graph.cooccurrence_edges_weighted(
+            l, "l_orderkey", "l_partkey"
+        ).localCheckpoint()
         _EDGES_MEMO[key] = got
     return got
+
+
+def shared_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL part co-occurrence edge relation (``src < dst`` distinct)
+    — a projection of the shared weighted relation."""
+    return shared_edges_weighted(spark, sf_dir).select("src", "dst")
 
 
 def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -532,11 +543,15 @@ def q_graph_chained_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+#: Stream-maintainer graph sizing: md5 1/4 edge sample (see entry docstring).
+TRI_STREAM_MOD = 4
+
+
 def q_graph_stream_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMED triangle-index maintenance graded at the driver (VERDICT
     r10 #5 — completes incremental-graph parity with the sketch families;
     the seventh driver entry whose Spark side executes real Structured
-    Streaming): the md5 1/2-sampled co-occurrence edges arrive as a bulk
+    Streaming): the md5 1/4-sampled co-occurrence edges arrive as a bulk
     drop (coin ≥ 2 of 16) plus two daily drops drained through
     :func:`streaming.tri_stream.stream_triangle_index` — three
     ``availableNow`` drains against one checkpoint; batch 0 builds the
@@ -550,8 +565,11 @@ def q_graph_stream_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     increments reproduce it exactly. Sampled (not full) graph: the full
     graph already carries the batch-chained entry
     (``graph_chained_triangles``); the stream entry exercises the identical
-    machinery at half the edges to keep the verification price bounded.
-    The scratch root is removed after the result row is materialized."""
+    machinery at a quarter of the edges to keep the verification price
+    bounded (the batch-census double-verify already runs at 1/2 via
+    TRI_SAMPLE_MOD; the stream entry grades the MAINTENANCE machinery, so
+    the smaller deterministic sample is the right price point). The
+    scratch root is removed after the result row is materialized."""
     import os
     import shutil
     import tempfile
@@ -561,7 +579,7 @@ def q_graph_stream_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_triangle_index,
     )
 
-    edges = graph.edge_sample_md5(shared_edges(spark, sf_dir), TRI_SAMPLE_MOD)
+    edges = graph.edge_sample_md5(shared_edges(spark, sf_dir), TRI_STREAM_MOD)
     coin = text.hex_to_long(F.md5(F.concat_ws(":", "src", "dst")), 9, 8) % 16
     root = tempfile.mkdtemp(prefix="tri_stream_")
     try:
@@ -694,6 +712,25 @@ def q_graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(rounds_ran).cast("long").alias("rounds_ran"),
             F.lit(bool(converged)).alias("converged"),
         )
+    )
+
+
+def q_graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 WEIGHTED PageRank parts of the full co-occurrence graph after
+    3 integer-scaled rounds (``graph.pagerank_weighted_fixed`` — VERDICT
+    r10 #6: the pair multiplicity ``cooccurrence_edges`` used to throw away
+    now drives the rank): a part's mass flows to frequent co-purchase
+    partners proportionally, not uniformly, so heavily-bundled parts rank
+    above merely-well-connected ones. ``(part, pr)`` in 1e-12 units, every
+    value bit-identical cross-engine (per-edge floor-division
+    contributions); the oracle unrolls the identical weighted rounds as
+    materialized CTEs."""
+    ew = shared_edges_weighted(spark, sf_dir)
+    pr = graph.pagerank_weighted_fixed(ew, PR_ITERS)
+    return (
+        pr.orderBy(F.col("pr").desc(), "v")
+        .limit(PR_TOPN)
+        .select(F.col("v").cast("long").alias("part"), "pr")
     )
 
 

@@ -192,3 +192,44 @@ def test_stream_triangle_index_equals_batch_and_redelivery_noop(spark, tmp_path)
     assert st3["day"] == 3
     assert st3["n_triangles"] == _census(spark, edges.unionByName(extra))
     assert not os.path.exists(os.path.join(idx, "edges_day3", "garbage"))
+
+
+def test_pagerank_weighted_uses_multiplicity(spark):
+    """Weighted PR is partition-stable, conserves integer mass within the
+    floor-loss bound, matches unweighted PR when every weight is 1, and
+    ranks a heavily-bundled neighbor above a merely-connected one where
+    unweighted PR cannot distinguish them."""
+    # star: hub 1 with spokes 2,3 — edge (1,2) carries weight 9, (1,3)
+    # weight 1: vertex 2 must outrank vertex 3 under weighted PR
+    ew = spark.createDataFrame(
+        [(1, 2, 9), (1, 3, 1)], "src long, dst long, w long"
+    )
+    a = dict(graph.pagerank_weighted_fixed(ew, 3).collect())
+    b = dict(graph.pagerank_weighted_fixed(ew.repartition(5), 3).collect())
+    assert a == b
+    assert a[2] > a[3]
+    scale = 10**12
+    assert sum(a.values()) <= scale
+
+    # all-ones weights == the unweighted kernel, bit-for-bit
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], ["src", "dst"]
+    )
+    ones = edges.select("src", "dst", F.lit(1).cast("long").alias("w"))
+    w = sorted(map(tuple, graph.pagerank_weighted_fixed(ones, 3).collect()))
+    u = sorted(map(tuple, graph.pagerank_fixed(edges, 3).collect()))
+    assert w == u
+
+
+def test_cooccurrence_edges_weighted_counts_groups(spark):
+    """w = the number of distinct groups containing both endpoints; the
+    unweighted projection equals cooccurrence_edges exactly."""
+    df = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 11), (2, 12), (3, 10), (3, 11)],
+        ["g", "item"],
+    )
+    ew = {(r.src, r.dst): r.w for r in
+          graph.cooccurrence_edges_weighted(df, "g", "item").collect()}
+    assert ew == {(10, 11): 3, (10, 12): 1, (11, 12): 1}
+    unw = sorted(map(tuple, graph.cooccurrence_edges(df, "g", "item").collect()))
+    assert unw == sorted(ew.keys())
