@@ -385,25 +385,6 @@ def q_events_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _os.path.join(root, "out"),
     )
 
-    def drain(rows_df) -> None:
-        rows_df.coalesce(1).write.mode("append").parquet(feed)
-        stream = spark.readStream.schema(feed_df.schema).parquet(feed)
-        q = (
-            windowed_event_stats(stream, "ts", "1 day", "2 hours")
-            .writeStream.format("parquet")
-            .outputMode("append")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        # a timed-out drain must FAIL the entry: the next start() against the
-        # same checkpoint while this query runs, or a read of the
-        # partially-flushed sink, would silently return incomplete windows
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("events_stream_windowed: drain exceeded 300s")
-
     def sentinel(ts_expr: str):
         return spark.range(1).select(
             F.expr(ts_expr).alias("ts"),
@@ -411,10 +392,39 @@ def q_events_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long").alias("value"),
         )
 
-    drain(feed_df.filter(F.col("ts") < F.lit(mid)))
-    drain(feed_df.filter(F.col("ts") >= F.lit(mid)))
-    drain(sentinel(f"timestamp'{hi}' + interval 4 days"))
-    drain(sentinel(f"timestamp'{hi}' + interval 8 days"))
+    # drops written in TIME ORDER (file-source batches follow file age, so
+    # the per-batch watermark advances exactly as in the four-drain form)
+    for rows_df in (
+        feed_df.filter(F.col("ts") < F.lit(mid)),
+        feed_df.filter(F.col("ts") >= F.lit(mid)),
+        sentinel(f"timestamp'{hi}' + interval 4 days"),
+        sentinel(f"timestamp'{hi}' + interval 8 days"),
+    ):
+        rows_df.coalesce(1).write.mode("append").parquet(feed)
+    # one drain, one micro-batch per drop file; append mode still only
+    # emits a window once the watermark passes its end, and the trailing
+    # no-data micro-batch flushes after the sentinels push it. The
+    # multi-drain restart form (carried-forward watermark + state restore
+    # across start()s) is pytest-pinned (tests/test_streaming_windowed_stateful.py)
+    stream = (
+        spark.readStream.schema(feed_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = (
+        windowed_event_stats(stream, "ts", "1 day", "2 hours")
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    # a timed-out drain must FAIL the entry: a read of the partially-flushed
+    # sink would silently return incomplete windows
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("events_stream_windowed: drain exceeded 300s")
 
     # sentinels are excluded by TIME, not by event_type: every real window
     # starts at or before the last real event, while the injected rows sit

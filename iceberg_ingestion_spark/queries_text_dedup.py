@@ -668,20 +668,23 @@ def q_dedup_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from iceberg_ingestion_spark.streaming.dedup_stream import stream_near_dup
 
-    def drain(part: DataFrame) -> None:
-        part.coalesce(1).write.mode("append").parquet(feed)
-        q = stream_near_dup(
-            spark, feed, part.schema, index_dir, pairs_dir, ckpt,
-            max_hamming=SIMHASH_MAX_HAMMING,
-        )
-        # a timed-out drain must FAIL the entry: a partial batch would
-        # silently drop cross-batch pairs
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("dedup_stream_near_dup: drain exceeded 300s")
-
     for m in (0, 1, 2):
-        drain(d.filter(F.col("doc_id") % 3 == m))
+        d.filter(F.col("doc_id") % 3 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+    # one drain, one micro-batch per drop file: the exactly-once pair
+    # emission is batching-independent (every pair emitted in the batch
+    # where its later member first arrives); the multi-drain restart form
+    # is pytest-pinned (tests/test_streaming_corpus.py)
+    q = stream_near_dup(
+        spark, feed, d.schema, index_dir, pairs_dir, ckpt,
+        max_hamming=SIMHASH_MAX_HAMMING, max_files_per_trigger=1,
+    )
+    # a timed-out drain must FAIL the entry: a partial batch would
+    # silently drop cross-batch pairs
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("dedup_stream_near_dup: drain exceeded 300s")
 
     return spark.read.parquet(pairs_dir).select("id_1", "id_2", "hamming")
 
@@ -974,20 +977,22 @@ def q_ann_stream_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     books_dir = os.path.join(root, "books")
     ckpt = os.path.join(root, "ckpt")
 
-    def drain(part: DataFrame) -> None:
-        part.coalesce(1).write.mode("append").parquet(feed)
-        q = stream_pq_index(
-            spark, feed, part.schema, codes_dir, books_dir, ckpt,
-            dim=EMBED_DIM, m=16, n_codes=32,
-        )
-        # a timed-out drain must FAIL the entry: a partial batch would
-        # silently shrink the index and the recall grade with it
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("sim_ann_stream_pq: drain exceeded 300s")
-
     for r in (0, 1, 2):
-        drain(vecs.filter(F.col("vec_id") % 3 == r))
+        vecs.filter(F.col("vec_id") % 3 == r).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+    # one drain, one micro-batch per drop file: batch 0 = the oldest file
+    # (written first) builds the frozen codebooks, later batches append
+    # codes idempotently; the multi-drain restart form is pytest-pinned
+    q = stream_pq_index(
+        spark, feed, vecs.schema, codes_dir, books_dir, ckpt,
+        dim=EMBED_DIM, m=16, n_codes=32, max_files_per_trigger=1,
+    )
+    # a timed-out drain must FAIL the entry: a partial batch would
+    # silently shrink the index and the recall grade with it
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("sim_ann_stream_pq: drain exceeded 300s")
 
     books = spark.read.parquet(books_dir)
     codes = spark.read.parquet(codes_dir).select("vec_id", "codes")

@@ -34,6 +34,7 @@ def pq_index_stream_batch_fn(
     dim: int = 64,
     m: int = 8,
     n_codes: int = 16,
+    max_files_per_trigger: int | None = None,
 ):
     """``foreachBatch`` function for streamed PQ-index maintenance.
 
@@ -124,6 +125,7 @@ def stream_pq_index(
     dim: int = 64,
     m: int = 8,
     n_codes: int = 16,
+    max_files_per_trigger: int | None = None,
 ):
     """Start an ``availableNow`` streamed PQ-index run over a parquet file
     feed: each micro-batch flows through :func:`pq_index_stream_batch_fn`
@@ -136,7 +138,13 @@ def stream_pq_index(
         codes_dir, codebooks_dir, id_col=id_col, vec_col=vec_col,
         dim=dim, m=m, n_codes=n_codes,
     )
-    stream = spark.readStream.schema(schema).parquet(feed_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # each micro-batch = at most this many whole files: lets ONE drain
+        # process a multi-drop feed as separate batches (the entries' cheap
+        # form; the multi-drain restart form is pytest-pinned)
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(feed_dir)
     return (
         stream.writeStream.foreachBatch(fn)
         .option("checkpointLocation", checkpoint_dir)

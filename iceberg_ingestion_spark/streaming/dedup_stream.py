@@ -18,6 +18,7 @@ def near_dup_stream_batch_fn(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 6,
+    max_files_per_trigger: int | None = None,
 ):
     """``foreachBatch`` function for STREAMING near-dup detection against a
     growing corpus: each micro-batch SimHashes its docs, probes the
@@ -144,6 +145,7 @@ def stream_near_dup(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 6,
+    max_files_per_trigger: int | None = None,
 ):
     """Start an ``availableNow`` streaming near-dup run over a parquet file
     feed: each micro-batch flows through :func:`near_dup_stream_batch_fn`
@@ -156,7 +158,13 @@ def stream_near_dup(
         index_dir, pairs_dir, id_col=id_col, text_col=text_col,
         max_hamming=max_hamming,
     )
-    stream = spark.readStream.schema(schema).parquet(feed_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # each micro-batch = at most this many whole files: lets ONE drain
+        # process a multi-drop feed as separate batches (the entries' cheap
+        # form; the multi-drain restart form is pytest-pinned)
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(feed_dir)
     return (
         stream.writeStream.foreachBatch(fn)
         .option("checkpointLocation", checkpoint_dir)

@@ -39,6 +39,7 @@ def stream_kmv_sketch(
     set_col: str,
     value_col: str,
     k: int,
+    max_files_per_trigger: int | None = None,
     available_now: bool = True,
 ) -> StreamingQuery:
     """Maintain a KMV sketch parquet table at ``table_dir`` from parquet
@@ -51,7 +52,13 @@ def stream_kmv_sketch(
     follows the link."""
     from iceberg_ingestion_spark.streaming import pointer
 
-    stream = spark.readStream.schema(schema).parquet(input_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # each micro-batch = at most this many whole files: lets ONE drain
+        # process a multi-drop feed as separate batches (the entries' cheap
+        # form; the multi-drain restart form is pytest-pinned)
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():

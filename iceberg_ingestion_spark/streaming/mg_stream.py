@@ -56,6 +56,7 @@ def stream_mg_summary(
     value_col: str,
     count_col: str,
     k: int,
+    max_files_per_trigger: int | None = None,
     available_now: bool = True,
 ) -> StreamingQuery:
     """Maintain a merged-MG summary table at ``table_dir`` from parquet
@@ -65,7 +66,13 @@ def stream_mg_summary(
     ``availableNow`` drains what's there and stops; ``False`` runs until
     stopped. Read the state with ``spark.read.parquet(table_dir +
     "/summary")``."""
-    stream = spark.readStream.schema(schema).parquet(input_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # each micro-batch = at most this many whole files: lets ONE drain
+        # process a multi-drop feed as separate batches (the entries' cheap
+        # form; the multi-drain restart form is pytest-pinned)
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():

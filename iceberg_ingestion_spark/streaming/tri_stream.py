@@ -65,6 +65,7 @@ def stream_triangle_index(
     schema: StructType,
     root: str,
     checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
     available_now: bool = True,
 ) -> StreamingQuery:
     """Maintain a persisted triangle index at ``root/index`` from parquet
@@ -75,7 +76,13 @@ def stream_triangle_index(
     the ledger makes whole-batch redelivery a no-op."""
     os.makedirs(root, exist_ok=True)
     index_dir = os.path.join(root, "index")
-    stream = spark.readStream.schema(schema).parquet(input_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # each micro-batch = at most this many whole files: lets ONE drain
+        # process a multi-drop feed as separate batches (the entries' cheap
+        # form; the multi-drain restart form is pytest-pinned)
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
 
     def _apply(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
