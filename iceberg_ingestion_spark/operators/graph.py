@@ -595,6 +595,7 @@ def pagerank_fixed(
     scale: int = 10**12,
     damping_pct: int = 85,
     materializer=None,
+    prepared: tuple | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an undirected edge relation
     ``(src, dst)``, INTEGER-SCALED so every engine computes the identical
@@ -617,11 +618,16 @@ def pagerank_fixed(
     hash-partitionable, the canonical distributed PR round; the edge
     relation and degree vector are materialized ONCE and reused across
     rounds (``materializer=`` seam), and ``localCheckpoint`` truncates the
-    iterative lineage. Returns ``(v, pr)`` for every vertex."""
+    iterative lineage. Returns ``(v, pr)`` for every vertex.
+
+    ``prepared=(both, deg, n)`` (from :func:`_pr_setup`) skips the setup —
+    the seam callers use to derive the bidirected relation ONCE and share
+    it across the fixed / converged / repeated-run forms (a production
+    pipeline materializes the adjacency once per graph, not per query)."""
     from iceberg_ingestion_spark.operators.materialize import resolve
 
     mat = resolve(materializer)
-    both, deg, n = _pr_setup(edges, mat)
+    both, deg, n = prepared if prepared is not None else _pr_setup(edges, mat)
     base = (15 * scale) // (100 * n)
     pr = mat(deg.select("v", F.lit(scale // n).cast("long").alias("pr")))
     for _ in range(iterations):
@@ -639,6 +645,22 @@ def _pr_setup(edges: DataFrame, mat) -> tuple[DataFrame, DataFrame, int]:
     )
     deg = mat(both.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).alias("d")))
     return both, deg, deg.count()
+
+
+def _prw_setup(edges_w: DataFrame, mat) -> tuple[DataFrame, DataFrame, int]:
+    """Weighted analogue of :func:`_pr_setup`: bidirected weighted edges +
+    weighted-degree vector, materialized once, plus the vertex count."""
+    both = mat(
+        edges_w.select("src", "dst", "w").unionByName(
+            edges_w.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+    )
+    wdeg = mat(
+        both.groupBy(F.col("src").alias("v")).agg(F.sum("w").alias("wd"))
+    )
+    return both, wdeg, wdeg.count()
 
 
 def _pr_round(
@@ -674,6 +696,7 @@ def pagerank_converged(
     scale: int = 10**12,
     damping_pct: int = 85,
     materializer=None,
+    prepared: tuple | None = None,
 ) -> tuple[DataFrame, int, bool]:
     """PageRank run TO CONVERGENCE (VERDICT r10 #3 — the form a real user
     runs, where :func:`pagerank_fixed` is the oracle-cheap fixed-window
@@ -690,11 +713,12 @@ def pagerank_converged(
     iteration contracts geometrically (damping 0.85 → observed ~8-13× delta
     shrink per round on the co-occurrence graphs), so the tolerance sets
     the round count data-dependently — the graded entry demonstrates
-    different stop rounds at different SFs under one contract."""
+    different stop rounds at different SFs under one contract.
+    ``prepared=(both, deg, n)`` shares the setup (see pagerank_fixed)."""
     from iceberg_ingestion_spark.operators.materialize import resolve
 
     mat = resolve(materializer)
-    both, deg, n = _pr_setup(edges, mat)
+    both, deg, n = prepared if prepared is not None else _pr_setup(edges, mat)
     base = (15 * scale) // (100 * n)
     pr = mat(deg.select("v", F.lit(scale // n).cast("long").alias("pr")))
     rounds_ran, converged = 0, False
@@ -719,6 +743,7 @@ def pagerank_weighted_fixed(
     scale: int = 10**12,
     damping_pct: int = 85,
     materializer=None,
+    prepared: tuple | None = None,
 ) -> DataFrame:
     """Fixed-iteration WEIGHTED PageRank over an undirected weighted edge
     relation ``(src, dst, w)`` (VERDICT r10 #6 — e.g.
@@ -736,21 +761,13 @@ def pagerank_weighted_fixed(
     the vector is bit-identical cross-engine and the oracle unrolls the
     identical rounds. Per round: one vertex-keyed equi-join carrying
     (pr, wdeg) onto the bidirected weighted edge relation + one groupBy —
-    the same canonical distributed kernel, one extra long column wide."""
+    the same canonical distributed kernel, one extra long column wide.
+    ``prepared=(both, wdeg, n)`` (from :func:`_prw_setup`) shares the setup
+    (see pagerank_fixed)."""
     from iceberg_ingestion_spark.operators.materialize import resolve
 
     mat = resolve(materializer)
-    both = mat(
-        edges_w.select("src", "dst", "w").unionByName(
-            edges_w.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
-            )
-        )
-    )
-    wdeg = mat(
-        both.groupBy(F.col("src").alias("v")).agg(F.sum("w").alias("wd"))
-    )
-    n = wdeg.count()  # vertex count: one dimension-sized action
+    both, wdeg, n = prepared if prepared is not None else _prw_setup(edges_w, mat)
     base = (15 * scale) // (100 * n)
     pr = mat(wdeg.select("v", F.lit(scale // n).cast("long").alias("pr")))
     for _ in range(iterations):
