@@ -341,20 +341,24 @@ DAY_US = 86_400_000_000
 
 
 def q_events_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-exposed STREAMING evidence #2: the Spark side EXECUTES four
-    real Structured Streaming ``availableNow`` drains of
-    ``streaming.windowed.windowed_event_stats`` — a file-source event feed,
-    watermarked tumbling 1-day windows, APPEND output mode into a parquet
-    sink — and returns the finalized window rows. The feed arrives as two
-    time-ordered halves (so the second drain exercises a real
-    carried-forward watermark + state restore from the checkpoint), then two
-    far-future SENTINEL events: append mode only emits a window once the
-    watermark passes its end, so the sentinels push the watermark past every
-    real window and the final drains flush them. The sentinel rows are feed
-    plumbing, not data — whether their own windows finalize depends on how
-    the runtime schedules its flush batches, so the result contract keeps
-    only windows starting at or before the last REAL event (the injected
-    rows sit days past it; no event-type name is reserved).
+    """Driver-exposed STREAMING evidence #2: the Spark side EXECUTES one
+    real Structured Streaming ``availableNow`` drain of
+    ``streaming.windowed.windowed_event_stats`` — a file-source event feed
+    processed as four per-file time-ordered micro-batches
+    (maxFilesPerTrigger=1), watermarked tumbling 1-day windows, APPEND
+    output mode into a parquet sink — and returns the finalized window
+    rows. The feed arrives as two time-ordered halves (so the second batch
+    exercises a carried-forward watermark), then two far-future SENTINEL
+    events: append mode only emits a window once the watermark passes its
+    end, so the sentinels push the watermark past every real window and
+    the trailing no-data micro-batch flushes them. (The multi-drain
+    restart form — watermark + state restore across separate start()s —
+    is pytest-pinned in tests/test_streaming_windowed_stateful.py.) The
+    sentinel rows are feed plumbing, not data — whether their own windows
+    finalize depends on how the runtime schedules its flush batches, so
+    the result contract keeps only windows starting at or before the last
+    REAL event (the injected rows sit days past it; no event-type name is
+    reserved).
 
     ``value`` sums use the exact decimal·1e6 integer scaling (the TWAP
     convention) so the per-window sum is an order-independent BIGINT — the

@@ -339,7 +339,8 @@ def q_graph_triangle_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sketch_kmv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMED KMV maintenance graded at the driver (real Structured
-    Streaming: three ``availableNow`` drains against one checkpoint through
+    Streaming: one ``availableNow`` drain (three per-file micro-batches,
+    maxFilesPerTrigger=1; the multi-drain restart form is pytest-pinned) through
     :func:`streaming.kmv_stream.stream_kmv_sketch`): the element feed
     arrives as three md5-disjoint file drops, each micro-batch is sketched
     with the SAME batch code path and ``kmv_merge``d into the persisted
@@ -446,7 +447,8 @@ def q_graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sketch_mg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMED Misra-Gries maintenance graded at the driver (real
-    Structured Streaming: three ``availableNow`` drains against one
+    Structured Streaming: one ``availableNow`` drain processing three
+    per-file micro-batches against one
     checkpoint through :func:`streaming.mg_stream.stream_mg_summary`): the
     corpus token counts arrive as three drops of WHOLE md5 sub-bags
     (``_p % 3`` — the maintainer's delivery contract), drained in ONE
@@ -594,7 +596,7 @@ def q_graph_stream_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Streaming): the md5 1/4-sampled co-occurrence edges arrive as a bulk
     drop (coin ≥ 2 of 16) plus two daily drops drained through
     :func:`streaming.tri_stream.stream_triangle_index` — three
-    ``availableNow`` drains against one checkpoint; batch 0 builds the
+    ``availableNow`` run, one micro-batch per drop file; batch 0 builds the
     frozen-orientation persisted index, each later batch runs the
     Δ-bounded ``triangle_index_update`` and the exact new-triangle count is
     added under the applied-batch ledger + atomic pointer publish (the

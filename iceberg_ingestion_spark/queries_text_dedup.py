@@ -644,8 +644,9 @@ def q_dedup_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-exposed STREAMING near-dup (VERDICT r5 #7 — the third entry
     whose Spark side EXECUTES real Structured Streaming): the corpus is
     split into three file drops streamed through
-    :func:`streaming.dedup_stream.stream_near_dup` — three ``availableNow``
-    drains against one checkpoint (batch ids 0/1/2), each micro-batch
+    :func:`streaming.dedup_stream.stream_near_dup` — one ``availableNow``
+    drain, one micro-batch per drop file (batch ids 0/1/2; the multi-drain
+    restart form is pytest-pinned), each micro-batch
     SimHashing its docs, probing the PERSISTED signature index for
     increment-vs-corpus pairs and appending pairs + first-seen signatures.
     Returned relation: the union of all emitted pair partitions.
@@ -955,8 +956,9 @@ def q_ann_stream_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver entry whose Spark side executes real Structured Streaming, and
     the streaming analogue of ``sim_ann_chained_pq``): the embedding corpus
     arrives as three file drops drained through
-    :func:`streaming.ann_stream.stream_pq_index` — three ``availableNow``
-    drains against one checkpoint; batch 0 builds the PQ codebooks (then
+    :func:`streaming.ann_stream.stream_pq_index` — one ``availableNow``
+    drain, one micro-batch per drop file (the multi-drain restart form is
+    pytest-pinned); batch 0 builds the PQ codebooks (then
     FROZEN), each micro-batch encodes its new vectors and appends 16-byte
     code rows idempotently. The probe then runs :func:`similarity.topk_pq`
     against the PERSISTED streamed index (``codes=``/``codebooks=`` read
