@@ -135,7 +135,29 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (ingest_scd2_history, ingest_incremental_two_sided,
 #: ingest_incremental_join_agg), byte-stable per the ledger, their prior
 #: evidence standing.
+#: ROUND-12 rotation: in by rule (1) — three NEW entries
+#: (graph_pagerank_personalized: seed-restricted teleport over the shared
+#: adjacency, unrolled oracle; graph_stream_pagerank: streamed
+#: recompute-on-maintained-state PR under the applied-batch ledger +
+#: atomic pointer — the eighth real-streaming driver entry; graph_kcore:
+#: bounded Δ-driven min-degree peel, maintained-degree unrolled oracle
+#: with the stop round CASE-selected) and the entries whose closures
+#: changed this round, all already in-window: every graph entry (the
+#: memos re-keyed by applicationId — ADVICE r11 #1 — plus the new
+#: shared_census memo; graph_triangle_count/graph_triangle_sampled now
+#: read it; graph_stream_triangles graduated from the 1/4 to DOULION's
+#: 1/2 sample — VERDICT r11 #6), the ANN family (pq_codes codebook
+#: validation — ADVICE r11 #3), sim_ann_stream_pq + events_stream_windowed
+#: (deterministic per-drop mtime stamps — ADVICE r11 #2) and
+#: dedup_stream_near_dup (dead factory param removed — ADVICE r11 #4).
+#: Displaced: the three list-tail refresh slots (funnel_conversion,
+#: ingest_changelog_scan_sink, ingest_incremental_agg), byte-stable per
+#: the ledger, their prior evidence standing.
 _PRIORITY = [
+    # r12 additions (rule 1)
+    "graph_pagerank_personalized",
+    "graph_stream_pagerank",
+    "graph_kcore",
     # r11 additions (rule 1)
     "graph_pagerank_converged",
     "graph_stream_triangles",
@@ -188,9 +210,6 @@ _PRIORITY = [
     "events_json_props",
     "events_rolling_7d",
     "events_stream_windowed",
-    "funnel_conversion",
-    "ingest_changelog_scan_sink",
-    "ingest_incremental_agg",
 ]
 
 

@@ -771,6 +771,18 @@ def pq_codes(
 
     sub = dim // m
     rows = codebooks.collect()  # bounded: m × n_codes centroid rows
+    # hand-built codebook relations are in-contract (docstring) — validate
+    # before indexing into C: an empty relation or an out-of-range
+    # subspace/code must fail descriptively, not with ValueError/IndexError
+    # from max()/array fill (ADVICE r11)
+    if not rows:
+        raise ValueError("pq_codes: empty codebook relation")
+    for r in rows:
+        if not (0 <= r["subspace"] < m) or r["code"] < 0:
+            raise ValueError(
+                f"pq_codes: invalid codebook row (subspace={r['subspace']}, "
+                f"code={r['code']}); need 0 <= subspace < m={m} and code >= 0"
+            )
     n_codes = max(r["code"] for r in rows) + 1
     # missing (subspace, code) cells (impossible from this module's builders,
     # possible from a hand-built relation) must never win the argmin

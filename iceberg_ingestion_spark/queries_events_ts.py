@@ -396,15 +396,22 @@ def q_events_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long").alias("value"),
         )
 
-    # drops written in TIME ORDER (file-source batches follow file age, so
-    # the per-batch watermark advances exactly as in the four-drain form)
-    for rows_df in (
+    # drops written in TIME ORDER and mtime-STAMPED per drop (ADVICE r11:
+    # file-source batch order follows mtime, and an mtime tie between drops
+    # could replay them inverted — advancing the watermark past real events
+    # and silently dropping their windows as late data; the explicit
+    # strictly-increasing stamps make the replay order deterministic)
+    from iceberg_ingestion_spark.streaming.feed import stamp_drop
+
+    stamped: set[str] = set()
+    for i, rows_df in enumerate((
         feed_df.filter(F.col("ts") < F.lit(mid)),
         feed_df.filter(F.col("ts") >= F.lit(mid)),
         sentinel(f"timestamp'{hi}' + interval 4 days"),
         sentinel(f"timestamp'{hi}' + interval 8 days"),
-    ):
+    )):
         rows_df.coalesce(1).write.mode("append").parquet(feed)
+        stamp_drop(feed, i, stamped)
     # one drain, one micro-batch per drop file; append mode still only
     # emits a window once the watermark passes its end, and the trailing
     # no-data micro-batch flushes after the sentinels push it. The

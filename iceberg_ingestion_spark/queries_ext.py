@@ -128,5 +128,8 @@ QUERIES_EXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_pagerank_converged": q_graph_pagerank_converged,  # delta-threshold stop, oracle re-derives the stop round
     "graph_stream_triangles": q_graph_stream_triangles,  # REAL streaming: ledgered triangle-index maintenance
     "graph_pagerank_weighted": q_graph_pagerank_weighted,  # weight-proportional mass split, unrolled oracle
+    "graph_pagerank_personalized": q_graph_pagerank_personalized,  # seed-restricted teleport, unrolled oracle
+    "graph_stream_pagerank": q_graph_stream_pagerank,  # REAL streaming: maintained-state PR recompute
+    "graph_kcore": q_graph_kcore,  # bounded min-degree peel, maintained-degree unrolled oracle
 }
 

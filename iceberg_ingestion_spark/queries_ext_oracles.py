@@ -2269,3 +2269,177 @@ ORACLES_EXT["graph_label_propagation"] = f"""
            count(*) AS n_communities
     FROM sizes GROUP BY sz
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 12: personalized / streamed PageRank + k-core (VERDICT r11 #3-#5)
+# ---------------------------------------------------------------------------
+
+# personalized PageRank: identical unrolled integer rounds, with the
+# teleport mass CASE-restricted to the seed set (seeds derived FROM the
+# degree relation, exactly the operator's semi-join) — every rank
+# bit-identical cross-engine, zeros exact
+ORACLES_EXT["graph_pagerank_personalized"] = f"""
+    WITH g AS MATERIALIZED (SELECT DISTINCT l_orderkey AS gid, l_partkey AS item
+               FROM lineitem),
+    e0 AS MATERIALIZED (SELECT DISTINCT a.item AS src, b.item AS dst
+           FROM g a JOIN g b ON a.gid = b.gid AND a.item < b.item),
+    e AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    deg AS MATERIALIZED (SELECT src AS v, count(*) AS d FROM e GROUP BY 1),
+    seeds AS MATERIALIZED (SELECT v FROM deg WHERE v % {BFS_SEED_MOD} = 0),
+    sn AS (SELECT count(*) AS ns FROM seeds),
+    it0 AS MATERIALIZED (SELECT deg.v,
+                     CASE WHEN seeds.v IS NOT NULL
+                          THEN 1000000000000 // sn.ns ELSE 0 END AS pr
+              FROM deg CROSS JOIN sn LEFT JOIN seeds ON seeds.v = deg.v),
+    s1 AS MATERIALIZED (SELECT e.dst AS v, SUM(p.pr // d.d) AS s
+             FROM it0 p JOIN deg d ON d.v = p.v JOIN e ON e.src = p.v
+             GROUP BY e.dst),
+    it1 AS MATERIALIZED (SELECT deg.v,
+                     CASE WHEN seeds.v IS NOT NULL
+                          THEN (15 * 1000000000000) // (100 * sn.ns)
+                          ELSE 0 END
+                     + (85 * COALESCE(s1.s, 0)) // 100 AS pr
+              FROM deg CROSS JOIN sn LEFT JOIN seeds ON seeds.v = deg.v
+                       LEFT JOIN s1 ON s1.v = deg.v),
+    s2 AS MATERIALIZED (SELECT e.dst AS v, SUM(p.pr // d.d) AS s
+             FROM it1 p JOIN deg d ON d.v = p.v JOIN e ON e.src = p.v
+             GROUP BY e.dst),
+    it2 AS MATERIALIZED (SELECT deg.v,
+                     CASE WHEN seeds.v IS NOT NULL
+                          THEN (15 * 1000000000000) // (100 * sn.ns)
+                          ELSE 0 END
+                     + (85 * COALESCE(s2.s, 0)) // 100 AS pr
+              FROM deg CROSS JOIN sn LEFT JOIN seeds ON seeds.v = deg.v
+                       LEFT JOIN s2 ON s2.v = deg.v),
+    s3 AS MATERIALIZED (SELECT e.dst AS v, SUM(p.pr // d.d) AS s
+             FROM it2 p JOIN deg d ON d.v = p.v JOIN e ON e.src = p.v
+             GROUP BY e.dst),
+    it3 AS MATERIALIZED (SELECT deg.v,
+                     CASE WHEN seeds.v IS NOT NULL
+                          THEN (15 * 1000000000000) // (100 * sn.ns)
+                          ELSE 0 END
+                     + (85 * COALESCE(s3.s, 0)) // 100 AS pr
+              FROM deg CROSS JOIN sn LEFT JOIN seeds ON seeds.v = deg.v
+                       LEFT JOIN s3 ON s3.v = deg.v)
+    SELECT CAST(v AS BIGINT) AS part, CAST(pr AS BIGINT) AS pr
+    FROM it3 ORDER BY pr DESC, v LIMIT {PR_TOPN}
+"""
+
+# streamed PageRank maintenance == one-shot batch pagerank_fixed over the
+# md5 1/2-sampled graph (the same graph the stream-triangle and DOULION
+# entries grade): the oracle unrolls the identical 3 integer rounds over
+# the sampled edge relation — a green row proves the maintained state
+# (edge log + upserted degree vector) drives the kernel to the exact
+# batch vector
+ORACLES_EXT["graph_stream_pagerank"] = f"""
+    WITH g AS MATERIALIZED (SELECT DISTINCT l_orderkey AS gid, l_partkey AS item
+               FROM lineitem),
+    ef AS MATERIALIZED (SELECT DISTINCT a.item AS src, b.item AS dst
+           FROM g a JOIN g b ON a.gid = b.gid AND a.item < b.item),
+    e0 AS MATERIALIZED (SELECT src, dst FROM ef
+           WHERE ('0x' || substr(md5(src::VARCHAR || ':' || dst::VARCHAR),
+                                 1, 8))::BIGINT % {TRI_STREAM_MOD} = 0),
+    e AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    deg AS MATERIALIZED (SELECT src AS v, count(*) AS d FROM e GROUP BY 1),
+    nn AS (SELECT count(*) AS n FROM deg),
+    it0 AS MATERIALIZED (SELECT v, 1000000000000 // nn.n AS pr FROM deg CROSS JOIN nn),
+    s1 AS MATERIALIZED (SELECT e.dst AS v, SUM(p.pr // d.d) AS s
+             FROM it0 p JOIN deg d ON d.v = p.v JOIN e ON e.src = p.v
+             GROUP BY e.dst),
+    it1 AS MATERIALIZED (SELECT deg.v,
+                     (15 * 1000000000000) // (100 * nn.n)
+                     + (85 * COALESCE(s1.s, 0)) // 100 AS pr
+              FROM deg CROSS JOIN nn LEFT JOIN s1 ON s1.v = deg.v),
+    s2 AS MATERIALIZED (SELECT e.dst AS v, SUM(p.pr // d.d) AS s
+             FROM it1 p JOIN deg d ON d.v = p.v JOIN e ON e.src = p.v
+             GROUP BY e.dst),
+    it2 AS MATERIALIZED (SELECT deg.v,
+                     (15 * 1000000000000) // (100 * nn.n)
+                     + (85 * COALESCE(s2.s, 0)) // 100 AS pr
+              FROM deg CROSS JOIN nn LEFT JOIN s2 ON s2.v = deg.v),
+    s3 AS MATERIALIZED (SELECT e.dst AS v, SUM(p.pr // d.d) AS s
+             FROM it2 p JOIN deg d ON d.v = p.v JOIN e ON e.src = p.v
+             GROUP BY e.dst),
+    it3 AS MATERIALIZED (SELECT deg.v,
+                     (15 * 1000000000000) // (100 * nn.n)
+                     + (85 * COALESCE(s3.s, 0)) // 100 AS pr
+              FROM deg CROSS JOIN nn LEFT JOIN s3 ON s3.v = deg.v)
+    SELECT CAST(v AS BIGINT) AS part, CAST(pr AS BIGINT) AS pr
+    FROM it3 ORDER BY pr DESC, v LIMIT {PR_TOPN}
+"""
+
+
+def _kcore_oracle() -> str:
+    """Unrolled bounded k-core oracle (VERDICT r11 #5): every peel round as
+    MAINTAINED-DEGREE CTEs mirroring ``graph.kcore_peel`` exactly — removal
+    set from the maintained degree vector, edge filter, Δ-sized degree
+    decrements — with the stop round CASE-selected as the FIRST round whose
+    removal set is empty (the Spark loop's early-exit) and the final counts
+    CASE-selected from the stop round. rounds_ran / converged / both counts
+    recomputed, nothing asserted."""
+    from iceberg_ingestion_spark.queries_graph import KC_K, KC_MAX_ROUNDS
+
+    k, rmax = KC_K, KC_MAX_ROUNDS
+    parts = [
+        """g AS MATERIALIZED (SELECT DISTINCT l_orderkey AS gid, l_partkey AS item
+               FROM lineitem)""",
+        """e0 AS MATERIALIZED (SELECT DISTINCT a.item AS src, b.item AS dst
+           FROM g a JOIN g b ON a.gid = b.gid AND a.item < b.item)""",
+        """d0 AS MATERIALIZED (SELECT v, count(*) AS d
+           FROM (SELECT src AS v FROM e0 UNION ALL SELECT dst AS v FROM e0)
+           GROUP BY v)""",
+    ]
+    for i in range(1, rmax + 1):
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT v FROM d{i - 1} WHERE d < {k})"
+        )
+        parts.append(
+            f"""e{i} AS MATERIALIZED (SELECT src, dst FROM e{i - 1}
+             WHERE src NOT IN (SELECT v FROM r{i})
+               AND dst NOT IN (SELECT v FROM r{i}))"""
+        )
+        parts.append(
+            f"""dec{i} AS (SELECT v, count(*) AS c FROM (
+               SELECT dst AS v FROM e{i - 1}
+               WHERE src IN (SELECT v FROM r{i})
+                 AND dst NOT IN (SELECT v FROM r{i})
+               UNION ALL
+               SELECT src AS v FROM e{i - 1}
+               WHERE dst IN (SELECT v FROM r{i})
+                 AND src NOT IN (SELECT v FROM r{i})
+             ) GROUP BY v)"""
+        )
+        parts.append(
+            f"""d{i} AS MATERIALIZED (SELECT a.v, a.d - COALESCE(dec{i}.c, 0) AS d
+             FROM d{i - 1} a LEFT JOIN dec{i} ON dec{i}.v = a.v
+             WHERE a.v NOT IN (SELECT v FROM r{i}))"""
+        )
+    whens = " ".join(
+        f"WHEN (SELECT count(*) FROM r{i}) = 0 THEN {i}"
+        for i in range(1, rmax + 1)
+    )
+    conv = " OR ".join(
+        f"(SELECT count(*) FROM r{i}) = 0" for i in range(1, rmax + 1)
+    )
+    parts.append(
+        f"stop AS (SELECT CASE {whens} ELSE {rmax} END AS r, ({conv}) AS conv)"
+    )
+    pick_v = " ".join(
+        f"WHEN {i} THEN (SELECT count(*) FROM d{i})" for i in range(1, rmax + 1)
+    )
+    pick_e = " ".join(
+        f"WHEN {i} THEN (SELECT count(*) FROM e{i})" for i in range(1, rmax + 1)
+    )
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}
+    SELECT CAST(CASE stop.r {pick_v} END AS BIGINT) AS n_core_vertices,
+           CAST(CASE stop.r {pick_e} END AS BIGINT) AS n_core_edges,
+           CAST(stop.r AS BIGINT) AS rounds_ran,
+           stop.conv AS converged
+    FROM stop
+    """
+
+
+ORACLES_EXT["graph_kcore"] = _kcore_oracle()

@@ -184,9 +184,16 @@ def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: entries run the identical groupBy + pair-explosion + distinct over
 #: lineitem — a production pipeline materializes the graph ONCE and every
 #: analytic reads it, so the entries share a localCheckpoint'd relation
-#: (VERDICT r10 #1). Keyed by session identity so a fresh process derives
-#: fresh; the first graph entry in a suite pays the derivation.
-_EDGES_MEMO: dict[tuple[int, str], DataFrame] = {}
+#: (VERDICT r10 #1). Keyed by ``applicationId`` (unique per SparkContext —
+#: ADVICE r11: ``id(spark)`` could alias a dead session's address and hand
+#: out localCheckpoints belonging to a stopped context) so a fresh session
+#: derives fresh; the first graph entry in a suite pays the derivation.
+_EDGES_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    """Memo key component identifying the live SparkContext."""
+    return spark.sparkContext.applicationId
 
 
 def shared_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -195,7 +202,7 @@ def shared_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     (session, sf_dir) and localCheckpoint'd. The weighted relation subsumes
     the unweighted one (:func:`shared_edges` projects it), so one
     derivation serves both the weighted and unweighted graph entries."""
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     got = _EDGES_MEMO.get(key)
     if got is None:
         l = read_table(spark, sf_dir, "lineitem")
@@ -217,11 +224,11 @@ def shared_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: derive and localCheckpoint them once per (session, sf_dir) and hand them
 #: to the operators via their ``prepared=`` seam (a production pipeline
 #: materializes the adjacency once per graph, not once per query).
-_PR_SETUP_MEMO: dict[tuple[int, str, str], tuple] = {}
+_PR_SETUP_MEMO: dict[tuple[str, str, str], tuple] = {}
 
 
 def shared_pr_setup(spark: SparkSession, sf_dir: str) -> tuple:
-    key = (id(spark), sf_dir, "unweighted")
+    key = (_session_key(spark), sf_dir, "unweighted")
     if key not in _PR_SETUP_MEMO:
         from iceberg_ingestion_spark.operators.graph import _pr_setup
         from iceberg_ingestion_spark.operators.materialize import resolve
@@ -231,7 +238,7 @@ def shared_pr_setup(spark: SparkSession, sf_dir: str) -> tuple:
 
 
 def shared_prw_setup(spark: SparkSession, sf_dir: str) -> tuple:
-    key = (id(spark), sf_dir, "weighted")
+    key = (_session_key(spark), sf_dir, "weighted")
     if key not in _PR_SETUP_MEMO:
         from iceberg_ingestion_spark.operators.graph import _prw_setup
         from iceberg_ingestion_spark.operators.materialize import resolve
@@ -240,6 +247,33 @@ def shared_prw_setup(spark: SparkSession, sf_dir: str) -> tuple:
             shared_edges_weighted(spark, sf_dir), resolve(None)
         )
     return _PR_SETUP_MEMO[key]
+
+
+#: Shared triangle census (VERDICT r11 #2): the exact one-row census of the
+#: (md5 1/mod-sampled) co-occurrence graph is consumed by THREE entries —
+#: ``graph_triangle_count`` (mod 1), ``graph_triangle_sampled`` (mod 1 exact
+#: leg + mod TRI_SAMPLE_MOD sampled leg) — each of which used to recompute
+#: the Σoutdeg² intersection kernel from scratch. A production pipeline
+#: computes a census once per (graph, day) and every consumer reads the
+#: stat row, so the suite memoizes it per (session, sf_dir, mod) like
+#: ``shared_edges_weighted``. ``localCheckpoint(eager=True)`` pins the
+#: single row at first use.
+_CENSUS_MEMO: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def shared_census(spark: SparkSession, sf_dir: str, mod: int = 1) -> DataFrame:
+    """One-row :func:`graph.triangle_stats` census of the md5 1/``mod``
+    sampled co-occurrence graph (``mod=1`` = the full graph), computed once
+    per (session, sf_dir, mod)."""
+    key = (_session_key(spark), sf_dir, mod)
+    got = _CENSUS_MEMO.get(key)
+    if got is None:
+        edges = shared_edges(spark, sf_dir)
+        if mod > 1:
+            edges = graph.edge_sample_md5(edges, mod)
+        got = graph.triangle_stats(edges).localCheckpoint(eager=True)
+        _CENSUS_MEMO[key] = got
+    return got
 
 
 def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,8 +290,13 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     APEX-PARTITIONED 3-way-join census proven in
     ``tools/census_full_check.py``: one piecewise UNION ALL over the
     materialized oriented relation keeps each piece's path intermediate at
-    ~Σoutdeg²/16 (22.9 s at sf1 under the 24 GB cap, = 18,844,880)."""
-    return graph.triangle_stats(shared_edges(spark, sf_dir))
+    ~Σoutdeg²/16 (22.9 s at sf1 under the 24 GB cap, = 18,844,880).
+
+    r12 (VERDICT r11 #2): reads the per-session :func:`shared_census` memo —
+    the census is computed ONCE per (session, sf_dir) and the DOULION
+    entry's exact leg reads the same row instead of recomputing the
+    intersection kernel."""
+    return shared_census(spark, sf_dir, 1)
 
 
 #: BFS over the part co-occurrence graph: seeds = parts divisible by 199
@@ -313,14 +352,13 @@ def q_graph_triangle_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes the identical sample. At 100 TB the sampled census is
     the production shape — p^2 of the intersection volume — and the exact
     leg here is the verification price. Graph = the FULL co-occurrence
-    graph (r11; fixture retired)."""
-    edges = shared_edges(spark, sf_dir)
-    exact = graph.triangle_stats(edges).select(
+    graph (r11; fixture retired). r12 (VERDICT r11 #2): BOTH legs read the
+    per-session :func:`shared_census` memo — the exact leg is the same row
+    ``graph_triangle_count`` grades, no longer recomputed here."""
+    exact = shared_census(spark, sf_dir, 1).select(
         F.col("n_triangles").alias("n_triangles_exact")
     )
-    sampled = graph.triangle_stats(
-        graph.edge_sample_md5(edges, TRI_SAMPLE_MOD)
-    ).select(
+    sampled = shared_census(spark, sf_dir, TRI_SAMPLE_MOD).select(
         F.col("n_edges").alias("n_edges_sampled"),
         F.col("n_triangles").alias("n_triangles_sampled"),
     )
@@ -585,8 +623,12 @@ def q_graph_chained_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-#: Stream-maintainer graph sizing: md5 1/4 edge sample (see entry docstring).
-TRI_STREAM_MOD = 4
+#: Stream-maintainer graph sizing: the SAME md5 1/2 edge sample DOULION
+#: grades (VERDICT r11 #6 — with the census memoized, the stream entry can
+#: afford the bigger graph, closing the "stream grades a smaller graph than
+#: batch" asymmetry; its oracle recomputes the mod-2 census the sampled
+#: entry already carries).
+TRI_STREAM_MOD = 2
 
 
 def q_graph_stream_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -606,11 +648,11 @@ def q_graph_stream_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     census of the sampled graph, so a green row proves the streamed chained
     increments reproduce it exactly. Sampled (not full) graph: the full
     graph already carries the batch-chained entry
-    (``graph_chained_triangles``); the stream entry exercises the identical
-    machinery at a quarter of the edges to keep the verification price
-    bounded (the batch-census double-verify already runs at 1/2 via
-    TRI_SAMPLE_MOD; the stream entry grades the MAINTENANCE machinery, so
-    the smaller deterministic sample is the right price point). The
+    (``graph_chained_triangles``); r12 graduates the stream from the r11
+    1/4 sample to the SAME md5 1/2 sample DOULION grades (VERDICT r11 #6 —
+    stream and batch-sampled entries grade the same graph, closing the
+    "stream grades a smaller graph than batch" asymmetry; affordable now
+    that the exact-census work is memoized once per session). The
     scratch root is removed after the result row is materialized."""
     import os
     import shutil
@@ -778,6 +820,127 @@ def q_graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         pr.orderBy(F.col("pr").desc(), "v")
         .limit(PR_TOPN)
         .select(F.col("v").cast("long").alias("part"), "pr")
+    )
+
+
+def q_graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PERSONALIZED PageRank parts (VERDICT r11 #4 — the
+    related-item-expansion form: teleport mass restricted to a seed set,
+    so ranks measure proximity to the seeds instead of global centrality):
+    seeds = the BFS entry's part set (``v % BFS_SEED_MOD == 0`` — present
+    at every SF), 3 integer-scaled rounds on the full co-occurrence graph
+    via :func:`graph.pagerank_personalized` over the SHARED adjacency
+    (``shared_pr_setup``). ``(part, pr)`` in 1e-12 units, bit-identical
+    cross-engine (the family's floor-division discipline — unreached
+    vertices hold exactly 0); the oracle unrolls the identical
+    seed-indicator rounds. Demonstrably seed-dependent: the global
+    ``graph_pagerank`` top-20 and this top-20 differ (pytest-pinned)."""
+    edges = shared_edges(spark, sf_dir)
+    both, deg, n = shared_pr_setup(spark, sf_dir)
+    seeds = deg.select("v").where(F.col("v") % BFS_SEED_MOD == 0)
+    pr = graph.pagerank_personalized(
+        edges, seeds, PR_ITERS, prepared=(both, deg, n)
+    )
+    return (
+        pr.orderBy(F.col("pr").desc(), "v")
+        .limit(PR_TOPN)
+        .select(F.col("v").cast("long").alias("part"), "pr")
+    )
+
+
+def q_graph_stream_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED PageRank maintenance graded at the driver (VERDICT r11 #3
+    — the rank vector was the one persisted-state graph family without a
+    stream form; the eighth driver entry whose Spark side executes real
+    Structured Streaming): the md5 1/2-sampled co-occurrence edges (the
+    SAME graph the stream-triangle and DOULION entries grade) arrive as a
+    bulk drop plus two daily drops drained through
+    :func:`streaming.pr_stream.stream_pagerank` — three ``availableNow``
+    runs; each batch appends its Δ to the persisted edge log, upserts the
+    persisted degree vector Δ-boundedly, re-runs the bounded-round
+    integer-scaled kernel on the MAINTAINED state
+    (recompute-on-maintained-state is the honest contract — delta-PR
+    approximations are not oracle-exact) and publishes the rank-table
+    version under the applied-batch ledger + atomic pointer. The entry
+    reads the FINAL PUBLISHED rank table; the oracle unrolls the identical
+    3 rounds over the sampled graph — a green row proves the streamed
+    maintained state reproduces the one-shot batch ``pagerank_fixed``
+    bit-for-bit. The scratch root is removed after the result row is
+    materialized."""
+    import os
+    import shutil
+    import tempfile
+
+    from iceberg_ingestion_spark.streaming.pr_stream import (
+        read_state,
+        stream_pagerank,
+    )
+
+    edges = graph.edge_sample_md5(shared_edges(spark, sf_dir), TRI_STREAM_MOD)
+    coin = text.hex_to_long(F.md5(F.concat_ws(":", "src", "dst")), 9, 8) % 16
+    root = tempfile.mkdtemp(prefix="pr_stream_")
+    try:
+        feed = os.path.join(root, "feed")
+        state = os.path.join(root, "state")
+        ckpt = os.path.join(root, "ckpt")
+        for r in (0, 1, 2):
+            part = edges.where(coin >= 2) if r == 0 else edges.where(coin == r - 1)
+            part.coalesce(4).write.mode("append").parquet(feed)
+            q = stream_pagerank(
+                spark, feed, part.schema, state, ckpt, iterations=PR_ITERS
+            )
+            # a timed-out drain must FAIL the entry: a dropped batch would
+            # silently shrink the maintained graph and the grade with it
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("graph_stream_pagerank: drain exceeded 300s")
+        st = read_state(state)
+        pr = spark.read.parquet(os.path.join(state, f"pr_day{st['day']}"))
+        return (
+            pr.orderBy(F.col("pr").desc(), "v")
+            .limit(PR_TOPN)
+            .select(F.col("v").cast("long").alias("part"), "pr")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+#: k-core: k chosen so the peel is non-trivial at every SF. The
+#: co-occurrence graph's degree distribution is SF-stable (10th pct
+#: ~73-89, median ~89-119) and near-threshold peels exhibit the classic
+#: critical slowdown (measured: k=85 collapses sf0.01 in 10 rounds and is
+#: still peeling sf0.1 at round 12), so k sits just BELOW the sf0.1/0.01
+#: collapse threshold: k=75 converges in 5 rounds at every driver SF and
+#: demonstrates BOTH regimes under one contract — full collapse to an
+#: empty core at sf0.001 (core number < 75) and a surviving ~97% core at
+#: sf0.01/0.1. The cap bounds the oracle unroll (the BFS_MAX_HOP trick)
+#: above the measured convergence round everywhere.
+KC_K = 75
+KC_MAX_ROUNDS = 8
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round k-CORE of the full co-occurrence graph (VERDICT r11
+    #5): one row ``(n_core_vertices, n_core_edges, rounds_ran, converged)``
+    from :func:`graph.kcore_peel` — the iterative min-degree peel whose
+    per-round work is Δ-driven (maintained degree vector, removed-incident
+    flag pass) rather than a full-graph recompute. ``rounds_ran`` is the
+    first round that removed nothing (capped at ``KC_MAX_ROUNDS``);
+    the oracle unrolls every peel round as maintained-degree CTEs,
+    re-derives each round's removal set, and CASE-selects the same stop —
+    all four values integer/boolean-exact cross-engine."""
+    edges = shared_edges(spark, sf_dir)
+    core, deg, rounds_ran, converged = graph.kcore_peel(
+        edges, KC_K, KC_MAX_ROUNDS
+    )
+    nv = deg.agg(F.count(F.lit(1)).alias("n_core_vertices"))
+    ne = core.agg(F.count(F.lit(1)).alias("n_core_edges"))
+    return nv.crossJoin(F.broadcast(ne)).select(
+        "n_core_vertices",
+        "n_core_edges",
+        F.lit(rounds_ran).cast("long").alias("rounds_ran"),
+        F.lit(bool(converged)).alias("converged"),
     )
 
 

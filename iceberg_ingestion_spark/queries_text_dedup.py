@@ -979,13 +979,19 @@ def q_ann_stream_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     books_dir = os.path.join(root, "books")
     ckpt = os.path.join(root, "ckpt")
 
+    from iceberg_ingestion_spark.streaming.feed import stamp_drop
+
+    stamped: set[str] = set()
     for r in (0, 1, 2):
         vecs.filter(F.col("vec_id") % 3 == r).coalesce(1).write.mode(
             "append"
         ).parquet(feed)
-    # one drain, one micro-batch per drop file: batch 0 = the oldest file
-    # (written first) builds the frozen codebooks, later batches append
-    # codes idempotently; the multi-drain restart form is pytest-pinned
+        stamp_drop(feed, r, stamped)
+    # one drain, one micro-batch per drop file: batch 0 = the FIRST-WRITTEN
+    # drop builds the frozen codebooks — guaranteed by the per-drop mtime
+    # stamps (ADVICE r11: raw write mtimes can tie on coarse filesystems and
+    # replay inverted, training the codebook on the wrong drop); later
+    # batches append codes idempotently; multi-drain restart is pytest-pinned
     q = stream_pq_index(
         spark, feed, vecs.schema, codes_dir, books_dir, ckpt,
         dim=EMBED_DIM, m=16, n_codes=32, max_files_per_trigger=1,

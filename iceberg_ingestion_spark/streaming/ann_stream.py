@@ -34,9 +34,11 @@ def pq_index_stream_batch_fn(
     dim: int = 64,
     m: int = 8,
     n_codes: int = 16,
-    max_files_per_trigger: int | None = None,
 ):
     """``foreachBatch`` function for streamed PQ-index maintenance.
+    (Rate limiting lives on the stream READER — ``stream_pq_index``'s
+    ``max_files_per_trigger`` — not here; ADVICE r11 removed the dead
+    factory parameter that silently ignored it.)
 
     Batch 0 (or whenever no codebook table exists yet): build the
     codebooks from THIS batch's vectors (the hash-spread draw —

@@ -18,10 +18,12 @@ def near_dup_stream_batch_fn(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 6,
-    max_files_per_trigger: int | None = None,
 ):
     """``foreachBatch`` function for STREAMING near-dup detection against a
-    growing corpus: each micro-batch SimHashes its docs, probes the
+    growing corpus (rate limiting lives on the stream READER —
+    ``stream_near_dup``'s ``max_files_per_trigger`` — not here; ADVICE r11
+    removed the dead factory parameter that silently ignored it): each
+    micro-batch SimHashes its docs, probes the
     persisted signature index for increment-vs-corpus pairs (plus its own
     in-batch pairs via :func:`dedup.simhash_pairs_incremental` /
     :func:`dedup.simhash_pairs`), appends the pairs, and appends its

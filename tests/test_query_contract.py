@@ -135,6 +135,9 @@ def test_no_unbounded_nested_loop_joins(spark):
         "graph_triangle_sampled",
         "graph_chained_triangles",
         "sketch_join_size",
+        # r12: the k-core report combines its two 1-row count aggregates
+        # (core vertices x core edges) — the BNLJ side is exactly one row
+        "graph_kcore",
     }
     offenders = []
     for name, fn in entry_mod.queries().items():

@@ -34,9 +34,11 @@ def main() -> int:
         if k not in old_ledger or old_ledger[k]["hash"] != new_ledger[k]["hash"]
     }
     merged: dict[str, float] = {}
+    fresh_rows: dict[str, float] = {}
     for name, t in fresh["queries"].items():
         if t < 0:
             continue
+        fresh_rows[name] = t
         p = prior["queries"].get(name, -1.0)
         if name in changed or p < 0:
             merged[name] = t
@@ -47,12 +49,19 @@ def main() -> int:
         "value": round(sum(merged.values()), 3),
         "unit": "sec",
         "queries": merged,
+        # the fresh run verbatim (ADVICE r11): min-merging can never surface
+        # a persistent slowdown in a byte-unchanged entry (e.g. cost shifted
+        # onto it by a shared-relation change elsewhere), so the ledger
+        # carries both — regressions stay visible as fresh >> merged rows
+        "fresh_value": round(sum(fresh_rows.values()), 3),
+        "queries_fresh": fresh_rows,
         "sf": fresh["sf"],
         "note": note,
     }
     json.dump(out, open("BENCH_SF1.json", "w"), indent=1)
     print(
-        f"BENCH_SF1.json: {len(merged)} rows, total {out['value']}s; "
+        f"BENCH_SF1.json: {len(merged)} rows, min-merged total {out['value']}s "
+        f"(fresh total {out['fresh_value']}s); "
         f"{len(changed & set(merged))} changed rows fresh-only, rest min-merged"
     )
     return 0
