@@ -698,11 +698,12 @@ def pagerank_fixed(
     base = (15 * scale) // (100 * n)
     # init vector stays LAZY: it is a projection of the materialized degree
     # relation, and round 1's own materialization truncates the lineage — an
-    # eager checkpoint here was one pure-overhead job per PR run (r12)
-    pr = deg.select("v", F.lit(scale // n).cast("long").alias("pr"))
+    # eager checkpoint here was one pure-overhead job per PR run (r12).
+    # The degree rides the vector (see _pr_round) — no per-round deg join.
+    pr = deg.select("v", "d", F.lit(scale // n).cast("long").alias("pr"))
     for _ in range(iterations):
         pr = mat(_pr_round(pr, deg, both, base, damping_pct, n))
-    return pr
+    return pr.select("v", "pr")
 
 
 def _pr_setup(edges: DataFrame, mat) -> tuple[DataFrame, DataFrame, int]:
@@ -734,31 +735,33 @@ def _prw_setup(edges_w: DataFrame, mat) -> tuple[DataFrame, DataFrame, int]:
 
 
 def _pr_round(
-    pr: DataFrame,
+    prd: DataFrame,
     deg: DataFrame,
     both: DataFrame,
     base: int,
     damping_pct: int,
     n: int | None = None,
 ) -> DataFrame:
-    """One integer-scaled PageRank round: one vertex-keyed equi-join against
-    the bidirected edge relation + one groupBy (the canonical distributed
-    kernel shared by the fixed and converged forms). With ``n`` (the vertex
-    count) known and under :data:`VEC_BROADCAST_MAX`, every |V|-bounded
-    relation is broadcast (guide §3.1): the edge relation is never shuffled
-    and the round's only exchange carries the map-side-combined contribution
-    sums — measured 6.9s -> 2.6s for 3 rounds at sf0.1, ranks bit-identical."""
+    """One integer-scaled PageRank round. ``prd`` carries ``(v, d, pr)`` —
+    the (constant) degree RIDES the rank vector, so the round needs no
+    per-round deg join at all (r12): one |V|-bounded broadcast against the
+    bidirected edge relation + one groupBy. With ``n`` (the vertex count)
+    known and under :data:`VEC_BROADCAST_MAX`, the |V|-bounded relations
+    are broadcast (guide §3.1): the edge relation is never shuffled and the
+    round's only exchange carries the map-side-combined contribution sums —
+    measured 6.9s -> 2.6s for 3 rounds at sf0.1 (broadcast alone), ranks
+    bit-identical. Returns ``(v, d, pr)``."""
     contrib = (
-        _vec(pr.join(_vec(deg, n), "v").select("v", F.expr("pr DIV d").alias("_c")), n)
+        _vec(prd.select("v", F.expr("pr DIV d").alias("_c")), n)
         .join(both, F.col("v") == F.col("src"))
         .groupBy(F.col("dst").alias("v"))
         .agg(F.sum("_c").alias("_s"))
     )
     return (
-        deg.select("v")
-        .join(_vec(contrib, n), "v", "left")
+        deg.join(_vec(contrib, n), "v", "left")
         .select(
             "v",
+            "d",
             (
                 F.lit(base).cast("long")
                 + F.expr(f"({damping_pct} * coalesce(_s, 0L)) DIV 100")
@@ -798,8 +801,9 @@ def pagerank_converged(
     mat = resolve(materializer)
     both, deg, n = prepared if prepared is not None else _pr_setup(edges, mat)
     base = (15 * scale) // (100 * n)
-    # lazy init vector — see pagerank_fixed (round 1 materializes anyway)
-    pr = deg.select("v", F.lit(scale // n).cast("long").alias("pr"))
+    # lazy init vector — see pagerank_fixed (round 1 materializes anyway);
+    # the degree rides the vector (see _pr_round)
+    pr = deg.select("v", "d", F.lit(scale // n).cast("long").alias("pr"))
     rounds_ran, converged = 0, False
     for _ in range(max_rounds):
         new = mat(_pr_round(pr, deg, both, base, damping_pct, n))
@@ -813,7 +817,7 @@ def pagerank_converged(
         if delta is not None and delta <= tol_units:
             converged = True
             break
-    return pr, rounds_ran, converged
+    return pr.select("v", "pr"), rounds_ran, converged
 
 
 def pagerank_weighted_fixed(
@@ -848,11 +852,13 @@ def pagerank_weighted_fixed(
     mat = resolve(materializer)
     both, wdeg, n = prepared if prepared is not None else _prw_setup(edges_w, mat)
     base = (15 * scale) // (100 * n)
-    # lazy init vector + broadcast |V|-bounded sides — see pagerank_fixed
-    pr = wdeg.select("v", F.lit(scale // n).cast("long").alias("pr"))
+    # lazy init vector + broadcast |V|-bounded sides — see pagerank_fixed;
+    # the weighted degree rides the vector (see _pr_round): no per-round
+    # pr ⋈ wdeg join, the round is one broadcast probe + one groupBy.
+    pr = wdeg.select("v", "wd", F.lit(scale // n).cast("long").alias("pr"))
     for _ in range(iterations):
         contrib = (
-            _vec(pr.join(_vec(wdeg, n), "v"), n)
+            _vec(pr, n)
             .join(both, F.col("v") == F.col("src"))
             .select(
                 F.col("dst").alias("_v"), F.expr("(pr * w) DIV wd").alias("_c")
@@ -861,17 +867,17 @@ def pagerank_weighted_fixed(
             .agg(F.sum("_c").alias("_s"))
         )
         pr = mat(
-            wdeg.select("v")
-            .join(_vec(contrib, n), "v", "left")
+            wdeg.join(_vec(contrib, n), "v", "left")
             .select(
                 "v",
+                "wd",
                 (
                     F.lit(base).cast("long")
                     + F.expr(f"({damping_pct} * coalesce(_s, 0L)) DIV 100")
                 ).alias("pr"),
             )
         )
-    return pr
+    return pr.select("v", "pr")
 
 
 def pagerank_personalized(
@@ -914,10 +920,10 @@ def pagerank_personalized(
         raise ValueError("pagerank_personalized: no seeds intersect the graph")
     base = (15 * scale) // (100 * ns)
     bases = mat(
-        deg.select("v")
-        .join(seed_rel.withColumn("_s", F.lit(True)), "v", "left")
+        deg.join(seed_rel.withColumn("_s", F.lit(True)), "v", "left")
         .select(
             "v",
+            "d",
             F.when(F.col("_s"), F.lit(base)).otherwise(F.lit(0))
             .cast("long")
             .alias("_b"),
@@ -926,32 +932,30 @@ def pagerank_personalized(
             .alias("_p0"),
         )
     )
-    # lazy init vector + broadcast |V|-bounded sides — see pagerank_fixed
-    pr = bases.select("v", F.col("_p0").alias("pr"))
+    # lazy init vector + broadcast |V|-bounded sides — see pagerank_fixed;
+    # the degree rides the vector (see _pr_round): no per-round pr ⋈ deg
+    # join, the round is one broadcast probe + one groupBy.
+    pr = bases.select("v", "d", F.col("_p0").alias("pr"))
     for _ in range(iterations):
         contrib = (
-            _vec(
-                pr.join(_vec(deg, n), "v").select(
-                    "v", F.expr("pr DIV d").alias("_c")
-                ),
-                n,
-            )
+            _vec(pr.select("v", F.expr("pr DIV d").alias("_c")), n)
             .join(both, F.col("v") == F.col("src"))
             .groupBy(F.col("dst").alias("v"))
             .agg(F.sum("_c").alias("_s"))
         )
         pr = mat(
-            bases.select("v", "_b")
+            bases.select("v", "d", "_b")
             .join(_vec(contrib, n), "v", "left")
             .select(
                 "v",
+                "d",
                 (
                     F.col("_b")
                     + F.expr(f"({damping_pct} * coalesce(_s, 0L)) DIV 100")
                 ).alias("pr"),
             )
         )
-    return pr
+    return pr.select("v", "pr")
 
 
 def kcore_peel(
