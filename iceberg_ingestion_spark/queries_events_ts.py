@@ -410,7 +410,7 @@ def q_events_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         sentinel(f"timestamp'{hi}' + interval 4 days"),
         sentinel(f"timestamp'{hi}' + interval 8 days"),
     )):
-        rows_df.coalesce(1).write.mode("append").parquet(feed)
+        rows_df.repartition(1).write.mode("append").parquet(feed)
         stamp_drop(feed, i, stamped)
     # one drain, one micro-batch per drop file; append mode still only
     # emits a window once the watermark passes its end, and the trailing

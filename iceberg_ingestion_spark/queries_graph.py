@@ -404,7 +404,7 @@ def q_sketch_kmv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in (0, 1, 2):
             el.where(
                 text.hex_to_long(F.md5(F.col("value")), 9, 8) % 3 == r
-            ).coalesce(1).write.mode("append").parquet(feed)
+            ).repartition(1).write.mode("append").parquet(feed)
         # one drain, one micro-batch per drop file (maxFilesPerTrigger=1):
         # the graded invariant (streamed == batch under ANY batching) is
         # batching-independent; the multi-drain checkpoint-restart form is
@@ -521,7 +521,7 @@ def q_sketch_mg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         table = os.path.join(root, "mg")
         ckpt = os.path.join(root, "ckpt")
         for r in (0, 1, 2):
-            counts.where(F.col("_p") % 3 == r).coalesce(1).write.mode(
+            counts.where(F.col("_p") % 3 == r).repartition(1).write.mode(
                 "append"
             ).parquet(feed)
         # one drain, one micro-batch per drop file: each drop is one file of
@@ -684,8 +684,11 @@ def q_graph_stream_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in (0, 1, 2):
             part = edges.where(coin >= 2) if r == 0 else edges.where(coin == r - 1)
             # one file per drop: with maxFilesPerTrigger=1 each micro-batch
-            # is exactly one WHOLE drop, replayed in stamp order
-            part.coalesce(1).write.mode("append").parquet(feed)
+            # is exactly one WHOLE drop, replayed in stamp order.
+            # repartition(1), NOT coalesce(1): coalesce collapses the
+            # upstream md5-filter into the single write task (measured
+            # 1.8-2.9s vs 0.7s for the bulk drop at sf0.1 — r12)
+            part.repartition(1).write.mode("append").parquet(feed)
             stamp_drop(feed, r, stamped)
         q = stream_triangle_index(
             spark, feed, edges.schema, state, ckpt, max_files_per_trigger=1,
@@ -908,8 +911,11 @@ def q_graph_stream_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in (0, 1, 2):
             part = edges.where(coin >= 2) if r == 0 else edges.where(coin == r - 1)
             # one file per drop: with maxFilesPerTrigger=1 each micro-batch
-            # is exactly one WHOLE drop, replayed in stamp order
-            part.coalesce(1).write.mode("append").parquet(feed)
+            # is exactly one WHOLE drop, replayed in stamp order.
+            # repartition(1), NOT coalesce(1): coalesce collapses the
+            # upstream md5-filter into the single write task (measured
+            # 1.8-2.9s vs 0.7s for the bulk drop at sf0.1 — r12)
+            part.repartition(1).write.mode("append").parquet(feed)
             stamp_drop(feed, r, stamped)
         q = stream_pagerank(
             spark, feed, edges.schema, state, ckpt, iterations=PR_ITERS,

@@ -694,7 +694,7 @@ def q_dedup_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_ingestion_spark.streaming.dedup_stream import stream_near_dup
 
     for m in (0, 1, 2):
-        d.filter(F.col("doc_id") % 3 == m).coalesce(1).write.mode(
+        d.filter(F.col("doc_id") % 3 == m).repartition(1).write.mode(
             "append"
         ).parquet(feed)
     # one drain, one micro-batch per drop file: the exactly-once pair
@@ -1031,7 +1031,7 @@ def q_ann_stream_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stamped: set[str] = set()
     for r in (0, 1, 2):
-        vecs.filter(F.col("vec_id") % 3 == r).coalesce(1).write.mode(
+        vecs.filter(F.col("vec_id") % 3 == r).repartition(1).write.mode(
             "append"
         ).parquet(feed)
         stamp_drop(feed, r, stamped)
