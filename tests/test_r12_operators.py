@@ -257,3 +257,17 @@ def test_pq_codes_validates_codebooks(spark):
     )
     with pytest.raises(ValueError, match="invalid codebook row"):
         similarity.pq_codes(docs, "vec_id", "embedding", 4, bad, m=2)
+
+
+def test_pagerank_variants_project_only_v_pr(spark):
+    """r12 carries the (constant) degree INSIDE the rank vector across
+    rounds; the public contract is unchanged — every variant must still
+    return exactly (v, pr), with the ride-along degree projected away."""
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3)])
+    assert graph.pagerank_fixed(e, 2).columns == ["v", "pr"]
+    pr, _, _ = graph.pagerank_converged(e, 1, 3)
+    assert pr.columns == ["v", "pr"]
+    ew = spark.createDataFrame([(1, 2, 2), (2, 3, 1)], ["src", "dst", "w"])
+    assert graph.pagerank_weighted_fixed(ew, 2).columns == ["v", "pr"]
+    seeds = spark.createDataFrame([(1,)], ["v"])
+    assert graph.pagerank_personalized(e, seeds, 2).columns == ["v", "pr"]
