@@ -144,19 +144,62 @@ def main() -> int:
         json.dump(payload, fh, indent=1)
         fh.write("\n")
     # Stdout line: same shape, but compact separators, 2-decimal timings, and
-    # the per-query dict truncated (in priority-window order, which QUERIES
-    # already carries) to keep the WHOLE line inside the driver's 2000-char
-    # tail so it machine-parses. Elided entries live in BENCH_FULL.json.
+    # the per-query dict truncated to keep the WHOLE line inside the driver's
+    # 2000-char tail so it machine-parses. Elided entries live in
+    # BENCH_FULL.json.
+    #
+    # r13 measurement-bug fix (PERF_r12 recorded 3 "queries_dropped"): the
+    # kept set used to be a plain prefix of priority-window order, so a
+    # window rotation silently pushed previously-reported entries past the
+    # truncation boundary — they looked REMOVED to the driver's ledger diff
+    # (funnel_conversion, ingest_changelog_scan_sink, ingest_incremental_agg
+    # in r12) even though bench.py still timed all of them. The kept set now
+    # PINS every name any prior driver ledger parsed (r11 ∪ r12 stdout sets)
+    # before filling the remaining budget in window order, so the reported
+    # set only ever grows. Timings/methodology unchanged; the full dict was
+    # and is in BENCH_FULL.json.
+    _STDOUT_PIN = [
+        "asof_last_click_before_purchase", "corpus_feed_health",
+        "corpus_prep_pipeline_v2", "corpus_shard_stats",
+        "decon_bloom_prefilter", "decon_span_scrub", "dedup_clusters",
+        "dedup_exact_chunks", "dedup_incremental_containment",
+        "dedup_incremental_minhash", "dedup_semantic_blocked",
+        "dedup_stream_near_dup", "embedding_kmeans_assign", "events_gap_fill",
+        "events_json_props", "events_rolling_7d", "events_stream_windowed",
+        "funnel_conversion", "graph_bfs_hops", "graph_chained_triangles",
+        "graph_connected_components", "graph_kcore",
+        "graph_label_propagation", "graph_pagerank",
+        "graph_pagerank_converged", "graph_pagerank_personalized",
+        "graph_pagerank_weighted", "graph_stream_pagerank",
+        "graph_stream_triangles", "graph_triangle_count",
+        "graph_triangle_sampled", "ingest_cdc_dedup_latest",
+        "ingest_changelog_scan_sink", "ingest_detect_deletes",
+        "ingest_detect_inserts", "ingest_detect_updates",
+        "ingest_incremental_agg", "ingest_snapshot_merge_full",
+        "ingest_snapshot_merge_incremental",
+        "ingest_snapshot_merge_soft_delete", "quality_classifier_gate",
+        "sim_ann_chained_pq", "sim_ann_stream_pq", "sim_ann_topk_bruteforce",
+        "sim_ann_topk_ivf", "sim_ann_topk_ivf_trained", "sim_ann_topk_ivfpq",
+        "sim_ann_topk_ivfpq_residual", "sim_ann_topk_lsh", "sim_ann_topk_pq",
+        "sim_ann_topk_pq_trained", "sim_bm25_rerank", "sim_knn_label_vote",
+        "sketch_heavy_hitters", "sketch_join_size", "sketch_kmv_distinct",
+        "sketch_kmv_intersection", "sketch_kmv_stream", "sketch_mg_stream",
+        "tokenize_pack_budget",
+    ]
     stdout_payload = dict(payload)
     del stdout_payload["samples"]  # full-precision spread lives in BENCH_FULL.json
-    budget = 1800 - len(
+    budget = 1950 - len(
         json.dumps(
             {**stdout_payload, "queries": {}, "queries_elided": 999, "full": "BENCH_FULL.json"},
             separators=(",", ":"),
         )
     )
     kept: dict[str, float] = {}
-    for name, t in timings.items():
+    pin_order = [n for n in _STDOUT_PIN if n in timings] + [
+        n for n in timings if n not in set(_STDOUT_PIN)
+    ]
+    for name in pin_order:
+        t = timings[name]
         entry_len = len(name) + len(f"{round(t, 2)}") + 4  # quotes, colon, comma
         if budget - entry_len < 0:
             break

@@ -401,17 +401,24 @@ def q_events_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # could replay them inverted — advancing the watermark past real events
     # and silently dropping their windows as late data; the explicit
     # strictly-increasing stamps make the replay order deterministic)
-    from iceberg_ingestion_spark.streaming.feed import stamp_drop
+    from iceberg_ingestion_spark.streaming.feed import write_drops
 
-    stamped: set[str] = set()
-    for i, rows_df in enumerate((
-        feed_df.filter(F.col("ts") < F.lit(mid)),
-        feed_df.filter(F.col("ts") >= F.lit(mid)),
-        sentinel(f"timestamp'{hi}' + interval 4 days"),
-        sentinel(f"timestamp'{hi}' + interval 8 days"),
-    )):
-        rows_df.repartition(1).write.mode("append").parquet(feed)
-        stamp_drop(feed, i, stamped)
+    # all four drops (two time-ordered halves + the two far-future
+    # sentinels) in ONE write job (r13 — the per-drop filter+write loop
+    # scanned the event feed once per half). The drop index is a pure
+    # function of ts: real events are <= hi, the sentinels sit at exactly
+    # hi + 4d / hi + 8d.
+    write_drops(
+        feed_df.unionByName(sentinel(f"timestamp'{hi}' + interval 4 days"))
+        .unionByName(sentinel(f"timestamp'{hi}' + interval 8 days")),
+        F.when(F.col("ts") < F.lit(mid), F.lit(0))
+        .when(F.col("ts") <= F.lit(hi), F.lit(1))
+        .when(F.col("ts") <= F.expr(f"timestamp'{hi}' + interval 5 days"), F.lit(2))
+        .otherwise(F.lit(3))
+        .cast("int"),
+        4,
+        feed,
+    )
     # one drain, one micro-batch per drop file; append mode still only
     # emits a window once the watermark passes its end, and the trailing
     # no-data micro-batch flushes after the sentinels push it. The

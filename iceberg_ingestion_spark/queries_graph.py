@@ -401,10 +401,16 @@ def q_sketch_kmv_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         table = os.path.join(root, "sketch")
         ckpt = os.path.join(root, "ckpt")
 
-        for r in (0, 1, 2):
-            el.where(
-                text.hex_to_long(F.md5(F.col("value")), 9, 8) % 3 == r
-            ).repartition(1).write.mode("append").parquet(feed)
+        # three md5-disjoint drops in ONE write job (r13 — the per-drop
+        # filter+write loop scanned the element relation once per drop)
+        from iceberg_ingestion_spark.streaming.feed import write_drops
+
+        write_drops(
+            el,
+            (text.hex_to_long(F.md5(F.col("value")), 9, 8) % 3).cast("int"),
+            3,
+            feed,
+        )
         # one drain, one micro-batch per drop file (maxFilesPerTrigger=1):
         # the graded invariant (streamed == batch under ANY batching) is
         # batching-independent; the multi-drain checkpoint-restart form is
@@ -520,12 +526,14 @@ def q_sketch_mg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         feed = os.path.join(root, "feed")
         table = os.path.join(root, "mg")
         ckpt = os.path.join(root, "ckpt")
-        for r in (0, 1, 2):
-            counts.where(F.col("_p") % 3 == r).repartition(1).write.mode(
-                "append"
-            ).parquet(feed)
+        # three whole-sub-bag drops (_p % 3) in ONE write job (r13 — the
+        # per-drop filter+write loop scanned the checkpointed counts once
+        # per drop)
+        from iceberg_ingestion_spark.streaming.feed import write_drops
+
+        write_drops(counts, (F.col("_p") % 3).cast("int"), 3, feed)
         # one drain, one micro-batch per drop file: each drop is one file of
-        # WHOLE sub-bags (coalesce(1) + _p % 3 partitioning), so the
+        # WHOLE sub-bags (one-file drops + _p % 3 partitioning), so the
         # delivery contract holds per batch; multi-drain restart form is
         # pytest-pinned (tests/test_r10_operators.py)
         q = stream_mg_summary(
@@ -667,7 +675,7 @@ def q_graph_stream_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from iceberg_ingestion_spark.streaming.feed import stamp_drop
+    from iceberg_ingestion_spark.streaming.feed import write_drops
     from iceberg_ingestion_spark.streaming.tri_stream import (
         read_state,
         stream_triangle_index,
@@ -680,16 +688,16 @@ def q_graph_stream_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         feed = os.path.join(root, "feed")
         state = os.path.join(root, "state")
         ckpt = os.path.join(root, "ckpt")
-        stamped: set[str] = set()
-        for r in (0, 1, 2):
-            part = edges.where(coin >= 2) if r == 0 else edges.where(coin == r - 1)
-            # one file per drop: with maxFilesPerTrigger=1 each micro-batch
-            # is exactly one WHOLE drop, replayed in stamp order.
-            # repartition(1), NOT coalesce(1): coalesce collapses the
-            # upstream md5-filter into the single write task (measured
-            # 1.8-2.9s vs 0.7s for the bulk drop at sf0.1 — r12)
-            part.repartition(1).write.mode("append").parquet(feed)
-            stamp_drop(feed, r, stamped)
+        # bulk (coin >= 2 of 16) then two daily deltas, one file per drop so
+        # maxFilesPerTrigger=1 replays whole drops in stamp order; ONE write
+        # job for all three drops (r13 — the per-drop filter+write loop
+        # re-scanned the checkpointed edge sample once per drop)
+        write_drops(
+            edges,
+            F.when(coin >= 2, F.lit(0)).otherwise(coin + 1).cast("int"),
+            3,
+            feed,
+        )
         q = stream_triangle_index(
             spark, feed, edges.schema, state, ckpt, max_files_per_trigger=1,
             assume_canonical=True,  # feed = canonical co-occurrence splits
@@ -894,7 +902,7 @@ def q_graph_stream_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from iceberg_ingestion_spark.streaming.feed import stamp_drop
+    from iceberg_ingestion_spark.streaming.feed import write_drops
     from iceberg_ingestion_spark.streaming.pr_stream import (
         read_state,
         stream_pagerank,
@@ -907,16 +915,16 @@ def q_graph_stream_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         feed = os.path.join(root, "feed")
         state = os.path.join(root, "state")
         ckpt = os.path.join(root, "ckpt")
-        stamped: set[str] = set()
-        for r in (0, 1, 2):
-            part = edges.where(coin >= 2) if r == 0 else edges.where(coin == r - 1)
-            # one file per drop: with maxFilesPerTrigger=1 each micro-batch
-            # is exactly one WHOLE drop, replayed in stamp order.
-            # repartition(1), NOT coalesce(1): coalesce collapses the
-            # upstream md5-filter into the single write task (measured
-            # 1.8-2.9s vs 0.7s for the bulk drop at sf0.1 — r12)
-            part.repartition(1).write.mode("append").parquet(feed)
-            stamp_drop(feed, r, stamped)
+        # bulk (coin >= 2 of 16) then two daily deltas, one file per drop so
+        # maxFilesPerTrigger=1 replays whole drops in stamp order; ONE write
+        # job for all three drops (r13 — the per-drop filter+write loop
+        # re-scanned the checkpointed edge sample once per drop)
+        write_drops(
+            edges,
+            F.when(coin >= 2, F.lit(0)).otherwise(coin + 1).cast("int"),
+            3,
+            feed,
+        )
         q = stream_pagerank(
             spark, feed, edges.schema, state, ckpt, iterations=PR_ITERS,
             max_files_per_trigger=1,

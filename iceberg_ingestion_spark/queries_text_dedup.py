@@ -692,11 +692,11 @@ def q_dedup_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs_dir = os.path.join(root, "pairs")
 
     from iceberg_ingestion_spark.streaming.dedup_stream import stream_near_dup
+    from iceberg_ingestion_spark.streaming.feed import write_drops
 
-    for m in (0, 1, 2):
-        d.filter(F.col("doc_id") % 3 == m).repartition(1).write.mode(
-            "append"
-        ).parquet(feed)
+    # three doc_id % 3 drops in ONE write job (r13 — the per-drop
+    # filter+write loop scanned the documents once per drop)
+    write_drops(d, (F.col("doc_id") % 3).cast("int"), 3, feed)
     # one drain, one micro-batch per drop file: the exactly-once pair
     # emission is batching-independent (every pair emitted in the batch
     # where its later member first arrives); the multi-drain restart form
@@ -1027,14 +1027,11 @@ def q_ann_stream_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     books_dir = os.path.join(root, "books")
     ckpt = os.path.join(root, "ckpt")
 
-    from iceberg_ingestion_spark.streaming.feed import stamp_drop
+    from iceberg_ingestion_spark.streaming.feed import write_drops
 
-    stamped: set[str] = set()
-    for r in (0, 1, 2):
-        vecs.filter(F.col("vec_id") % 3 == r).repartition(1).write.mode(
-            "append"
-        ).parquet(feed)
-        stamp_drop(feed, r, stamped)
+    # three vec_id % 3 drops in ONE write job (r13 — the per-drop
+    # filter+write loop scanned the embeddings once per drop)
+    write_drops(vecs, (F.col("vec_id") % 3).cast("int"), 3, feed)
     # one drain, one micro-batch per drop file: batch 0 = the FIRST-WRITTEN
     # drop builds the frozen codebooks — guaranteed by the per-drop mtime
     # stamps (ADVICE r11: raw write mtimes can tie on coarse filesystems and
